@@ -1,0 +1,323 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational operator pack (SURVEY §2.2, R1–R17).
+  *
+  * Every query is declarative DataFrame code: Catalyst gets full freedom
+  * for pushdown / pruning / join planning. Dimension sides are explicitly
+  * `broadcast()`-hinted; fact⨝fact joins shuffle on their keys and rely on
+  * AQE for skew handling. Money/avg aggregates are rounded at fixed scale
+  * so results are stable across summation orders (driver compares against
+  * a DuckDB oracle computing the same rounded value).
+  *
+  * Reference behaviours covered: the generated-SQL query surface of
+  * Legend services/mappings (reference Legend.scala:105-152) is plain
+  * Spark SQL relational algebra — this pack is that surface exercised
+  * directly, Spark-first.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  /** R2: TPC-H Q1-style scan + hash aggregate with map-side partial agg. */
+  def q1Agg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** R1: filter + projection — both must reach the parquet scan
+    * (PushedFilters + pruned ReadSchema; asserted in PlanSpec). */
+  def q2FilterProject(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= to_timestamp(lit("1999-01-01")) && col("l_discount") > lit(0.07))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"), col("l_discount"))
+
+  /** R3: dim⨝fact with an explicit broadcast hint — no shuffle of the fact side. */
+  def q3BroadcastJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("num_customers"),
+        round(sum(col("c_acctbal")), 2).as("total_acctbal"))
+
+  /** R4: fact⨝fact shuffle join + aggregate (TPC-H Q3 flavour).
+    * Revenue is aggregated in exact scaled-integer space (cents × discount
+    * basis points) — at 100 TB, summation order is nondeterministic, so
+    * money aggregates in floating point are not reproducible; integers are. */
+  def q4JoinAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .withColumn("rev_e4",
+        round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long")))
+      .groupBy(col("o_orderkey"), col("o_orderpriority"))
+      .agg(sum(col("rev_e4")).as("sum_e4"))
+      .filter(col("sum_e4") > lit(1000000000L))
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        (col("sum_e4") / lit(10000.0)).as("revenue"))
+
+  /** R5: five-way join, dims broadcast, facts shuffled once on orderkey. */
+  def q5MultiJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("num_items"))
+
+  /** R6: conditional aggregation (TPC-H Q14 flavour), part side broadcast. */
+  def q6CondAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .agg(
+        round(sum(when(col("p_type") === lit("PROMO"),
+          col("l_extendedprice") * (lit(1.0) - col("l_discount"))).otherwise(lit(0.0))), 2).as("promo_revenue"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("total_revenue"))
+
+  /** R7: windowed rank per bounded partition (per-customer, never global). */
+  def q7WindowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rk"))
+  }
+
+  /** R8: left-semi join (EXISTS) — no payload columns move for the right side. */
+  def q8SemiJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").filter(col("o_totalprice") > lit(150000.0)),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+
+  /** R9: left-anti join (NOT EXISTS). */
+  def q9AntiJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+
+  /** R10: distinct aggregate — Spark expands to a two-phase agg, partials kept. */
+  def q10Distinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("distinct_parts"),
+        countDistinct(col("l_suppkey")).as("distinct_supps"),
+        count(lit(1)).as("cnt"))
+
+  /** R11: rollup (grouping sets); null grouping keys coalesced to a marker
+    * so the oracle hash can't diverge on NULL representation. */
+  def q11Rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("cnt"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("cnt"))
+
+  /** R12: global top-k — TakeOrderedAndProject (per-partition heaps),
+    * never a full sort; deterministic via orderkey tiebreak. */
+  def q12TopK(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  /** R13: per-key average as a join (TPC-H Q17 flavour) — the scalar
+    * subquery becomes a shuffle-once reaggregation joined back on key. */
+  def q13AvgSubquery(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val avgQ = li.groupBy(col("l_partkey").as("ap_partkey"))
+      .agg(avg(col("l_quantity")).as("avg_qty"))
+    li.join(avgQ, col("l_partkey") === col("ap_partkey"))
+      .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("low_qty_revenue"),
+        count(lit(1)).as("low_qty_items"))
+  }
+
+  /** R14: union + aggregate. */
+  def q14Union(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val urgent = o.filter(col("o_orderpriority") === lit("1-URGENT"))
+    val high = o.filter(col("o_orderpriority") === lit("2-HIGH"))
+    urgent.union(high)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("total"))
+  }
+
+  /** R15: time-bucketed aggregation on the events stream table (batch
+    * mirror of the streaming tumbling window). Bucket emitted as a
+    * formatted string so oracle comparison is representation-stable. */
+  def q15EventsWindow(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("total_value"))
+
+  /** R16: left outer join + two-level aggregate (TPC-H Q13 flavour). */
+  def q16OuterJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+
+  /** R17/ST3 batch mirror: gap-based sessionization via lag window —
+    * a new session starts after >30 min idle; sessions counted per user. */
+  def q17Sessions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    t(s, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > lit(1800000000L), lit(1L))
+          .otherwise(lit(0L)))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_session")).as("num_sessions"), count(lit(1)).as("num_events"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg _),
+    "q2_filter_project" -> (q2FilterProject _),
+    "q3_broadcast_join" -> (q3BroadcastJoin _),
+    "q4_join_agg" -> (q4JoinAgg _),
+    "q5_multi_join" -> (q5MultiJoin _),
+    "q6_cond_agg" -> (q6CondAgg _),
+    "q7_window_rank" -> (q7WindowRank _),
+    "q8_semi_join" -> (q8SemiJoin _),
+    "q9_anti_join" -> (q9AntiJoin _),
+    "q10_distinct" -> (q10Distinct _),
+    "q11_rollup" -> (q11Rollup _),
+    "q12_topk" -> (q12TopK _),
+    "q13_avg_subquery" -> (q13AvgSubquery _),
+    "q14_union" -> (q14Union _),
+    "q15_events_window" -> (q15EventsWindow _),
+    "q16_outer_join" -> (q16OuterJoin _),
+    "q17_sessions" -> (q17Sessions _))
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1999-01-01' AND l_discount > 0.07""".stripMargin,
+    "q3_broadcast_join" ->
+      """SELECT n_name, count(*) AS num_customers, round(sum(c_acctbal), 2) AS total_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "q4_join_agg" ->
+      """SELECT o_orderkey, o_orderpriority, sum_e4 / 10000.0 AS revenue FROM (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS sum_e4
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE o_orderdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY o_orderkey, o_orderpriority
+        |  HAVING sum_e4 > 1000000000)""".stripMargin,
+    "q5_multi_join" ->
+      """SELECT r_name, n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  count(*) AS num_items
+        |FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+    "q6_cond_agg" ->
+      """SELECT
+        |  round(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END), 2) AS promo_revenue,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin,
+    "q7_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        |  FROM orders) WHERE rk <= 2""".stripMargin,
+    "q8_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 150000.0)""".stripMargin,
+    "q9_anti_join" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q10_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS distinct_parts,
+        |  count(DISTINCT l_suppkey) AS distinct_supps,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q11_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q12_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q13_avg_subquery" ->
+      """SELECT round(sum(l_extendedprice), 2) AS low_qty_revenue,
+        |  count(*) AS low_qty_items
+        |FROM lineitem l JOIN (
+        |  SELECT l_partkey AS ap_partkey, avg(l_quantity) AS avg_qty
+        |  FROM lineitem GROUP BY l_partkey) a
+        |ON l.l_partkey = a.ap_partkey
+        |WHERE l.l_quantity < 0.5 * a.avg_qty""".stripMargin,
+    "q14_union" ->
+      """SELECT o_orderstatus, count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+        |FROM (
+        |  SELECT * FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  UNION ALL
+        |  SELECT * FROM orders WHERE o_orderpriority = '2-HIGH')
+        |GROUP BY o_orderstatus""".stripMargin,
+    "q15_events_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type,
+        |  count(*) AS cnt, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q16_outer_join" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count""".stripMargin,
+    "q17_sessions" ->
+      """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS num_sessions,
+        |  count(*) AS num_events FROM (
+        |  SELECT user_id,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)) > 1800000000
+        |    THEN 1 ELSE 0 END AS new_session
+        |  FROM events)
+        |GROUP BY user_id""".stripMargin)
+}

@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate.
+
+Usage: python3 tools/check.py <verify_out_dir> <sf_dir> [query ...]
+
+Reads each <verify_out_dir>/<name> parquet result, runs the matching
+oracle SQL from oracle_sql.json in DuckDB over <sf_dir>/*.parquet views,
+and compares as an order-insensitive multiset with column names sorted.
+"""
+import sys, os, json, glob, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(round(v, 9))
+    return str(v)
+
+
+def norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(out)
+
+
+def main():
+    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = n_skip = 0
+    for d in sorted(glob.glob(f"{out_dir}/*")):
+        name = os.path.basename(d)
+        if not os.path.isdir(d) or (only and name not in only):
+            continue
+        got = con.sql(f"SELECT * FROM read_parquet('{d}/*.parquet')")
+        gcols, grows = [c.lower() for c in got.columns], got.fetchall()
+        if name not in oracles:
+            print(f"ROWS-ONLY {name}: {len(grows)} rows")
+            n_skip += 1
+            continue
+        try:
+            want = con.sql(oracles[name])
+            wcols, wrows = [c.lower() for c in want.columns], want.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        if sorted(gcols) != sorted(wcols):
+            print(f"FAIL {name}: columns {sorted(gcols)} != {sorted(wcols)}")
+            n_fail += 1
+            continue
+        a, b = norm_rows(gcols, grows), norm_rows(wcols, wrows)
+        if len(a) != len(b):
+            print(f"FAIL {name}: rowcount {len(a)} != {len(b)}")
+            n_fail += 1
+        elif a != b:
+            diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
+            print(f"FAIL {name}: value mismatch, first diffs: {diff}")
+            n_fail += 1
+        else:
+            print(f"PASS {name}: {len(a)} rows")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail, {n_skip} rows-only ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
