@@ -1,24 +1,55 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import java.nio.file.{Files, Paths}
+
+/** Benchmark entry point: times every SparkEntry query at the SF dir given
+  * by SPARK_GRAFT_SF_DIR.
+  *
+  * Measurement hygiene (round-1 review items):
+  * - a full warmup pass runs first so JIT/codegen/session init are not
+  *   attributed to whichever query happens to run first;
+  * - execution is a `noop`-format write, which fully materializes every
+  *   row and column of the result without Catalyst pruning the plan the
+  *   way `.count()` does (count lets the optimizer drop all columns);
+  * - failures are recorded explicitly (negative sentinel excluded from
+  *   the total) instead of silently subtracting from it;
+  * - the JSON line goes to stdout AND to bench_out.json so the driver's
+  *   parser never loses it inside sbt log prefixes.
+  */
 object Bench {
+
+  private def runOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+                      spark: org.apache.spark.sql.SparkSession, sfDir: String): Unit =
+    fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val spark = GraftSession.local("graft-bench")
+
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+
+    // Warmup: run everything once untimed.
+    queries.foreach { case (_, fn) =>
+      try runOnce(fn, spark, sfDir) catch { case _: Throwable => () }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val results: Seq[(String, Double)] = queries.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      val ok = try { runOnce(fn, spark, sfDir); true }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      name -> (if (ok) sec else -1.0)
+    }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val failed = results.count(_._2 < 0)
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    println(json)
+    Files.writeString(Paths.get("bench_out.json"), json + "\n")
     spark.stop()
   }
 }

@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Single place that owns session configuration so every entry point
+  * (Verify, Bench, tests) plans queries under identical settings.
+  *
+  * - `spark.sql.shuffle.partitions` is sized to the local core count;
+  *   at cluster scale the same knob is set to ~2-3× total cores and AQE
+  *   coalesces post-shuffle partitions down from there.
+  * - `nanosAsLong` lives here (not in the table loader): the testdata's
+  *   events.ts is TIMESTAMP(NANOS) parquet which Spark's vectorized
+  *   reader rejects; setting it per-read would be a racy global mutation
+  *   in the query path (flagged in round-1 review).
+  */
+object GraftSession {
+
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+
+  def build(appName: String, master: Option[String] = None): SparkSession = {
+    val b = SparkSession.builder()
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+    val withMaster = master.fold(b)(m => b.master(m))
+    val spark = withMaster.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  def local(appName: String): SparkSession = build(appName, Some(s"local[$cpus]"))
+}

@@ -15,10 +15,10 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-      // reader rejects; read nanos as long and convert exactly (integer
-      // DIV — a double division would lose precision above 2^53 ns).
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // events.ts is TIMESTAMP(NANOS) parquet, read as long nanos
+      // (spark.sql.legacy.parquet.nanosAsLong is set once in
+      // GraftSession) and converted exactly (integer DIV — a double
+      // division would lose precision above 2^53 ns).
       spark.read.parquet(s"$dir/$name.parquet")
         .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts DIV 1000")))

@@ -69,21 +69,26 @@ object Relational {
       .select(col("o_orderkey"), col("o_orderpriority"),
         (col("sum_e4") / lit(10000.0)).as("revenue"))
 
-  /** R5: five-way join, dims broadcast, facts shuffled once on orderkey. */
+  /** R5: five-way join. Fixed-cardinality dims (nation=25, region=5) are
+    * broadcast; customer is SF-scaled so it shuffle-joins on o_custkey
+    * (AQE may still pick broadcast from runtime stats at small SF — at
+    * 100 TB it must not, and without the hint it won't). */
   def q5MultiJoin(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
       .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
         count(lit(1)).as("num_items"))
 
-  /** R6: conditional aggregation (TPC-H Q14 flavour), part side broadcast. */
+  /** R6: conditional aggregation (TPC-H Q14 flavour). part is SF-scaled
+    * (SF×200k rows) so no broadcast hint — shuffle join on partkey, AQE
+    * free to pick broadcast only when runtime stats say the side is small. */
   def q6CondAgg(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
-      .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
       .agg(
         round(sum(when(col("p_type") === lit("PROMO"),
           col("l_extendedprice") * (lit(1.0) - col("l_discount"))).otherwise(lit(0.0))), 2).as("promo_revenue"),
@@ -121,16 +126,20 @@ object Relational {
         countDistinct(col("l_suppkey")).as("distinct_supps"),
         count(lit(1)).as("cnt"))
 
-  /** R11: rollup (grouping sets); null grouping keys coalesced to a marker
-    * so the oracle hash can't diverge on NULL representation. */
+  /** R11: rollup (grouping sets); subtotal rows are disambiguated from
+    * genuine NULL key values via GROUPING() flags, not a sentinel string. */
   def q11Rollup(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("cnt"))
+      .agg(
+        grouping(col("l_returnflag")).cast("int").as("g_rf"),
+        grouping(col("l_linestatus")).cast("int").as("g_ls"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("cnt"))
       .select(
-        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
-        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
-        col("sum_qty"), col("cnt"))
+        col("l_returnflag").as("returnflag"),
+        col("l_linestatus").as("linestatus"),
+        col("g_rf"), col("g_ls"), col("sum_qty"), col("cnt"))
 
   /** R12: global top-k — TakeOrderedAndProject (per-partition heaps),
     * never a full sort; deterministic via orderkey tiebreak. */
@@ -279,8 +288,10 @@ object Relational {
         |  count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q11_rollup" ->
-      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
-        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+      """SELECT l_returnflag AS returnflag,
+        |  l_linestatus AS linestatus,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
         |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
     "q12_topk" ->

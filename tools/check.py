@@ -40,6 +40,18 @@ def main():
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_skip = 0
+    # A query that threw in graft.Verify produces no result dir; count it
+    # as a failure instead of silently omitting it (round-1 review item).
+    qlist_path = f"{out_dir}/queries.json"
+    if os.path.exists(qlist_path):
+        expected = set(json.load(open(qlist_path)))
+        found = {os.path.basename(d) for d in glob.glob(f"{out_dir}/*")
+                 if os.path.isdir(d)}
+        for name in sorted(expected - found):
+            if only and name not in only:
+                continue
+            print(f"FAIL {name}: no result written (query threw in Verify)")
+            n_fail += 1
     for d in sorted(glob.glob(f"{out_dir}/*")):
         name = os.path.basename(d)
         if not os.path.isdir(d) or (only and name not in only):
