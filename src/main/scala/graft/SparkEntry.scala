@@ -11,10 +11,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ops.Relational.queries
+    ops.Relational.queries ++ model.ModelQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
-    ops.Relational.oracles
+    ops.Relational.oracles ++ model.ModelQueries.oracles
 }

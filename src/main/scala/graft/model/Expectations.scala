@@ -1,0 +1,74 @@
+package graft.model
+
+/** Expectations: every rule a row must satisfy, derived from the model
+  * (SURVEY §2.1, M3+M4).
+  *
+  * Three rule families, mirroring the reference (Legend.scala:515-595 and
+  * :407-418, pinned by LegendEntityTest.scala:90-169):
+  * - technical: mandatory (`x IS NOT NULL` for `[1..]`) and collection
+  *   size (`SIZE(x)` bounds for upper > 1);
+  * - enum domain: `x IS NULL OR x IN ('A', ...)`;
+  * - business: the class's named constraint expressions, as written.
+  *
+  * Rules are produced in *entity* space (field names) and compiled to
+  * *table* space (column names) through a mapping via [[SqlRewrite]] —
+  * the graft analogue of the reference's entity-vs-mapping expectation
+  * split. Every expression is a plain Spark SQL boolean usable in
+  * `expr()`, `filter()`, or a generated WHERE clause.
+  */
+object Expectations {
+
+  /** Entity-space rules for a class, inherited and nested included. */
+  def forClass(model: GraftModel, className: String): Seq[(String, String)] =
+    classRules(model, model.clazz(className), parent = "")
+
+  /** Table-space rules for a mapping: entity rules with every field name
+    * rewritten to its mapped column. */
+  def forMapping(model: GraftModel, mappingName: String): Seq[(String, String)] = {
+    val m = model.mapping(mappingName)
+    forClass(model, m.entity).map { case (name, sql) =>
+      name -> SqlRewrite.rename(sql, m.fields)
+    }
+  }
+
+  private def classRules(model: GraftModel, c: GraftClass, parent: String): Seq[(String, String)] = {
+    val inherited = c.superTypes.flatMap(st => classRules(model, model.clazz(st), parent))
+    val fromProps = c.properties.flatMap(propertyRules(model, _, parent))
+    val business = c.constraints.map(k => k.name -> k.expr)
+    inherited ++ fromProps ++ business
+  }
+
+  private def propertyRules(model: GraftModel, p: GraftProperty, parent: String): Seq[(String, String)] = {
+    val field = if (parent.isEmpty) p.name else s"$parent.${p.name}"
+
+    val mandatory =
+      if (!p.multiplicity.isNullable)
+        Seq(s"[$field] is mandatory" -> s"$field IS NOT NULL")
+      else Nil
+
+    val size =
+      if (p.multiplicity.isCollection) {
+        val rule = p.multiplicity.upper match {
+          case Some(u) => s"$field IS NULL OR (SIZE($field) BETWEEN ${p.multiplicity.lower} AND $u)"
+          case None    => s"$field IS NULL OR SIZE($field) >= ${p.multiplicity.lower}"
+        }
+        Seq(s"[$field] has invalid size" -> rule)
+      } else Nil
+
+    val nested: Seq[(String, String)] =
+      if (p.isReference) {
+        model.classes.get(p.dataType) match {
+          case Some(nestedClass) if !p.multiplicity.isCollection =>
+            // recurse into non-collection nested classes with a dotted path
+            classRules(model, nestedClass, field)
+          case Some(_) => Nil
+          case None =>
+            val e = model.enum(p.dataType)
+            val values = e.values.map(v => s"'${v.replace("'", "''")}'").mkString(", ")
+            Seq(s"[$field] not allowed value" -> s"$field IS NULL OR $field IN ($values)")
+        }
+      } else Nil
+
+    mandatory ++ size ++ nested
+  }
+}

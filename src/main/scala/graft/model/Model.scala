@@ -1,0 +1,229 @@
+package graft.model
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** graft's data-model core (SURVEY §2.1, M1).
+  *
+  * A `GraftModel` is the Spark-first re-expression of the reference's
+  * entity model (reference: Legend.scala:46-103 — classes, enumerations,
+  * mappings, services loaded from JSON entities): classes with typed,
+  * multiplicity-bounded properties, inheritance and nesting; enumerations;
+  * relational mappings (entity field → table column); and services
+  * (declarative queries against a mapping).
+  *
+  * Unlike the reference there is no external compiler dependency:
+  * constraints and derivations are Spark SQL expressions over *entity*
+  * field names, compiled into table space by rewriting attributes through
+  * the mapping (see [[Expectations]] / [[Transformer]]), so everything
+  * stays inside Catalyst.
+  */
+final case class Multiplicity(lower: Int, upper: Option[Int]) {
+  require(lower >= 0, s"multiplicity lower bound must be >= 0, got $lower")
+  /** More than one value allowed → Spark ArrayType. */
+  def isCollection: Boolean = upper.forall(_ > 1)
+  /** Zero values allowed → nullable column. */
+  def isNullable: Boolean = lower == 0
+  def isInfinite: Boolean = upper.isEmpty
+  override def toString: String = (lower, upper) match {
+    case (l, Some(u)) if l == u => s"[$l]"
+    case (l, Some(u))           => s"[$l..$u]"
+    case (l, None)              => s"[$l..*]"
+  }
+}
+
+object Multiplicity {
+  val One: Multiplicity = Multiplicity(1, Some(1))
+  val ZeroOrOne: Multiplicity = Multiplicity(0, Some(1))
+  val ZeroMany: Multiplicity = Multiplicity(0, None)
+  val OneMany: Multiplicity = Multiplicity(1, None)
+
+  private val Exact = """\[(\d+)\]""".r
+  private val Range = """\[(\d+)\.\.(\d+)\]""".r
+  private val Unbounded = """\[(\d+)\.\.\*\]""".r
+
+  def parse(s: String): Multiplicity = s.trim match {
+    case Exact(n)        => Multiplicity(n.toInt, Some(n.toInt))
+    case Range(l, u)     => Multiplicity(l.toInt, Some(u.toInt))
+    case Unbounded(l)    => Multiplicity(l.toInt, None)
+    case other           => throw new IllegalArgumentException(s"invalid multiplicity [$other]")
+  }
+}
+
+/** A property (field) of a class. `dataType` is either a primitive name
+  * (String, Boolean, Integer, Number, Float, Decimal, Date, StrictDate,
+  * DateTime, Binary) or a fully-qualified reference (`ns::Name`) to
+  * another class or enumeration in the model. */
+final case class GraftProperty(
+    name: String,
+    dataType: String,
+    multiplicity: Multiplicity = Multiplicity.One,
+    doc: Option[String] = None) {
+  def isReference: Boolean = dataType.contains("::")
+}
+
+/** A named boolean Spark SQL expression over entity field names; rows
+  * where the expression is not TRUE violate the rule. */
+final case class GraftConstraint(name: String, expr: String)
+
+/** A named Spark SQL expression over entity field names producing a
+  * derived column (reference: qualified properties, Legend.scala:254-263). */
+final case class GraftDerivation(name: String, expr: String)
+
+final case class GraftClass(
+    name: String,
+    superTypes: Seq[String] = Nil,
+    properties: Seq[GraftProperty] = Nil,
+    constraints: Seq[GraftConstraint] = Nil,
+    derivations: Seq[GraftDerivation] = Nil,
+    doc: Option[String] = None)
+
+final case class GraftEnum(name: String, values: Seq[String], doc: Option[String] = None)
+
+/** Relational mapping: which table an entity persists to and the
+  * entity-field → table-column renames (reference: relational mapping,
+  * Legend.scala:310-320). */
+final case class GraftMapping(
+    name: String,
+    entity: String,
+    table: String,
+    fields: Map[String, String]) {
+  /** table column → entity field (for lifting raw tables into entity space). */
+  lazy val inverse: Map[String, String] = fields.map(_.swap)
+}
+
+/** A declarative query over a mapping — the graft analogue of a Legend
+  * service (PURE lambda → SQL, reference: Legend.scala:140-149). All
+  * expressions are in entity space; ServiceGen compiles to one SQL string
+  * in table space. */
+final case class GraftService(
+    name: String,
+    mapping: String,
+    select: Seq[(String, String)], // alias -> entity-space expression
+    where: Option[String] = None,
+    groupBy: Seq[String] = Nil,
+    orderBy: Seq[String] = Nil,
+    limit: Option[Int] = None,
+    doc: Option[String] = None)
+
+final case class GraftModel(
+    classes: Map[String, GraftClass],
+    enums: Map[String, GraftEnum],
+    mappings: Map[String, GraftMapping],
+    services: Map[String, GraftService]) {
+
+  def clazz(name: String): GraftClass =
+    classes.getOrElse(name, throw new IllegalArgumentException(s"unknown class [$name]"))
+  def enum(name: String): GraftEnum =
+    enums.getOrElse(name, throw new IllegalArgumentException(s"unknown enumeration [$name]"))
+  def mapping(name: String): GraftMapping =
+    mappings.getOrElse(name, throw new IllegalArgumentException(s"unknown mapping [$name]"))
+  def service(name: String): GraftService =
+    services.getOrElse(name, throw new IllegalArgumentException(s"unknown service [$name]"))
+
+  /** All properties of a class, inherited first (reference resolves
+    * superTypes the same way, Legend.scala:433-437). */
+  def allProperties(className: String): Seq[GraftProperty] = {
+    val c = clazz(className)
+    c.superTypes.flatMap(allProperties) ++ c.properties
+  }
+
+  /** All constraints of a class including inherited ones. */
+  def allConstraints(className: String): Seq[GraftConstraint] = {
+    val c = clazz(className)
+    c.superTypes.flatMap(allConstraints) ++ c.constraints
+  }
+
+  /** All derivations of a class including inherited ones. */
+  def allDerivations(className: String): Seq[GraftDerivation] = {
+    val c = clazz(className)
+    c.superTypes.flatMap(allDerivations) ++ c.derivations
+  }
+
+  def merge(other: GraftModel): GraftModel = GraftModel(
+    classes ++ other.classes, enums ++ other.enums,
+    mappings ++ other.mappings, services ++ other.services)
+}
+
+object GraftModel {
+  val empty: GraftModel = GraftModel(Map.empty, Map.empty, Map.empty, Map.empty)
+}
+
+/** JSON loader (M1). Parses the graft model format with Jackson's tree
+  * API (jackson-databind ships on Spark's classpath). Loadable from a
+  * filesystem path or a classpath resource — mirroring the reference's
+  * LegendFileLoader / LegendClasspathLoader pair. */
+object ModelLoader {
+
+  private val mapper = new ObjectMapper()
+
+  def fromFile(path: String): GraftModel =
+    fromJson(Files.readString(Paths.get(path)))
+
+  def fromResource(resource: String): GraftModel = {
+    val in = getClass.getResourceAsStream(resource)
+    require(in != null, s"classpath resource not found: $resource")
+    try fromJson(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+    finally in.close()
+  }
+
+  def fromJson(json: String): GraftModel = {
+    val root = mapper.readTree(json)
+    val classes = arr(root, "classes").map(parseClass).map(c => c.name -> c).toMap
+    val enums = arr(root, "enums").map(parseEnum).map(e => e.name -> e).toMap
+    val mappings = arr(root, "mappings").map(parseMapping).map(m => m.name -> m).toMap
+    val services = arr(root, "services").map(parseService).map(s => s.name -> s).toMap
+    GraftModel(classes, enums, mappings, services)
+  }
+
+  private def arr(n: JsonNode, field: String): Seq[JsonNode] =
+    Option(n.get(field)).map(_.elements().asScala.toSeq).getOrElse(Nil)
+
+  private def str(n: JsonNode, field: String): String = {
+    val v = n.get(field)
+    require(v != null && v.isTextual, s"missing/invalid string field [$field] in ${n.toString.take(120)}")
+    v.asText()
+  }
+
+  private def optStr(n: JsonNode, field: String): Option[String] =
+    Option(n.get(field)).filter(_.isTextual).map(_.asText())
+
+  private def strSeq(n: JsonNode, field: String): Seq[String] =
+    arr(n, field).map(_.asText())
+
+  private def parseClass(n: JsonNode): GraftClass = GraftClass(
+    name = str(n, "name"),
+    superTypes = strSeq(n, "superTypes"),
+    properties = arr(n, "properties").map { p =>
+      GraftProperty(
+        name = str(p, "name"),
+        dataType = str(p, "type"),
+        multiplicity = optStr(p, "multiplicity").map(Multiplicity.parse).getOrElse(Multiplicity.One),
+        doc = optStr(p, "doc"))
+    },
+    constraints = arr(n, "constraints").map(c => GraftConstraint(str(c, "name"), str(c, "expr"))),
+    derivations = arr(n, "derivations").map(d => GraftDerivation(str(d, "name"), str(d, "expr"))),
+    doc = optStr(n, "doc"))
+
+  private def parseEnum(n: JsonNode): GraftEnum =
+    GraftEnum(str(n, "name"), strSeq(n, "values"), optStr(n, "doc"))
+
+  private def parseMapping(n: JsonNode): GraftMapping = {
+    val fieldsNode = n.get("fields")
+    require(fieldsNode != null && fieldsNode.isObject, s"mapping requires a fields object")
+    val fields = fieldsNode.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    GraftMapping(str(n, "name"), str(n, "entity"), str(n, "table"), fields)
+  }
+
+  private def parseService(n: JsonNode): GraftService = GraftService(
+    name = str(n, "name"),
+    mapping = str(n, "mapping"),
+    select = arr(n, "select").map(s => str(s, "alias") -> str(s, "expr")),
+    where = optStr(n, "where"),
+    groupBy = strSeq(n, "groupBy"),
+    orderBy = strSeq(n, "orderBy"),
+    limit = Option(n.get("limit")).filter(_.isInt).map(_.asInt()),
+    doc = optStr(n, "doc"))
+}

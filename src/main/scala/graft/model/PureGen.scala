@@ -1,0 +1,204 @@
+package graft.model
+
+import org.apache.spark.sql.types._
+
+/** Reverse codegen: Spark schemas → PURE-style model text (SURVEY §2.1,
+  * M10; reference: pure/LegendCodegen.scala:99-185 and pure/package.scala,
+  * output shape pinned by LegendCodegenTest.scala:52-133).
+  *
+  * Given table schemas, emits a complete model a modeling tool can
+  * ingest: one Class per table (snake_case → CamelCase), nested structs
+  * split out as their own classes with the Base / Serializable pattern
+  * (the relational-facing variant carries nested payloads as JSON
+  * strings), a relational store section, and a mapping per table.
+  *
+  * This is driver-side text generation over schema metadata only — it
+  * never touches data, so scale is irrelevant here by design.
+  */
+object PureGen {
+
+  final case class PureType(pureName: String, relationalName: String)
+
+  /** Generate model text for one table. */
+  def fromSchema(namespace: String, databaseName: String, tableName: String,
+                 schema: StructType): String =
+    fromSchemas(namespace, databaseName, Seq(tableName -> schema))
+
+  /** Generate model text for a set of tables sharing one store/schema. */
+  def fromSchemas(namespace: String, databaseName: String,
+                  schemas: Seq[(String, StructType)]): String = {
+    require(isValidNamespace(namespace), s"invalid namespace [$namespace] (want a::b[::c...])")
+    val entities = schemas.flatMap { case (table, schema) =>
+      collectEntities(namespace, table, schema)
+    }
+    render(namespace, databaseName, entities)
+  }
+
+  // ---- naming --------------------------------------------------------
+
+  def camelCaseEntity(s: String): String = s.split("_").map(_.capitalize).mkString
+  def camelCaseField(s: String): String = {
+    val e = camelCaseEntity(s)
+    if (e.isEmpty) e else e.head.toLower +: e.tail
+  }
+  def isValidNamespace(s: String): Boolean = s.matches("^[a-z]+(::[a-z]+)+$")
+
+  // ---- entity collection ---------------------------------------------
+
+  /** One generated class: the table-level entity or a nested struct. */
+  private final case class Entity(
+      tableName: String,
+      className: String, // fully qualified
+      fields: Seq[Field],
+      nested: Boolean)
+
+  private final case class Field(
+      columnName: String,
+      cardinality: String,
+      tpe: PureType,
+      doc: Option[String],
+      complex: Boolean) {
+    def fieldName: String = camelCaseField(columnName)
+  }
+
+  /** Depth-first walk: nested classes are emitted before their parents
+    * (matching the reference's output order). */
+  private def collectEntities(namespace: String, tableName: String,
+                              schema: StructType): Seq[Entity] = {
+    def walk(className: String, st: StructType, nested: Boolean): Seq[Entity] = {
+      val results = scala.collection.mutable.ArrayBuffer.empty[Entity]
+      val fields = st.fields.map { f =>
+        val elemType = f.dataType match {
+          case ArrayType(e, _) => e
+          case other           => other
+        }
+        elemType match {
+          case nestedStruct: StructType =>
+            val childName = s"$className${camelCaseEntity(f.name)}"
+            results ++= walk(childName, nestedStruct, nested = true)
+            Field(f.name, cardinality(f), PureType(childName, s"VARCHAR(${Int.MaxValue})"),
+              doc(f), complex = true)
+          case prim =>
+            Field(f.name, cardinality(f), primitivePureType(prim, f.name), doc(f), complex = false)
+        }
+      }
+      results += Entity(tableName, className, fields.toSeq, nested)
+      results.toSeq
+    }
+    walk(s"$namespace::classes::${camelCaseEntity(tableName)}", schema, nested = false)
+  }
+
+  private def cardinality(f: StructField): String = f.dataType match {
+    case _: ArrayType => if (f.nullable) "[0..*]" else "[1..*]"
+    case _            => if (f.nullable) "[0..1]" else "[1]"
+  }
+
+  private def doc(f: StructField): Option[String] =
+    if (f.metadata.contains("comment")) Some(f.metadata.getString("comment")) else None
+
+  /** Spark → PURE/relational type names (same public mapping as the
+    * reference, LegendCodegen.scala:68-92). */
+  def primitivePureType(dt: DataType, fieldName: String): PureType = dt match {
+    case _: FloatType     => PureType("Float", "DOUBLE")
+    case _: DoubleType    => PureType("Decimal", "DOUBLE")
+    case _: ByteType      => PureType("Integer", "TINYINT")
+    case _: ShortType     => PureType("Integer", "SMALLINT")
+    case _: IntegerType   => PureType("Integer", "INTEGER")
+    case _: LongType      => PureType("Number", "BIGINT")
+    case _: StringType    => PureType("String", s"VARCHAR(${Int.MaxValue})")
+    case _: BooleanType   => PureType("Boolean", "BIT")
+    case _: BinaryType    => PureType("Binary", s"BINARY(${Int.MaxValue})")
+    case _: DateType      => PureType("Date", "DATE")
+    case _: TimestampType => PureType("DateTime", "TIMESTAMP")
+    case other => throw new IllegalArgumentException(
+      s"unsupported type [$other] for field [$fieldName]")
+  }
+
+  // ---- rendering -----------------------------------------------------
+
+  private def fieldLine(f: Field, asJsonWrapper: Boolean): String = {
+    val (tpe, docText) =
+      if (asJsonWrapper) ("String", Some(s"JSON wrapper for nested property [${f.fieldName}]"))
+      else (f.tpe.pureName, f.doc)
+    docText match {
+      case Some(d) => s"{meta::pure::profiles::doc.doc = '$d'} ${f.fieldName}: $tpe${f.cardinality};"
+      case None    => s"${f.fieldName}: $tpe${f.cardinality};"
+    }
+  }
+
+  private def classText(e: Entity): String = {
+    val (simple, complex) = e.fields.partition(!_.complex)
+    def body(fields: Seq[Field], jsonWrapper: Boolean = false): String =
+      fields.map(fieldLine(_, jsonWrapper)).mkString("\n  ")
+    if (complex.isEmpty) {
+      s"""Class ${e.className}
+         |{
+         |  ${body(simple)}
+         |}
+         |""".stripMargin
+    } else {
+      // relationally-mappable Base + object-graph class + JSON-serialized variant
+      s"""Class ${e.className}Base
+         |{
+         |  ${body(simple)}
+         |}
+         |
+         |Class ${e.className} extends ${e.className}Base
+         |{
+         |  ${body(complex)}
+         |}
+         |
+         |Class ${e.className}Serializable extends ${e.className}Base
+         |{
+         |  ${body(complex, jsonWrapper = true)}
+         |}
+         |""".stripMargin
+    }
+  }
+
+  private def tableText(e: Entity): String = {
+    val cols = e.fields.map(f => s"${f.columnName} ${f.tpe.relationalName}")
+    s"""    Table ${e.tableName}
+       |    (
+       |      ${cols.mkString(",\n      ")}
+       |    )""".stripMargin
+  }
+
+  private def mappingText(namespace: String, databaseName: String, e: Entity): String = {
+    val hasComplex = e.fields.exists(_.complex)
+    val target = if (hasComplex) s"${e.className}Serializable" else e.className
+    val store = s"[$namespace::Store]$databaseName.${e.tableName}"
+    val pk = e.fields.map(f => s"$store.${f.columnName}").mkString(",\n      ")
+    val cols = e.fields.map(f => s"${f.fieldName}: $store.${f.columnName}").mkString(",\n    ")
+    s"""Mapping $namespace::mapping::${camelCaseEntity(e.tableName)}
+       |(
+       |  *$target: Relational
+       |  {
+       |    ~primaryKey
+       |    (
+       |      $pk
+       |    )
+       |    ~mainTable $store
+       |    $cols
+       |  }
+       |)
+       |""".stripMargin
+  }
+
+  private def render(namespace: String, databaseName: String, entities: Seq[Entity]): String = {
+    val top = entities.filter(!_.nested)
+    s"""###Pure
+       |${entities.map(classText).mkString("\n")}
+       |###Mapping
+       |${top.map(mappingText(namespace, databaseName, _)).mkString("\n")}
+       |###Relational
+       |Database $namespace::Store
+       |(
+       |  Schema $databaseName
+       |  (
+       |${top.map(tableText).mkString("\n")}
+       |  )
+       |)
+       |""".stripMargin
+  }
+}

@@ -1,0 +1,41 @@
+package graft.model
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Mapping transformations and derivations (SURVEY §2.1, M6+M7).
+  *
+  * - Renames between entity space (field names) and table space (column
+  *   names), both directions (reference: legendTransform,
+  *   package.scala:29-31 — entity→table only; graft adds the inverse so
+  *   raw tables can be lifted into entity space).
+  * - Derived columns from the model's derivation expressions (reference:
+  *   qualified properties compiled to SQL, Legend.scala:254-270,355-369).
+  *
+  * Renames are a single projection (`withColumnsRenamed`), not N chained
+  * ones; derivations are `expr()` columns so they resolve and codegen
+  * like any other expression.
+  */
+object Transformer {
+
+  /** Entity-space df → table columns (write direction). */
+  def toTable(df: DataFrame, mapping: GraftMapping): DataFrame =
+    df.withColumnsRenamed(mapping.fields)
+
+  /** Table-space df → entity fields (read direction). */
+  def toEntity(df: DataFrame, mapping: GraftMapping): DataFrame =
+    df.withColumnsRenamed(mapping.inverse)
+
+  /** Append all of a class's derived properties (entity space). */
+  def withDerivations(df: DataFrame, model: GraftModel, className: String): DataFrame = {
+    val derivations = model.allDerivations(className)
+    df.withColumns(derivations.map(d => d.name -> expr(d.expr)).toMap)
+  }
+
+  /** Derivations compiled to table space through a mapping:
+    * (name, compiled SQL) pairs, e.g. for inclusion in generated SQL. */
+  def derivationsForMapping(model: GraftModel, mappingName: String): Seq[(String, String)] = {
+    val m = model.mapping(mappingName)
+    model.allDerivations(m.entity).map(d => d.name -> SqlRewrite.rename(d.expr, m.fields))
+  }
+}
