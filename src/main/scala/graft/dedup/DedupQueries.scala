@@ -1,0 +1,121 @@
+package graft.dedup
+
+import graft.Tables
+import graft.sim.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dedup queries over the documents / embeddings tables (SURVEY §2.3).
+  *
+  * d1/d2/d4 are exactly oracle-checked (md5-based MinHash is reproduced
+  * verbatim in DuckDB SQL); d3/d5 are rows-only in the gate with planted-
+  * duplicate semantics covered by ScalaTest specs (DedupSpec).
+  */
+object DedupQueries {
+
+  val ShingleK = 3
+  val NumHashes = 16
+  val NumBands = 4
+  val MaxBucket = 100
+  val JaccardThreshold = 0.1
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "documents")
+
+  /** D1: exact dedup — content-hash groupBy, keep-first. One shuffle on
+    * the hash; at 100 TB this is the cheapest possible exact dedup. */
+  def d1ExactDedup(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** D2: MinHash + LSH banding candidate pairs (no all-pairs join). */
+  def d2MinhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingleSets(docs(s, dir), "doc_id", "text", ShingleK)
+    Dedup.candidatePairs(Dedup.bands(sh, "doc_id", NumHashes, NumBands), "doc_id", MaxBucket)
+  }
+
+  /** D3: SimHash signatures + banded near-dup pairs (rows-only + spec). */
+  def d3Simhash(s: SparkSession, dir: String): DataFrame = {
+    val sig = Dedup.simhash(docs(s, dir), "doc_id", "text")
+    Dedup.simhashPairs(sig, "doc_id", bits = 60, numBands = 4,
+      maxHamming = 10, maxBucket = MaxBucket)
+  }
+
+  /** D4: exact n-gram Jaccard verification on the LSH candidates only. */
+  def d4JaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingleSets(docs(s, dir), "doc_id", "text", ShingleK)
+    val cand = Dedup.candidatePairs(Dedup.bands(sh, "doc_id", NumHashes, NumBands),
+      "doc_id", MaxBucket)
+    val sa = sh.select(col("doc_id").as("a"), col("shingles").as("sa"))
+    val sb = sh.select(col("doc_id").as("b"), col("shingles").as("sb"))
+    cand.join(sa, "a").join(sb, "b")
+      .select(col("a"), col("b"), Dedup.jaccard(col("sa"), col("sb")).as("jac"))
+      .filter(col("jac") >= JaccardThreshold)
+  }
+
+  /** D5: embedding-cosine near-dup via hyperplane LSH buckets
+    * (rows-only + spec). */
+  def d5EmbedDedup(s: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingDupPairs(
+      Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding")),
+      "vec_id", "embedding", numPlanes = 8, threshold = 0.9)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_exact_dedup" -> (d1ExactDedup _),
+    "d2_minhash_pairs" -> (d2MinhashPairs _),
+    "d3_simhash" -> (d3Simhash _),
+    "d4_jaccard_pairs" -> (d4JaccardPairs _),
+    "d5_embed_dedup" -> (d5EmbedDedup _))
+
+  /** Shared DuckDB CTE chain reproducing the md5 MinHash pipeline. */
+  private val sigEntries = (0 until NumHashes)
+    .map(seed => s"list_min(list_transform(s, x -> md5(x || '#$seed')))")
+    .mkString(",\n    ")
+
+  private val bandSelects = (0 until NumBands).map { b =>
+    val lo = b * (NumHashes / NumBands) + 1
+    val hi = lo + NumHashes / NumBands - 1
+    s"SELECT doc_id, $b AS band_idx, md5(array_to_string(g[$lo:$hi], '|')) AS band_val FROM sig"
+  }.mkString("\n  UNION ALL ")
+
+  private val candCtes =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    range(1, greatest(len(w) - ${ShingleK - 1}, 0) + 1),
+       |    i -> array_to_string(w[i:i+${ShingleK - 1}], ' '))) AS s
+       |  FROM toks WHERE len(w) >= $ShingleK),
+       |sig AS (
+       |  SELECT doc_id, [
+       |    $sigEntries
+       |  ] AS g FROM sh),
+       |bands AS (
+       |  $bandSelects),
+       |sized AS (
+       |  SELECT band_idx, band_val FROM bands GROUP BY 1, 2
+       |  HAVING count(*) BETWEEN 2 AND $MaxBucket),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bands x
+       |  JOIN sized z ON x.band_idx = z.band_idx AND x.band_val = z.band_val
+       |  JOIN bands y ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+       |  WHERE x.doc_id < y.doc_id)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "d1_exact_dedup" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "d2_minhash_pairs" -> s"$candCtes\nSELECT a, b FROM cand",
+    "d4_jaccard_pairs" ->
+      s"""$candCtes
+         |SELECT a, b, jac FROM (
+         |  SELECT c.a, c.b,
+         |    len(list_intersect(sa.s, sb.s)) * 1.0 /
+         |      (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jac
+         |  FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.a
+         |  JOIN sh sb ON sb.doc_id = c.b)
+         |WHERE jac >= $JaccardThreshold""".stripMargin)
+}

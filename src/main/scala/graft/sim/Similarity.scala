@@ -1,0 +1,111 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector similarity operators (SURVEY §2.4, S1–S2; also backs D5).
+  *
+  * Vectors are plain `array<float>` columns; all math runs in double
+  * precision via built-in higher-order functions (`zip_with` products,
+  * sequential `aggregate` fold) — no UDF, and the left-to-right fold
+  * matches DuckDB's list_dot_product order, so the S1 oracle compares
+  * exact doubles.
+  *
+  * Scale shapes:
+  * - Brute-force top-k (S1): the query set is broadcast (small side);
+  *   the corpus is scanned once, linearly. Ranking is two-stage: a
+  *   per-(query, input-partition) window prunes to k before the final
+  *   per-query window, so no single task ever sorts the whole corpus —
+  *   the global window sees only numPartitions × k survivors per query.
+  * - LSH ANN (S2) / embedding dedup (D5): random-hyperplane signatures
+  *   (deterministic md5-derived planes) bucket the corpus; only
+  *   co-bucketed vectors pair up. Same no-all-pairs contract as D2.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Cosine similarity of two double-array columns. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Deterministic pseudo-random ±1 hyperplanes: entry (plane, dim) takes
+    * the sign of an md5-derived bit. Driver-side constant, tiny (numPlanes
+    * × dim doubles), broadcast with the plan. */
+  def hyperplanes(numPlanes: Int, dim: Int): Array[Array[Double]] = {
+    val mdf = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(numPlanes, dim) { (p, d) =>
+      val h = mdf.digest(s"graft-plane-$p-$d".getBytes("UTF-8"))
+      if ((h(0) & 1) == 1) 1.0 else -1.0
+    }
+  }
+
+  /** Bit-signature bucket id: bit p set iff dot(v, plane_p) >= 0.
+    * Vectors on the same side of every plane share a bucket; cosine-close
+    * vectors agree on most planes, so prefix buckets group them. */
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (plane, p) =>
+      val planeCol = array(plane.map(lit(_)): _*)
+      when(dot(vec, planeCol) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Brute-force cosine top-k of `corpus` for each row of `queries`
+    * (both: idCol + vecCol of array<double>). Output: query_id,
+    * neighbor_id, cos_sim (rounded for cross-engine rank stability),
+    * rank. Self-matches excluded. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("q_vec"), col("c_vec")), 6).as("cos_sim"))
+    // Stage 1: top-k within each (query, input partition) — bounded work.
+    val partial = Window.partitionBy(col("query_id"), spark_partition_id())
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    // Stage 2: global top-k over the few survivors.
+    val global = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("prk", row_number().over(partial)).filter(col("prk") <= k)
+      .withColumn("rank", row_number().over(global)).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
+  }
+
+  /** ANN top-k: restrict candidates to vectors sharing the query's LSH
+    * bucket, then exact cosine + rank within the bucket. Recall vs
+    * bruteForceTopK is the quality metric (spec-checked). */
+  def annTopK(vectors: DataFrame, idCol: String, vecCol: String,
+              numPlanes: Int, k: Int, queryFilter: Column): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim = 64)
+    val bucketed = vectors.select(col(idCol), col(vecCol).as("vec"),
+      lshBucket(col(vecCol), planes).as("bucket"))
+    val q = bucketed.filter(queryFilter)
+      .select(col(idCol).as("query_id"), col("vec").as("q_vec"), col("bucket"))
+    val cands = bucketed.select(col(idCol).as("neighbor_id"),
+      col("vec").as("c_vec"), col("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    cands.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("q_vec"), col("c_vec")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Embedding near-dup pairs (D5): LSH bucket join, then exact cosine
+    * verify >= threshold on co-bucketed pairs only. */
+  def embeddingDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
+                        numPlanes: Int, threshold: Double): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim = 64)
+    val bucketed = vectors.select(col(idCol).as("a"), col(vecCol).as("a_vec"),
+      lshBucket(col(vecCol), planes).as("bucket"))
+    val other = bucketed.select(col("a").as("b"), col("a_vec").as("b_vec"), col("bucket"))
+    bucketed.join(other, Seq("bucket")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), round(cosine(col("a_vec"), col("b_vec")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+}

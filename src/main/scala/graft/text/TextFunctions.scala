@@ -1,0 +1,55 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text-analysis primitives (SURVEY §2.5, T1–T4).
+  *
+  * Everything here composes built-in, codegen'd SQL functions — no UDFs —
+  * so a 100 TB corpus pass is a single whole-stage-codegen'd scan with
+  * map-side-only work until the final aggregate. Hashes are md5-based
+  * (not xxhash) deliberately: md5 is bit-identical across engines, which
+  * keeps every sketch reproducible in the DuckDB oracle and portable
+  * across the cluster/driver boundary.
+  */
+object TextFunctions {
+
+  /** Lower-cased whitespace tokens. Trim first: Spark's split keeps
+    * trailing empty strings, so untrimmed text would add ghost tokens. */
+  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  /** BPE-ish lexer token count: letter runs, digit runs, single
+    * punctuation marks — the standard pre-tokenizer shape. */
+  def regexTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+
+  /** Ratio of characters matching `charClass` (regex char class). */
+  def charRatio(text: Column, charClass: String): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise(
+        (length(text) - length(regexp_replace(text, charClass, ""))).cast("double")
+          / length(text))
+
+  /** How many tokens are in `words` (duplicates counted — a stopword used
+    * twice is two hits). */
+  def hitCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit(_)): _*)))
+
+  /** Word k-grams ("shingles") of the token array, space-joined. */
+  def shingles(toks: Column, k: Int): Column =
+    when(size(toks) < k, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - lit(k - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(k)))))
+
+  /** Portable per-shingle hash for seed `i`: md5 of the shingle with a
+    * seed suffix. Identical in any engine with md5 — the basis for
+    * MinHash signatures that a SQL oracle can reproduce exactly. */
+  def seededHash(s: Column, seed: Int): Column = md5(concat(s, lit("#" + seed)))
+
+  /** Bottom-k document fingerprint: the k lexicographically smallest
+    * md5(shingle) values. A bounded-size sketch (winnowing-style): two
+    * documents share fingerprint entries iff they share rare shingles. */
+  def fingerprint(shingleCol: Column, k: Int): Column =
+    slice(array_sort(transform(array_distinct(shingleCol), s => md5(s))), 1, k)
+}

@@ -1,0 +1,137 @@
+package graft.text
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked text-analysis queries over the documents table
+  * (SURVEY §2.5, T1–T4). Each is one codegen'd scan — no UDF, no shuffle
+  * except a final small aggregate where noted.
+  *
+  * Ratio/score columns are NOT rounded: both engines compute them from
+  * identical integer counts with identical double operations, so the
+  * values are bit-identical and the gate's 9-decimal normalization does
+  * the rest. (Rounding is only needed where summation order varies.)
+  */
+object TextQueries {
+
+  import TextFunctions._
+
+  /** Stopword sets for the language-ID heuristic (tiny, public lists). */
+  val StopEn = Seq("the", "a", "and", "of", "to", "in", "is", "it")
+  val StopDe = Seq("der", "die", "das", "und", "ist", "von", "mit", "ein")
+  val StopFr = Seq("le", "les", "et", "une", "est", "dans", "que", "pour")
+  val StopEs = Seq("el", "los", "y", "una", "es", "en", "por", "para")
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "documents")
+
+  /** T1: token counting — whitespace tokens and a BPE-ish lexer count. */
+  def t1Tokens(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      size(tokens(col("text"))).as("ws_tokens"),
+      size(regexTokens(col("text"))).as("re_tokens"))
+
+  /** T2: per-document quality signals + a composite score. */
+  def t2Quality(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nToks = size(toks)
+    val punct = charRatio(lower(col("text")), "[^a-z0-9\\s]")
+    val digit = charRatio(col("text"), "[0-9]")
+    val stopR = hitCount(toks, StopEn).cast("double") / nToks
+    docs(s, dir).select(
+      col("doc_id"),
+      length(col("text")).as("n_chars_m"),
+      nToks.as("n_tokens"),
+      (length(regexp_replace(trim(lower(col("text"))), "\\s+", "")).cast("double") / nToks)
+        .as("avg_token_len"),
+      punct.as("punct_ratio"),
+      digit.as("digit_ratio"),
+      stopR.as("stop_ratio"),
+      (least(lit(1.0), nToks.cast("double") / 50.0) * (lit(1.0) - punct)).as("quality_score"))
+  }
+
+  /** T3: language ID by stopword hits, deterministic priority tiebreak. */
+  def t3LangId(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    def hits(words: Seq[String]): Column = hitCount(toks, words)
+    docs(s, dir)
+      .select(col("doc_id"), col("lang"),
+        hits(StopEn).as("en_hits"), hits(StopDe).as("de_hits"),
+        hits(StopFr).as("fr_hits"), hits(StopEs).as("es_hits"))
+      .withColumn("predicted",
+        when(col("en_hits") >= col("de_hits") && col("en_hits") >= col("fr_hits")
+          && col("en_hits") >= col("es_hits") && col("en_hits") > 0, lit("en"))
+          .when(col("de_hits") >= col("fr_hits") && col("de_hits") >= col("es_hits")
+            && col("de_hits") > 0, lit("de"))
+          .when(col("fr_hits") >= col("es_hits") && col("fr_hits") > 0, lit("fr"))
+          .when(col("es_hits") > 0, lit("es"))
+          .otherwise(lit("unknown")))
+  }
+
+  /** T4: bottom-k fingerprint over distinct word 3-grams (md5-based, so
+    * the oracle reproduces it bit-for-bit). */
+  def t4Fingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      fingerprint(shingles(tokens(col("text")), 3), 4).as("fp"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t1_tokens" -> (t1Tokens _),
+    "t2_quality" -> (t2Quality _),
+    "t3_langid" -> (t3LangId _),
+    "t4_fingerprint" -> (t4Fingerprint _))
+
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private def hitsSql(words: Seq[String]): String =
+    s"len(list_filter(w, x -> list_contains(${inList(words)}, x)))"
+
+  val oracles: Map[String, String] = Map(
+    "t1_tokens" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(trim(lower(text)), '\s+')) AS ws_tokens,
+        |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS re_tokens
+        |FROM documents""".stripMargin,
+    "t2_quality" ->
+      s"""WITH t AS (SELECT doc_id, text,
+         |  string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents)
+         |SELECT doc_id,
+         |  length(text) AS n_chars_m,
+         |  len(w) AS n_tokens,
+         |  length(regexp_replace(trim(lower(text)), '\\s+', '', 'g')) * 1.0 / len(w) AS avg_token_len,
+         |  (length(lower(text)) - length(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g')))
+         |    * 1.0 / length(lower(text)) AS punct_ratio,
+         |  (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+         |    * 1.0 / length(text) AS digit_ratio,
+         |  ${hitsSql(StopEn)} * 1.0 / len(w) AS stop_ratio,
+         |  least(1.0, len(w) / 50.0) *
+         |    (1.0 - (length(lower(text)) - length(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g')))
+         |      * 1.0 / length(lower(text))) AS quality_score
+         |FROM t""".stripMargin,
+    "t3_langid" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+         |  string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents),
+         |h AS (SELECT doc_id, lang,
+         |  ${hitsSql(StopEn)} AS en_hits, ${hitsSql(StopDe)} AS de_hits,
+         |  ${hitsSql(StopFr)} AS fr_hits, ${hitsSql(StopEs)} AS es_hits FROM t)
+         |SELECT doc_id, lang, en_hits, de_hits, fr_hits, es_hits,
+         |  CASE
+         |    WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits
+         |      AND en_hits > 0 THEN 'en'
+         |    WHEN de_hits >= fr_hits AND de_hits >= es_hits AND de_hits > 0 THEN 'de'
+         |    WHEN fr_hits >= es_hits AND fr_hits > 0 THEN 'fr'
+         |    WHEN es_hits > 0 THEN 'es'
+         |    ELSE 'unknown' END AS predicted
+         |FROM h""".stripMargin,
+    "t4_fingerprint" ->
+      """WITH t AS (SELECT doc_id,
+        |  string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(
+        |  range(1, greatest(len(w) - 2, 0) + 1),
+        |  i -> array_to_string(w[i:i+2], ' '))) AS s FROM t)
+        |SELECT doc_id,
+        |  (list_sort(list_transform(s, x -> md5(x))))[1:4] AS fp
+        |FROM sh""".stripMargin)
+}
