@@ -8,12 +8,16 @@ import org.apache.spark.sql.functions._
   * Appends an array column listing the names of every rule a row
   * violates — the same observable behaviour as the reference's
   * `legendValidate` (package.scala:33-51) but with a crucial execution
-  * difference: the reference uses a row UDF (opaque to Catalyst, breaks
-  * whole-stage codegen, serializes every row); graft composes built-in
-  * higher-order functions (`filter`/`transform` over an array of structs)
-  * so the whole check stays a native expression tree. At 100 TB that is
-  * the difference between a scan-speed pass and a serialization
-  * bottleneck.
+  * difference: the reference uses a row UDF (opaque to Catalyst — no
+  * pushdown through it, every row serialized to Scala objects); graft
+  * composes built-in higher-order functions (`filter`/`transform` over an
+  * array of structs), a native expression tree operating directly on
+  * Tungsten rows. (HOF lambdas are CodegenFallback, so this projection
+  * itself is interpreted, but each rule predicate inside evaluates as a
+  * compiled Catalyst expression and no ser/de boundary is crossed —
+  * and [[clean]]'s conjunctive filter form stays fully codegen'd and
+  * scan-pushable.) At 100 TB that is the difference between a scan-speed
+  * pass and a serialization bottleneck.
   *
   * Null semantics: a rule whose expression evaluates to NULL (e.g.
   * `acctBal > 0` on a NULL balance) is counted as violated — a row can't

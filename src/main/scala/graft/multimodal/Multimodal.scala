@@ -1,0 +1,96 @@
+package graft.multimodal
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Typed media record: opaque binary payload + structured metadata.
+  * The schema contract for multimodal columns (SURVEY §2.6, X1). */
+final case class MediaRecord(
+    doc_id: Long,
+    format: String,
+    payload: Array[Byte],
+    width: Int,
+    height: Int,
+    n_bytes: Long)
+
+/** Per-record extracted features (the decode stub's output shape). */
+final case class MediaFeatures(
+    doc_id: Long,
+    format: String,
+    n_bytes: Long,
+    features: Array[Double])
+
+/** Multimodal column plumbing (SURVEY §2.6, X1).
+  *
+  * Media (image/audio/video) is carried as an opaque `binary` column
+  * beside typed metadata — the layout a 100 TB multimodal corpus uses
+  * (payload bytes stay columnar, metadata prunes/pushes down normally,
+  * queries that don't touch `payload` never read those pages).
+  *
+  * The decode step is a SEAM: real deployments plug an image/audio
+  * decoder into [[decodeStub]]; this container has no media libraries,
+  * so the stub computes a deterministic byte-histogram "embedding" —
+  * everything around it (schema, encoders, iterator-based partition
+  * processing, batch shape) is the real production plumbing.
+  *
+  * Feature extraction uses Dataset.mapPartitions over an iterator — the
+  * Scala analogue of mapInPandas batches: per-partition setup (a real
+  * decoder would init once per partition here), streaming through rows
+  * without materializing a partition in memory.
+  */
+object Multimodal {
+
+  /** Deterministic fake media over documents: payload = UTF-8 bytes,
+    * format from the source id, dimensions md5-derived. Every expression
+    * is engine-portable (the metadata side is oracle-checked). */
+  def buildMedia(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      element_at(array(lit("png"), lit("jpeg"), lit("wav")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("format"),
+      encode(col("text"), "UTF-8").as("payload"),
+      (lit(16) + pmod(conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long"), lit(49)))
+        .cast("int").as("width"),
+      (lit(16) + pmod(conv(substring(md5(col("text")), 5, 4), 16, 10).cast("long"), lit(33)))
+        .cast("int").as("height"),
+      octet_length(col("text")).cast("long").as("n_bytes"))
+
+  /** The decode seam: bytes → feature vector. Deterministic stub —
+    * a 16-bin byte histogram normalized to sum 1. A real decoder
+    * (image resize, audio frame sample, …) replaces ONLY this function. */
+  def decodeStub(payload: Array[Byte], bins: Int = 16): Array[Double] = {
+    val counts = new Array[Double](bins)
+    payload.foreach { b => counts(((b & 0xff) * bins) / 256) += 1.0 }
+    val n = math.max(1, payload.length).toDouble
+    counts.map(_ / n)
+  }
+
+  /** Iterator-based feature extraction: one pass per partition, constant
+    * memory, decoder init amortized per partition (not per row). */
+  def extractFeatures(media: Dataset[MediaRecord], bins: Int = 16): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition decoder setup would go here
+      it.map(r => MediaFeatures(r.doc_id, r.format, r.n_bytes, decodeStub(r.payload, bins)))
+    }
+  }
+
+  /** X1 gate query: metadata plumbing end-to-end (oracle-checked — the
+    * md5-derived dims and byte lengths reproduce in DuckDB exactly). */
+  def x1MultimodalMeta(s: SparkSession, dir: String): DataFrame =
+    buildMedia(Tables(s, dir, "documents"))
+      .select(col("doc_id"), col("format"), col("width"), col("height"), col("n_bytes"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x1_multimodal_meta" -> (x1MultimodalMeta _))
+
+  val oracles: Map[String, String] = Map(
+    "x1_multimodal_meta" ->
+      """SELECT doc_id,
+        |  ['png', 'jpeg', 'wav'][(doc_id % 3 + 1)::INT] AS format,
+        |  16 + ('0x' || substr(md5(text), 1, 4))::BIGINT % 49 AS width,
+        |  16 + ('0x' || substr(md5(text), 5, 4))::BIGINT % 33 AS height,
+        |  octet_length(encode(text)) AS n_bytes
+        |FROM documents""".stripMargin)
+}

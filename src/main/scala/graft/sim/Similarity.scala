@@ -79,8 +79,8 @@ object Similarity {
     * bucket, then exact cosine + rank within the bucket. Recall vs
     * bruteForceTopK is the quality metric (spec-checked). */
   def annTopK(vectors: DataFrame, idCol: String, vecCol: String,
-              numPlanes: Int, k: Int, queryFilter: Column): DataFrame = {
-    val planes = hyperplanes(numPlanes, dim = 64)
+              numPlanes: Int, k: Int, queryFilter: Column, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim)
     val bucketed = vectors.select(col(idCol), col(vecCol).as("vec"),
       lshBucket(col(vecCol), planes).as("bucket"))
     val q = bucketed.filter(queryFilter)
@@ -99,8 +99,8 @@ object Similarity {
   /** Embedding near-dup pairs (D5): LSH bucket join, then exact cosine
     * verify >= threshold on co-bucketed pairs only. */
   def embeddingDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
-                        numPlanes: Int, threshold: Double): DataFrame = {
-    val planes = hyperplanes(numPlanes, dim = 64)
+                        numPlanes: Int, threshold: Double, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim)
     val bucketed = vectors.select(col(idCol).as("a"), col(vecCol).as("a_vec"),
       lshBucket(col(vecCol), planes).as("bucket"))
     val other = bucketed.select(col("a").as("b"), col("a_vec").as("b_vec"), col("bucket"))

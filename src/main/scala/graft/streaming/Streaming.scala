@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** An event on the stream (events table schema, micros-precision ts). */
+final case class StreamEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp)
+
+/** Per-user sessionization state carried across micro-batches. */
+final case class SessionState(lastTsMicros: Long, numSessions: Long, numEvents: Long)
+
+/** Per-user session summary emitted each update. */
+final case class SessionSummary(user_id: Long, num_sessions: Long, num_events: Long)
+
+/** Structured Streaming operators (SURVEY §2.7, ST1–ST3).
+  *
+  * Batch/stream unification is the point: ST1 reuses the model
+  * subsystem's Validator unchanged (expectations are Column expressions,
+  * which stream as-is), ST2 is the streaming form of the q15 batch
+  * window, ST3 is the stateful form of the q17 lag-window batch mirror —
+  * the specs (StreamingSpec) assert stream results equal the batch
+  * mirrors on the same data.
+  *
+  * Scale notes: watermarks bound state for the window agg; session state
+  * is O(active users) with idle-state expiry via event-time timeout;
+  * everything keys by user/window so state shards across executors.
+  */
+object Streaming {
+
+  /** ST1: validate a stream in flight — appends the violations array
+    * column; works on any streaming DataFrame because validation is a
+    * pure expression tree (no UDF, no state). */
+  def validateStream(df: DataFrame, expectations: Seq[(String, String)]): DataFrame =
+    graft.model.Validator.validate(df, expectations)
+
+  /** ST2: watermarked tumbling-window aggregate (streaming mirror of
+    * q15_events_window). Late data beyond the watermark is dropped;
+    * append mode emits a window only once it is final. */
+  def tumblingCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("total_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH").as("hour"),
+        col("event_type"), col("cnt"), col("total_value"))
+
+  /** Session gap: 30 minutes (micros) — same constant as q17Sessions. */
+  val SessionGapMicros: Long = 1800L * 1000 * 1000
+
+  /** ST3: stateful sessionization via flatMapGroupsWithState — a new
+    * session starts after a >30 min idle gap. Emits the running per-user
+    * (num_sessions, num_events) each update (Update output mode).
+    * State expires after an idle timeout so abandoned users don't
+    * accumulate (bounded state at 100 TB/day event volumes). */
+  def sessionize(events: Dataset[StreamEvent],
+                 idleStateTimeout: Boolean = true): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    val timeoutConf =
+      if (idleStateTimeout) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionSummary](
+        OutputMode.Update(), timeoutConf) {
+        (userId: Long, batch: Iterator[StreamEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            // micro-batch delivery order is not sorted — order explicitly
+            val evs = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            if (evs.isEmpty) Iterator.empty
+            else {
+              val init = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+              val next = evs.foldLeft(init) { (st, e) =>
+                val tsMicros = e.ts.getTime * 1000
+                val newSession =
+                  st.lastTsMicros == Long.MinValue ||
+                    tsMicros - st.lastTsMicros > SessionGapMicros
+                SessionState(tsMicros,
+                  st.numSessions + (if (newSession) 1 else 0),
+                  st.numEvents + 1)
+              }
+              state.update(next)
+              if (idleStateTimeout) state.setTimeoutDuration("1 hour")
+              Iterator.single(SessionSummary(userId, next.numSessions, next.numEvents))
+            }
+          }
+      }
+  }
+}

@@ -1,0 +1,103 @@
+package graft.dedup
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Planted-duplicate semantics for the dedup pack (SURVEY §2.3 D1–D5).
+  * All hashing is deterministic (md5-seeded), so these are exact
+  * assertions, not statistical ones. */
+class DedupSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  // 60-word deterministic base text; variants with tiny edits.
+  private val baseWords = (0 until 60).map(i => s"w${i % 17}tok$i")
+  private val base = baseWords.mkString(" ")
+  private val nearDup = baseWords.updated(30, "CHANGED").mkString(" ")   // 1-word edit
+  private val farDoc = (0 until 60).map(i => s"z${i}other").mkString(" ")
+  private val docs = Seq(
+    (1L, base), (2L, nearDup), (3L, base),  // 3 = exact copy of 1
+    (4L, farDoc),
+    (5L, "tiny"),                            // too short to shingle
+    (6L, (100 until 160).map(i => s"q${i}x").mkString(" ")))
+    .toDF("doc_id", "text")
+
+  private lazy val shingled = Dedup.shingleSets(docs, "doc_id", "text", 3)
+  private lazy val candidates = Dedup.candidatePairs(
+    Dedup.bands(shingled, "doc_id", numHashes = 16, numBands = 4), "doc_id", maxBucket = 100)
+    .as[(Long, Long)].collect().toSet
+
+  test("D1: exact dedup groups identical texts, keeps first") {
+    val d1 = docs.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
+    val byKeep = d1.as[(String, Long, Long)].collect().map(r => r._2 -> r._3).toMap
+    assert(byKeep(1L) == 2)   // docs 1 and 3 collapse, doc 1 kept
+    assert(byKeep(2L) == 1)
+    assert(d1.count() == 5)
+  }
+
+  test("D2: LSH candidates find exact and near duplicates, not unrelated docs") {
+    assert(candidates.contains((1L, 3L)))  // identical: all bands collide
+    assert(candidates.contains((1L, 2L)))  // near-dup: J ~ 0.9
+    assert(candidates.contains((2L, 3L)))
+    assert(!candidates.exists { case (a, b) => a == 4L || b == 4L })  // unrelated
+    assert(!candidates.exists { case (a, b) => a == 5L || b == 5L })  // unshingleable
+  }
+
+  test("D2: bucket-size cap drops degenerate buckets") {
+    // with maxBucket=1 no bucket qualifies -> no candidates
+    val capped = Dedup.candidatePairs(
+      Dedup.bands(shingled, "doc_id", 16, 4), "doc_id", maxBucket = 1)
+    assert(capped.count() == 0)
+  }
+
+  test("D4: Jaccard verify is exact on candidates") {
+    val sa = shingled.select(col("doc_id").as("a"), col("shingles").as("sa"))
+    val sb = shingled.select(col("doc_id").as("b"), col("shingles").as("sb"))
+    val jac = candidates.toSeq.toDF("a", "b")
+      .join(sa, "a").join(sb, "b")
+      .select(col("a"), col("b"), Dedup.jaccard(col("sa"), col("sb")).as("j"))
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(jac((1L, 3L)) == 1.0)
+    // one word edit in 60 words changes 3 of 58 shingles: J = 55/61
+    assert(math.abs(jac((1L, 2L)) - 55.0 / 61.0) < 1e-12)
+  }
+
+  test("D3: simhash is identical for copies, close for near-dups, far for others") {
+    val sig = Dedup.simhash(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(sig(1L) == sig(3L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sig(1L), sig(2L)) <= 10)
+    assert(hamming(sig(1L), sig(4L)) > 10)
+    val pairs = Dedup.simhashPairs(Dedup.simhash(docs, "doc_id", "text"), "doc_id",
+      bits = 60, numBands = 4, maxHamming = 10, maxBucket = 100)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("D5: embedding near-dup via LSH buckets finds planted pair only") {
+    val dim = 64
+    def unit(f: Int => Double): Array[Double] = {
+      val v = Array.tabulate(dim)(f)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val a = unit(i => math.sin(i + 1.0))
+    val b = unit(i => math.sin(i + 1.0) + 0.01 * math.cos(3.0 * i)) // ~a
+    val c = unit(i => math.cos(2.0 * i + 0.5))                      // unrelated
+    val vecs = Seq((1L, a.toSeq), (2L, b.toSeq), (3L, c.toSeq)).toDF("vec_id", "embedding")
+    val pairs = graft.sim.Similarity.embeddingDupPairs(
+      vecs, "vec_id", "embedding", numPlanes = 8, threshold = 0.95, dim = dim)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("gate queries: no cartesian product in any dedup plan") {
+    for (name <- Seq("d2_minhash_pairs", "d3_simhash", "d4_jaccard_pairs", "d5_embed_dedup")) {
+      val plan = DedupQueries.queries(name)(spark, sfDir).queryExecution.sparkPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name plan has a cartesian product")
+    }
+  }
+}

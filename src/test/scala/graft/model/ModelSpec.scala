@@ -1,0 +1,216 @@
+package graft.model
+
+import graft.SparkTestBase
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Semantics of the model subsystem (SURVEY §2.1 M1–M11). Behaviours
+  * pinned to the reference: schema derivation incl. inheritance/nesting/
+  * multiplicity/docs (Legend.scala:433-502, LegendEntityTest.scala:75-88),
+  * expectations (Legend.scala:515-595), validation (package.scala:33-51),
+  * service SQL (Legend.scala:105-152). */
+class ModelSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  lazy val model: GraftModel = ModelQueries.model
+
+  // A model exercising nesting, arrays, enums, docs in one place.
+  lazy val nestedModel: GraftModel = ModelLoader.fromJson(
+    """{
+      |"enums": [{"name": "x::Color", "values": ["RED", "BLUE"]}],
+      |"classes": [
+      |  {"name": "x::Address", "doc": "An address",
+      |   "properties": [
+      |     {"name": "street", "type": "String", "multiplicity": "[1]"},
+      |     {"name": "zip", "type": "String", "multiplicity": "[0..1]"}]},
+      |  {"name": "x::Person",
+      |   "properties": [
+      |     {"name": "name", "type": "String", "multiplicity": "[1]", "doc": "Full name"},
+      |     {"name": "home", "type": "x::Address", "multiplicity": "[0..1]"},
+      |     {"name": "offices", "type": "x::Address", "multiplicity": "[0..*]"},
+      |     {"name": "favorite", "type": "x::Color", "multiplicity": "[0..1]"},
+      |     {"name": "nicknames", "type": "String", "multiplicity": "[1..3]"}]}
+      |]}""".stripMargin)
+
+  test("M1: multiplicity parsing") {
+    assert(Multiplicity.parse("[1]") == Multiplicity(1, Some(1)))
+    assert(Multiplicity.parse("[0..1]") == Multiplicity.ZeroOrOne)
+    assert(Multiplicity.parse("[0..*]") == Multiplicity.ZeroMany)
+    assert(Multiplicity.parse("[2..5]") == Multiplicity(2, Some(5)))
+    assertThrows[IllegalArgumentException](Multiplicity.parse("1..2"))
+    assert(Multiplicity.parse("[1..3]").isCollection)
+    assert(!Multiplicity.parse("[0..1]").isCollection)
+  }
+
+  test("M1: JSON loader parses classes, enums, mappings, services") {
+    assert(model.classes.contains("tpch::Customer"))
+    assert(model.enums("tpch::Segment").values.size == 5)
+    assert(model.mappings.contains("tpch::mapping::Customer"))
+    assert(model.services.contains("tpch::service::SegmentStats"))
+    // inheritance resolved, supertype properties first (reference order)
+    assert(model.allProperties("tpch::Customer").map(_.name) ==
+      Seq("name", "nationKey", "custKey", "acctBal", "mktSegment"))
+  }
+
+  test("M2: schema derivation — nullability, arrays, nesting, enum, comments") {
+    val s = SchemaGen.schemaOf(nestedModel, "x::Person")
+    assert(s.fieldNames.toSeq == Seq("name", "home", "offices", "favorite", "nicknames"))
+    assert(!s("name").nullable && s("name").metadata.getString("comment") == "Full name")
+    // [0..1] class-typed -> nullable struct
+    assert(s("home").nullable)
+    assert(s("home").dataType.isInstanceOf[StructType])
+    val home = s("home").dataType.asInstanceOf[StructType]
+    assert(!home("street").nullable && home("zip").nullable)
+    // [0..*] class-typed -> array of struct
+    assert(s("offices").dataType.isInstanceOf[ArrayType])
+    assert(s("offices").dataType.asInstanceOf[ArrayType].elementType.isInstanceOf[StructType])
+    // enum -> string
+    assert(s("favorite").dataType == StringType)
+    // [1..3] -> non-nullable array
+    assert(s("nicknames").dataType.isInstanceOf[ArrayType] && !s("nicknames").nullable)
+  }
+
+  test("M2: mapping schema renames fields to table columns") {
+    val s = SchemaGen.schemaOfMapping(model, "tpch::mapping::Customer")
+    assert(s.fieldNames.toSeq ==
+      Seq("c_name", "c_nationkey", "c_custkey", "c_acctbal", "c_mktsegment"))
+    assert(s("c_name").metadata.getString("comment") == "Legal name")
+  }
+
+  test("M3+M4: expectations — mandatory, collection size, enum domain, business") {
+    val rules = Expectations.forClass(nestedModel, "x::Person").toMap
+    assert(rules("[name] is mandatory") == "name IS NOT NULL")
+    assert(rules("[nicknames] has invalid size").contains("SIZE(nicknames) BETWEEN 1 AND 3"))
+    assert(rules("[favorite] not allowed value").contains("favorite IN ('RED', 'BLUE')"))
+    // nested non-collection class rules use dotted paths
+    assert(rules.contains("[home.street] is mandatory"))
+    val cust = Expectations.forMapping(model, "tpch::mapping::Customer").toMap
+    assert(cust("positive account balance").contains("c_acctbal"))
+    assert(cust("[name] is mandatory").contains("c_name"))
+  }
+
+  test("M5: validator appends violations array; null rule counts as violated") {
+    val df = Seq[(String, java.lang.Double)](
+      ("Customer#1", 10.0),   // clean
+      ("Customer#2", -5.0),   // violates balance rule
+      ("bogus", 1.0),         // violates name format
+      (null, null)            // nulls: mandatory + null-balance rule
+    ).toDF("name", "bal")
+    val rules = Seq(
+      "[name] is mandatory" -> "name IS NOT NULL",
+      "positive balance" -> "bal >= 0.0",
+      "name format" -> "name LIKE 'Customer#%'")
+    val out = Validator.validate(df, rules).select("graft_violations").as[Seq[String]].collect()
+    assert(out(0).isEmpty)
+    assert(out(1) == Seq("positive balance"))
+    assert(out(2) == Seq("name format"))
+    // NULL rule result counts as a violation (can't prove compliance)
+    assert(out(3).toSet == Set("[name] is mandatory", "positive balance", "name format"))
+    assert(Validator.clean(df, rules).count() == 1)
+    assert(Validator.quarantine(df, rules).count() == 3)
+  }
+
+  test("M6: transformer renames are a lossless round trip") {
+    val m = model.mapping("tpch::mapping::Customer")
+    val table = graft.Tables(spark, sfDir, "customer")
+    val entity = Transformer.toEntity(table, m)
+    assert(entity.columns.toSet ==
+      Set("name", "nationKey", "custKey", "acctBal", "mktSegment"))
+    assert(Transformer.toTable(entity, m).columns.sorted.toSeq ==
+      table.columns.sorted.toSeq)
+  }
+
+  test("M7: derivations evaluate model expressions") {
+    val m = model.mapping("tpch::mapping::Customer")
+    val df = Transformer.withDerivations(
+      Transformer.toEntity(graft.Tables(spark, sfDir, "customer"), m), model, m.entity)
+    val row = df.filter(col("acctBal") >= 5000).select("balanceBand", "nameLen", "name").head()
+    assert(row.getString(0) == "HIGH")
+    assert(row.getInt(1) == row.getString(2).length)
+  }
+
+  test("M8: service SQL compiles to table space and runs") {
+    val sql = ServiceGen.serviceSql(model, "tpch::service::SegmentStats")
+    assert(sql.contains("FROM customer"))
+    assert(sql.contains("c_mktsegment"))       // entity attr rewritten
+    assert(sql.contains("AS numCustomers"))
+    assert(sql.contains("ORDER BY numCustomers DESC"))
+    assert(sql.contains("LIMIT 3"))
+    assert(!sql.contains("mktSegment AS"))     // no entity names leak into projection
+    graft.Tables(spark, sfDir, "customer").createOrReplaceTempView("customer")
+    val out = ServiceGen.runService(spark, model, "tpch::service::SegmentStats")
+    assert(out.columns.toSeq == Seq("segment", "numCustomers", "avgBal"))
+    assert(out.count() == 3)
+  }
+
+  test("M8: mapping SQL projects entity names and pushes expectations to WHERE") {
+    val sql = ServiceGen.mappingSql(model, "tpch::mapping::Customer")
+    assert(sql.contains("c_name AS name"))
+    assert(sql.contains("AS balanceBand"))     // derivations included
+    assert(sql.contains("WHERE"))
+    assert(sql.contains("c_acctbal"))          // business rule in table space
+  }
+
+  test("M9: table DDL carries comments; create+write+read round trip") {
+    val ddl = TableGen.ddl(model, "tpch::mapping::Customer")
+    assert(ddl.contains("CREATE TABLE IF NOT EXISTS customer"))
+    assert(ddl.contains("COMMENT 'Legal name'"))
+    assert(ddl.contains("USING parquet"))
+    // round trip through a real catalog table
+    val tmpModel = model.copy(mappings = model.mappings +
+      ("tmp" -> model.mapping("tpch::mapping::Customer").copy(table = "graft_m9_tmp")))
+    try {
+      TableGen.create(spark, tmpModel, "tmp")
+      val src = graft.Tables(spark, sfDir, "customer").limit(5)
+      TableGen.write(src, tmpModel, "tmp")
+      assert(spark.table("graft_m9_tmp").count() == 5)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_m9_tmp")
+  }
+
+  test("M10: reverse codegen emits classes, store, and mappings") {
+    val schema = StructType(Seq(
+      StructField("user_id", LongType, nullable = false),
+      StructField("user_name", StringType, nullable = true,
+        new MetadataBuilder().putString("comment", "the name").build()),
+      StructField("scores", ArrayType(IntegerType), nullable = true),
+      StructField("address", StructType(Seq(
+        StructField("street", StringType), StructField("zip", StringType))))))
+    val txt = PureGen.fromSchema("org::test", "db", "user_table", schema)
+    assert(txt.contains("Class org::test::classes::UserTable"))
+    // nested struct -> Base / Serializable split
+    assert(txt.contains("Class org::test::classes::UserTableBase"))
+    assert(txt.contains("Class org::test::classes::UserTableSerializable extends"))
+    assert(txt.contains("userId: Number[1];"))
+    assert(txt.contains("{meta::pure::profiles::doc.doc = 'the name'} userName: String[0..1];"))
+    assert(txt.contains("scores: Integer[0..*];"))
+    assert(txt.contains("Database org::test::Store"))
+    assert(txt.contains("Table user_table"))
+    assert(txt.contains("Mapping org::test::mapping::UserTable"))
+    assert(PureGen.camelCaseEntity("user_table") == "UserTable")
+    assert(PureGen.camelCaseField("user_name") == "userName")
+    assertThrows[IllegalArgumentException](
+      PureGen.fromSchema("BadNamespace", "db", "t", schema))
+  }
+
+  test("M11: full pipeline lift -> validate -> derive in one plan") {
+    val p = GraftPipeline(model, "tpch::mapping::Orders")
+    val out = p.derive(p.validate(graft.Tables(spark, sfDir, "orders")))
+    assert(out.columns.contains("graft_violations"))
+    assert(out.columns.contains("orderYear"))
+    assert(out.columns.contains("highValue"))
+    // derived orderYear must agree with year() of the source column
+    assert(out.filter(col("orderYear") =!= year(col("o_orderdate"))).count() == 0)
+    // schema-enforced entity read path
+    assert(p.entitySchema.fieldNames.contains("orderKey"))
+  }
+
+  test("SqlRewrite renames only mapped attribute heads") {
+    val out = SqlRewrite.rename("acctBal >= 0.0 AND other.x = 1",
+      Map("acctBal" -> "c_acctbal"))
+    assert(out.contains("c_acctbal"))
+    assert(out.contains("other.x"))
+    assertThrows[Exception](SqlRewrite.validateSyntax("SELECT FROM WHERE"))
+  }
+}

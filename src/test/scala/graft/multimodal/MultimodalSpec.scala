@@ -1,0 +1,57 @@
+package graft.multimodal
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal plumbing semantics (SURVEY §2.6 X1): binary payload +
+  * typed metadata schema, deterministic decode seam, iterator-based
+  * batch-shaped feature extraction. */
+class MultimodalSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private lazy val media = Multimodal.buildMedia(graft.Tables(spark, sfDir, "documents"))
+
+  test("X1: media schema is binary payload + typed metadata") {
+    val schema = media.schema
+    assert(schema("payload").dataType == BinaryType)
+    assert(schema("format").dataType == StringType)
+    assert(schema("width").dataType == IntegerType)
+    assert(schema("n_bytes").dataType == LongType)
+    // dimensions land in their documented ranges
+    val bad = media.filter(col("width") < 16 || col("width") > 64
+      || col("height") < 16 || col("height") > 48).count()
+    assert(bad == 0)
+    // payload matches its recorded length
+    assert(media.filter(octet_length(col("payload")) =!= col("n_bytes")).count() == 0)
+  }
+
+  test("X1: decode stub is deterministic and normalized") {
+    val bytes = "some test payload".getBytes("UTF-8")
+    val f1 = Multimodal.decodeStub(bytes)
+    val f2 = Multimodal.decodeStub(bytes)
+    assert(f1.toSeq == f2.toSeq)
+    assert(f1.length == 16)
+    assert(math.abs(f1.sum - 1.0) < 1e-9)
+    assert(Multimodal.decodeStub(Array.emptyByteArray).sum == 0.0)
+  }
+
+  test("X1: feature extraction preserves rows, ids, and batch shape") {
+    val ds = media.as[MediaRecord]
+    val feats = Multimodal.extractFeatures(ds)
+    val n = media.count()
+    assert(feats.count() == n)
+    val row = feats.head()
+    assert(row.features.length == 16)
+    // repeatable end-to-end
+    val sums1 = feats.select(col("doc_id"), aggregate(col("features"), lit(0.0),
+      (a, x) => a + x).as("s")).as[(Long, Double)].collect().toMap
+    val sums2 = Multimodal.extractFeatures(ds).select(col("doc_id"),
+      aggregate(col("features"), lit(0.0), (a, x) => a + x).as("s"))
+      .as[(Long, Double)].collect().toMap
+    assert(sums1 == sums2)
+    // non-empty payloads -> histogram sums to ~1
+    assert(sums1.values.forall(s => math.abs(s - 1.0) < 1e-9))
+  }
+}

@@ -1,0 +1,85 @@
+package graft.sim
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Semantics + recall for the similarity pack (SURVEY §2.4 S1–S2). */
+class SimSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private val dim = 64
+
+  private def unit(f: Int => Double): Seq[Double] = {
+    val v = Array.tabulate(dim)(f)
+    val n = math.sqrt(v.map(x => x * x).sum)
+    v.map(_ / n).toSeq
+  }
+
+  // Two tight clusters of 10 vectors each around orthogonal-ish centers.
+  private def clustered = (0 until 10).map { i =>
+    (i.toLong, unit(d => math.sin(d + 1.0) + 0.02 * math.sin(7.0 * d + i)))
+  } ++ (0 until 10).map { i =>
+    (10L + i, unit(d => math.cos(2.0 * d + 0.5) + 0.02 * math.cos(5.0 * d + i)))
+  }
+
+  test("S1: cosine is exact") {
+    val df = Seq((Seq(1.0, 0.0), Seq(1.0, 0.0)), (Seq(1.0, 0.0), Seq(0.0, 1.0)),
+      (Seq(1.0, 1.0), Seq(1.0, 0.0))).toDF("a", "b")
+    val cs = df.select(Similarity.cosine(col("a"), col("b"))).as[Double].collect()
+    assert(cs(0) == 1.0)
+    assert(cs(1) == 0.0)
+    assert(math.abs(cs(2) - 1.0 / math.sqrt(2)) < 1e-12)
+  }
+
+  test("S1: brute-force top-k ranks cluster members first, excludes self") {
+    val vecs = clustered.toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(
+      vecs.filter(col("vec_id") === 0), vecs, "vec_id", "embedding", k = 5)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect()
+    assert(out.length == 5)
+    assert(out.map(_._2).sorted.toSeq == Seq(1, 2, 3, 4, 5))
+    assert(!out.map(_._1).contains(0L))            // self excluded
+    assert(out.map(_._1).forall(_ < 10L))          // all from own cluster
+  }
+
+  test("S1: two-stage ranking equals a naive global ranking") {
+    val vecs = clustered.toDF("vec_id", "embedding").repartition(8)
+    val topk = Similarity.bruteForceTopK(
+      vecs.filter(col("vec_id") < 3), vecs, "vec_id", "embedding", k = 4)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    // naive: full cross scoring + single global window
+    val all = clustered
+    val naive = (0L until 3L).flatMap { q =>
+      val qv = all.find(_._1 == q).get._2
+      all.filter(_._1 != q)
+        .map { case (id, v) =>
+          val dot = qv.zip(v).map { case (x, y) => x * y }.sum
+          val cos = BigDecimal(dot / (math.sqrt(qv.map(x => x * x).sum)
+            * math.sqrt(v.map(x => x * x).sum))).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          (id, cos)
+        }
+        .sortBy { case (id, cos) => (-cos, id) }.take(4).zipWithIndex
+        .map { case ((id, _), i) => (q, id, i + 1) }
+    }.toSet
+    assert(topk == naive)
+  }
+
+  test("S2: ANN recall vs brute force is high on clustered data") {
+    val vecs = clustered.toDF("vec_id", "embedding")
+    val queries = col("vec_id") === 0 || col("vec_id") === 10
+    val bf = Similarity.bruteForceTopK(
+      vecs.filter(queries), vecs, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ann = Similarity.annTopK(vecs, "vec_id", "embedding",
+      numPlanes = 4, k = 5, queryFilter = queries, dim = dim)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (bf intersect ann).size.toDouble / bf.size
+    assert(recall >= 0.8, s"recall $recall below 0.8")
+  }
+
+  test("S2: ANN candidates stay within the query's bucket (no full scan)") {
+    val plan = SimQueries.s2AnnLsh(spark, sfDir).queryExecution.sparkPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+  }
+}

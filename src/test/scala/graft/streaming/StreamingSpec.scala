@@ -1,0 +1,105 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+
+import java.sql.Timestamp
+
+/** Structured Streaming semantics (SURVEY §2.7 ST1–ST3), MemoryStream-
+  * driven. The batch/stream mirrors are the contract: ST2 results match
+  * the q15-style batch window on the same data; ST3 session counts match
+  * the q17 lag-window logic. */
+class StreamingSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def ts(minutes: Long): Timestamp = new Timestamp(minutes * 60 * 1000)
+
+  private def runBatches[A](q: StreamingQuery, stream: MemoryStream[A],
+                            batches: Seq[Seq[A]]): Unit = {
+    batches.foreach { b =>
+      stream.addData(b)
+      q.processAllAvailable()
+    }
+    q.stop()
+  }
+
+  test("ST1: in-flight validation appends the violations column") {
+    val input = MemoryStream[(String, Double)](spark)
+    val df = input.toDF().toDF("name", "bal")
+    val validated = Streaming.validateStream(df, Seq(
+      "[name] is mandatory" -> "name IS NOT NULL",
+      "positive balance" -> "bal >= 0.0"))
+    val q = validated.writeStream.format("memory").queryName("st1_out")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(Seq(("ok", 5.0), ("neg", -2.0)))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("st1_out")
+      .select(col("name"), col("graft_violations"))
+      .as[(String, Seq[String])].collect().toMap
+    assert(rows("ok").isEmpty)
+    assert(rows("neg") == Seq("positive balance"))
+  }
+
+  test("ST2: watermarked tumbling window matches the batch mirror") {
+    val input = MemoryStream[(Timestamp, String, Double)](spark)
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val q = Streaming.tumblingCounts(events, watermark = "30 minutes")
+      .writeStream.format("memory").queryName("st2_out")
+      .outputMode(OutputMode.Append()).start()
+    val hour0 = Seq(
+      (ts(5), "click", 1.0), (ts(20), "click", 2.5), (ts(40), "view", 4.0))
+    val hour1 = Seq((ts(70), "click", 8.0))
+    // late batches push the watermark past hour 1 so hours 0 and 1
+    // finalize (watermark updates at batch END, so emission needs one
+    // more batch after the advancing event)
+    val flush1 = Seq((ts(200), "view", 0.5))
+    val flush2 = Seq((ts(210), "view", 0.5))
+    runBatches(q, input, Seq(hour0, hour1, flush1, flush2))
+    val streamed = spark.table("st2_out")
+      .select("hour", "event_type", "cnt", "total_value")
+      .as[(String, String, Long, Double)].collect().toSet
+    val batchMirror = (hour0 ++ hour1).toDF("ts", "event_type", "value")
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("total_value"))
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(streamed == batchMirror)
+  }
+
+  test("ST3: stateful sessionization carries state across batches") {
+    val input = MemoryStream[StreamEvent](spark)
+    // idle-state timeout off: processing-time timers would schedule
+    // continuous empty micro-batches under the test's tight trigger
+    val q = Streaming.sessionize(input.toDS(), idleStateTimeout = false)
+      .writeStream.format("memory").queryName("st3_out")
+      .outputMode(OutputMode.Update()).start()
+    // user 1: events at 0, 10, 50 min -> gap>30 between 10 and 50: 2 sessions
+    val batch1 = Seq(
+      StreamEvent(1L, 1L, ts(0)), StreamEvent(1L, 2L, ts(10)), StreamEvent(1L, 3L, ts(50)),
+      StreamEvent(2L, 4L, ts(0)))
+    // batch 2: user 1 at 55 min (5-min gap: same session), user 2 at 100 (new session)
+    val batch2 = Seq(StreamEvent(1L, 5L, ts(55)), StreamEvent(2L, 6L, ts(100)))
+    runBatches(q, input, Seq(batch1, batch2))
+    val updates = spark.table("st3_out").as[SessionSummary].collect()
+    val latest = updates.groupBy(_.user_id)
+      .map { case (u, rows) => u -> rows.maxBy(_.num_events) }
+    assert(latest(1L) == SessionSummary(1L, 2L, 4L))
+    assert(latest(2L) == SessionSummary(2L, 2L, 2L))
+    // batch mirror (q17 lag-window logic) agrees on the same data
+    val all = (batch1 ++ batch2).toDF()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val mirror = all
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session", when(col("prev_ts").isNull ||
+        unix_micros(col("ts")) - unix_micros(col("prev_ts")) > Streaming.SessionGapMicros,
+        1L).otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_session")).as("num_sessions"), count(lit(1)).as("num_events"))
+      .as[SessionSummary].collect().map(s => s.user_id -> s).toMap
+    assert(latest(1L) == mirror(1L) && latest(2L) == mirror(2L))
+  }
+}

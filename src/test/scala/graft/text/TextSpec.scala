@@ -1,0 +1,73 @@
+package graft.text
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Semantics of the text pack (SURVEY §2.5 T1–T4). */
+class TextSpec extends SparkTestBase {
+
+  import spark.implicits._
+  import TextFunctions._
+
+  private def one(text: String) = Seq(text).toDF("text")
+
+  test("T1: whitespace tokens are trimmed, lowered, ghost-free") {
+    val out = one("  Hello   WORLD  ").select(tokens(col("text"))).as[Seq[String]].head()
+    assert(out == Seq("hello", "world"))
+  }
+
+  test("T1: regex tokens split letter runs, digit runs, punctuation") {
+    val out = one("ab 12, cd!").select(regexTokens(col("text"))).as[Seq[String]].head()
+    assert(out == Seq("ab", "12", ",", "cd", "!"))
+  }
+
+  test("T2: character-class ratios") {
+    val digits = one("a1b2").select(charRatio(col("text"), "[0-9]")).as[Double].head()
+    assert(digits == 0.5)
+    val punct = one("ab!?").select(charRatio(col("text"), "[^a-z0-9\\s]")).as[Double].head()
+    assert(punct == 0.5)
+  }
+
+  test("T3: stopword hits count duplicates; langid picks the right set") {
+    val hits = one("the the cat").select(hitCount(tokens(col("text")), TextQueries.StopEn))
+      .as[Int].head()
+    assert(hits == 2)
+    val df = Seq((1L, "the cat sat of it", "en"), (2L, "der hund und die katze ist", "de"))
+      .toDF("doc_id", "text", "lang")
+    df.createOrReplaceTempView("documents_spec")
+    val toks = tokens(col("text"))
+    val scored = df.select(col("doc_id"),
+      hitCount(toks, TextQueries.StopEn).as("en"),
+      hitCount(toks, TextQueries.StopDe).as("de"))
+    val rows = scored.collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(rows(1L)._1 > rows(1L)._2)  // english doc: en hits dominate
+    assert(rows(2L)._2 > rows(2L)._1)  // german doc: de hits dominate
+  }
+
+  test("T4: shingles and fingerprints") {
+    val sh = one("a b c d e").select(shingles(tokens(col("text")), 3)).as[Seq[String]].head()
+    assert(sh == Seq("a b c", "b c d", "c d e"))
+    val short = one("a b").select(shingles(tokens(col("text")), 3)).as[Seq[String]].head()
+    assert(short.isEmpty)
+    // identical text -> identical fingerprint; bounded size; sorted
+    val fp = Seq("x y z w v u t s", "x y z w v u t s", "completely different words here now")
+      .toDF("text")
+      .select(fingerprint(shingles(tokens(col("text")), 3), 4).as("fp"))
+      .as[Seq[String]].collect()
+    assert(fp(0) == fp(1))
+    assert(fp(0) != fp(2))
+    assert(fp(0).size == 4 && fp(0) == fp(0).sorted)
+  }
+
+  test("T1-T3 gate queries run on testdata with expected shape") {
+    val t1 = TextQueries.t1Tokens(spark, sfDir)
+    assert(t1.columns.toSeq == Seq("doc_id", "ws_tokens", "re_tokens"))
+    assert(t1.filter(col("ws_tokens") <= 0).count() == 0)
+    val t2 = TextQueries.t2Quality(spark, sfDir)
+    val bad = t2.filter(col("punct_ratio") < 0 || col("punct_ratio") > 1
+      || col("quality_score") < 0 || col("quality_score") > 1).count()
+    assert(bad == 0)
+    val t3 = TextQueries.t3LangId(spark, sfDir)
+    assert(t3.filter(col("predicted").isNull).count() == 0)
+  }
+}
