@@ -25,48 +25,118 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** doc_id + distinct word-kGram shingle set (docs with no shingle are
-    * dropped — they cannot collide with anything). */
-  def shingleSets(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    df.select(col(idCol),
-        array_distinct(TextFunctions.shingles(TextFunctions.tokens(col(textCol)), k)).as("shingles"))
-      .filter(size(col("shingles")) > 0)
+  /** One (doc_id, shingle) row per word-kGram occurrence (duplicates
+    * retained — MinHash minima are unaffected by multiplicity).
+    *
+    * Execution shape chosen for codegen: posexplode the token array,
+    * then `lead` windows over (id, pos) assemble each k-gram from its
+    * following tokens — every operator here is whole-stage-codegen'd
+    * (array HOF lambdas are interpreted in Spark; this shape avoids them
+    * on the hot path). The window's hash-partitioning on id is exactly
+    * what the downstream signature groupBy needs, so the whole dedup
+    * pipeline shuffles the token stream once. */
+  def shingleRows(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    val parts = col("tok") +: (1 until k).map(j => lead(col("tok"), j).over(w))
+    // concat (not concat_ws): a null lead must null the shingle, not
+    // silently shorten it
+    val shingle = concat(parts.flatMap(p => Seq(p, lit(" "))).dropRight(1): _*)
+    df.select(col(idCol), posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "tok")))
+      .select(col(idCol), shingle.as("shingle"))
+      .filter(col("shingle").isNotNull)
+  }
 
-  /** MinHash signature: for each seed, the minimum seeded md5 over the
-    * shingle set. One map-only expression per seed. */
-  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { seed =>
-      array_min(transform(shingleCol, s => TextFunctions.seededHash(s, seed)))
+  /** doc_id + distinct shingle set (docs with no shingle are dropped —
+    * they cannot collide with anything). */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    shingleRows(df, idCol, textCol, k)
+      .groupBy(col(idCol))
+      .agg(collect_set(col("shingle")).as("shingles"))
+
+  /** Mersenne prime 2^31-1: the minhash value domain. Affine products
+    * stay below 2^61, so the arithmetic is exact in any engine's 64-bit
+    * integers (DuckDB errors on BIGINT overflow; Spark would wrap). */
+  val MinhashPrime: Long = 2147483647L
+
+  /** Affine mix coefficients for hash function i — fixed, engine-portable
+    * constants (the DuckDB oracle inlines the same values). */
+  def mixA(i: Int): Long = ((i + 1) * 2654435761L) % MinhashPrime
+  def mixB(i: Int): Long = ((i + 1) * 40503L * 65537L) % MinhashPrime
+
+  /** One md5 per shingle → 60-bit int → reduced mod p. The expensive
+    * hash happens ONCE; the per-function variety comes from cheap affine
+    * mixes of this base value. Scalar form — codegen'd. */
+  def shingleBaseHash(shingle: Column): Column =
+    conv(substring(md5(shingle), 1, 15), 16, 10).cast("long") % MinhashPrime
+
+  /** Array form of [[shingleBaseHash]] (interpreted HOF — fine off the
+    * hot path). */
+  def shingleBaseHashes(shingleCol: Column): Column =
+    transform(shingleCol, s => shingleBaseHash(s))
+
+  /** MinHash signature from pre-computed base hashes: min over the set
+    * of (a_i*h + b_i) mod p per hash function — integer-only. Feed this a
+    * materialized base-hash COLUMN (not the md5 expression itself), else
+    * the md5 pass is duplicated into all `numHashes` entries. (Array-
+    * expression form; the hot path in [[bands]] uses the codegen'd
+    * explode+aggregate form instead.) */
+  def minhashFromBase(baseCol: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { i =>
+      array_min(transform(baseCol, h =>
+        (h * mixA(i) + mixB(i)) % MinhashPrime))
     }: _*)
 
   /** LSH bands: signature split into `numBands` groups of `rowsPerBand`,
-    * each hashed to one bucket value. */
+    * each group's values joined into one bucket key. */
   def bandValues(sigCol: Column, numBands: Int, rowsPerBand: Int): Column =
     array((0 until numBands).map { b =>
-      md5(concat_ws("|", slice(sigCol, b * rowsPerBand + 1, rowsPerBand)))
+      concat_ws("|", slice(sigCol, b * rowsPerBand + 1, rowsPerBand))
     }: _*)
 
-  /** (doc_id, band_idx, band_val) — one row per doc per band. */
-  def bands(df: DataFrame, idCol: String, numHashes: Int, numBands: Int): DataFrame = {
+  /** (doc_id, band_idx, band_val) — one row per doc per band, from
+    * [[shingleRows]] output.
+    *
+    * ONE hash aggregate computes all numHashes mins as plain integer
+    * expressions over the scalar base hash — whole-stage codegen end to
+    * end, and the groupBy reuses shingleRows' hash-partitioning on id,
+    * so no additional shuffle. */
+  def bands(rows: DataFrame, idCol: String, numHashes: Int, numBands: Int): DataFrame = {
     val rowsPerBand = numHashes / numBands
-    df.select(col(idCol),
-        posexplode(bandValues(minhashSignature(col("shingles"), numHashes), numBands, rowsPerBand)))
+    // md5 once per shingle in the projection; the 16 mins reference the
+    // bound column (cheap), not the hash expression
+    val hashed = rows.select(col(idCol), shingleBaseHash(col("shingle")).as("h"))
+    val mins = (0 until numHashes).map { i =>
+      min((col("h") * mixA(i) + mixB(i)) % MinhashPrime).as(s"mh$i")
+    }
+    val sig = hashed.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+    val bandCols = (0 until numBands).map { b =>
+      concat_ws("|", (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i")): _*)
+    }
+    sig.select(col(idCol), posexplode(array(bandCols: _*)))
       .withColumnsRenamed(Map("pos" -> "band_idx", "col" -> "band_val"))
   }
 
+  /** All (a < b) pairs from a sorted id array — upper-triangle expansion
+    * as a pure expression, bounded by the bucket cap (≤ cap²/2 pairs). */
+  private def trianglePairs(sortedIds: Column): Column =
+    flatten(transform(sortedIds, (x, i) =>
+      transform(slice(sortedIds, i + lit(2), size(sortedIds)),
+        y => struct(x.as("a"), y.as("b")))))
+
   /** Distinct candidate pairs (a < b) sharing at least one band bucket.
-    * Buckets larger than `maxBucket` are dropped (skew guard). */
+    * ONE pass + ONE shuffle: group docs per bucket (collect_list is
+    * bounded by the cap — oversized "boilerplate" buckets are dropped,
+    * the standard LSH skew guard), then expand each bucket's pairs
+    * expression-side. No self-join, so the upstream minhash pipeline is
+    * evaluated exactly once. */
   def candidatePairs(bandsDf: DataFrame, idCol: String, maxBucket: Int): DataFrame = {
-    val sized = bandsDf.groupBy(col("band_idx"), col("band_val"))
-      .agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n").between(2, maxBucket))
-      .select(col("band_idx"), col("band_val"))
-    val x = bandsDf.join(sized, Seq("band_idx", "band_val"))
-    val y = x.select(col("band_idx"), col("band_val"), col(idCol).as("b_id"))
-    x.join(y,
-        x("band_idx") === y("band_idx") && x("band_val") === y("band_val")
-          && col(idCol) < col("b_id"))
-      .select(col(idCol).as("a"), col("b_id").as("b"))
+    val buckets = bandsDf.groupBy(col("band_idx"), col("band_val"))
+      .agg(collect_list(col(idCol)).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+    buckets
+      .select(explode(trianglePairs(array_sort(col("ids")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
   }
 
@@ -89,7 +159,8 @@ object Dedup {
     val sigBits: Seq[Column] = (0 until bits).map { i =>
       when(col(s"v$i") >= 0, lit(1L << i)).otherwise(lit(0L))
     }
-    df.select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("tok"))
+    df.repartition(col(idCol))
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("tok"))
       .select(col(idCol), tokenHash.as("h"))
       .groupBy(col(idCol))
       .agg(votes.head, votes.tail: _*)
@@ -98,8 +169,9 @@ object Dedup {
 
   /** SimHash near-dup pairs: band the signature into `numBands` bit
     * slices (a pair within hamming distance numBands-1 shares >= 1 exact
-    * band), bucket-join, then verify true hamming distance <= maxHamming.
-    * Same no-all-pairs shape as MinHash LSH. */
+    * band), bucket by slice value, then verify true hamming distance <=
+    * maxHamming. Same one-pass grouped-bucket shape as candidatePairs —
+    * no self-join, no all-pairs. */
   def simhashPairs(sig: DataFrame, idCol: String, bits: Int, numBands: Int,
                    maxHamming: Int, maxBucket: Int): DataFrame = {
     val bandBits = bits / numBands
@@ -108,20 +180,19 @@ object Dedup {
       struct(lit(b).as("band_idx"),
         shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask)).as("band_val"))
     }
-    val banded = sig.select(col(idCol), col("simhash"), explode(array(bandCols: _*)).as("bv"))
-      .select(col(idCol), col("simhash"), col("bv.band_idx").as("band_idx"),
-        col("bv.band_val").as("band_val"))
-    val sized = banded.groupBy(col("band_idx"), col("band_val"))
-      .agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n").between(2, maxBucket))
-      .select(col("band_idx"), col("band_val"))
-    val x = banded.join(sized, Seq("band_idx", "band_val"))
-    val y = x.select(col("band_idx"), col("band_val"),
-      col(idCol).as("b_id"), col("simhash").as("b_sig"))
-    x.join(y, x("band_idx") === y("band_idx") && x("band_val") === y("band_val")
-        && col(idCol) < col("b_id"))
-      .select(col(idCol).as("a"), col("b_id").as("b"),
-        bit_count(col("simhash").bitwiseXOR(col("b_sig"))).as("hamming"))
+    val buckets = sig
+      .select(col(idCol), col("simhash"), explode(array(bandCols: _*)).as("bv"))
+      .groupBy(col("bv.band_idx"), col("bv.band_val"))
+      .agg(collect_list(struct(col(idCol).as("id"), col("simhash").as("sig"))).as("items"))
+      .filter(size(col("items")).between(2, maxBucket))
+    // sort by (id, sig): upper-triangle pairs come out a.id < b.id
+    val pairs = flatten(transform(array_sort(col("items")), (x, i) =>
+      transform(slice(array_sort(col("items")), i + lit(2), size(col("items"))),
+        y => struct(x.getField("id").as("a"), y.getField("id").as("b"),
+          bit_count(x.getField("sig").bitwiseXOR(y.getField("sig"))).as("hamming")))))
+    buckets
+      .select(explode(pairs).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"), col("p.hamming").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

@@ -30,8 +30,8 @@ object DedupQueries {
 
   /** D2: MinHash + LSH banding candidate pairs (no all-pairs join). */
   def d2MinhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = Dedup.shingleSets(docs(s, dir), "doc_id", "text", ShingleK)
-    Dedup.candidatePairs(Dedup.bands(sh, "doc_id", NumHashes, NumBands), "doc_id", MaxBucket)
+    val rows = Dedup.shingleRows(docs(s, dir), "doc_id", "text", ShingleK)
+    Dedup.candidatePairs(Dedup.bands(rows, "doc_id", NumHashes, NumBands), "doc_id", MaxBucket)
   }
 
   /** D3: SimHash signatures + banded near-dup pairs (rows-only + spec). */
@@ -43,9 +43,10 @@ object DedupQueries {
 
   /** D4: exact n-gram Jaccard verification on the LSH candidates only. */
   def d4JaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = Dedup.shingleSets(docs(s, dir), "doc_id", "text", ShingleK)
-    val cand = Dedup.candidatePairs(Dedup.bands(sh, "doc_id", NumHashes, NumBands),
+    val rows = Dedup.shingleRows(docs(s, dir), "doc_id", "text", ShingleK)
+    val cand = Dedup.candidatePairs(Dedup.bands(rows, "doc_id", NumHashes, NumBands),
       "doc_id", MaxBucket)
+    val sh = Dedup.shingleSets(docs(s, dir), "doc_id", "text", ShingleK)
     val sa = sh.select(col("doc_id").as("a"), col("shingles").as("sa"))
     val sb = sh.select(col("doc_id").as("b"), col("shingles").as("sb"))
     cand.join(sa, "a").join(sb, "b")
@@ -68,15 +69,19 @@ object DedupQueries {
     "d4_jaccard_pairs" -> (d4JaccardPairs _),
     "d5_embed_dedup" -> (d5EmbedDedup _))
 
-  /** Shared DuckDB CTE chain reproducing the md5 MinHash pipeline. */
+  /** Shared DuckDB CTE chain reproducing the MinHash pipeline exactly:
+    * one md5 per shingle → 60-bit int mod p, then the same affine mixes
+    * (coefficients inlined from Dedup.mixA/mixB). */
+  private val P = Dedup.MinhashPrime
+
   private val sigEntries = (0 until NumHashes)
-    .map(seed => s"list_min(list_transform(s, x -> md5(x || '#$seed')))")
+    .map(i => s"list_min(list_transform(h, v -> (v * ${Dedup.mixA(i)} + ${Dedup.mixB(i)}) % $P))")
     .mkString(",\n    ")
 
   private val bandSelects = (0 until NumBands).map { b =>
     val lo = b * (NumHashes / NumBands) + 1
     val hi = lo + NumHashes / NumBands - 1
-    s"SELECT doc_id, $b AS band_idx, md5(array_to_string(g[$lo:$hi], '|')) AS band_val FROM sig"
+    s"SELECT doc_id, $b AS band_idx, array_to_string(g[$lo:$hi], '|') AS band_val FROM sig"
   }.mkString("\n  UNION ALL ")
 
   private val candCtes =
@@ -87,10 +92,13 @@ object DedupQueries {
        |    range(1, greatest(len(w) - ${ShingleK - 1}, 0) + 1),
        |    i -> array_to_string(w[i:i+${ShingleK - 1}], ' '))) AS s
        |  FROM toks WHERE len(w) >= $ShingleK),
+       |hs AS (
+       |  SELECT doc_id, list_transform(s,
+       |    x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % $P) AS h FROM sh),
        |sig AS (
        |  SELECT doc_id, [
        |    $sigEntries
-       |  ] AS g FROM sh),
+       |  ] AS g FROM hs),
        |bands AS (
        |  $bandSelects),
        |sized AS (

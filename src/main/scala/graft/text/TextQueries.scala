@@ -70,11 +70,14 @@ object TextQueries {
   }
 
   /** T4: bottom-k fingerprint over distinct word 3-grams (md5-based, so
-    * the oracle reproduces it bit-for-bit). */
+    * the oracle reproduces it bit-for-bit). Runs on the codegen'd
+    * shingle-row shape shared with the dedup pack; docs shorter than k
+    * words have no shingles and therefore no fingerprint row. */
   def t4Fingerprint(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(
-      col("doc_id"),
-      fingerprint(shingles(tokens(col("text")), 3), 4).as("fp"))
+    graft.dedup.Dedup.shingleRows(docs(s, dir), "doc_id", "text", 3)
+      .select(col("doc_id"), md5(col("shingle")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(slice(array_sort(collect_set(col("h"))), 1, 4).as("fp"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_tokens" -> (t1Tokens _),
@@ -130,7 +133,8 @@ object TextQueries {
         |  string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
         |sh AS (SELECT doc_id, list_distinct(list_transform(
         |  range(1, greatest(len(w) - 2, 0) + 1),
-        |  i -> array_to_string(w[i:i+2], ' '))) AS s FROM t)
+        |  i -> array_to_string(w[i:i+2], ' '))) AS s FROM t
+        |  WHERE len(w) >= 3)
         |SELECT doc_id,
         |  (list_sort(list_transform(s, x -> md5(x))))[1:4] AS fp
         |FROM sh""".stripMargin)

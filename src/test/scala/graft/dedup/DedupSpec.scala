@@ -23,8 +23,9 @@ class DedupSpec extends SparkTestBase {
     .toDF("doc_id", "text")
 
   private lazy val shingled = Dedup.shingleSets(docs, "doc_id", "text", 3)
+  private lazy val shingleRows = Dedup.shingleRows(docs, "doc_id", "text", 3)
   private lazy val candidates = Dedup.candidatePairs(
-    Dedup.bands(shingled, "doc_id", numHashes = 16, numBands = 4), "doc_id", maxBucket = 100)
+    Dedup.bands(shingleRows, "doc_id", numHashes = 16, numBands = 4), "doc_id", maxBucket = 100)
     .as[(Long, Long)].collect().toSet
 
   test("D1: exact dedup groups identical texts, keeps first") {
@@ -47,7 +48,7 @@ class DedupSpec extends SparkTestBase {
   test("D2: bucket-size cap drops degenerate buckets") {
     // with maxBucket=1 no bucket qualifies -> no candidates
     val capped = Dedup.candidatePairs(
-      Dedup.bands(shingled, "doc_id", 16, 4), "doc_id", maxBucket = 1)
+      Dedup.bands(shingleRows, "doc_id", 16, 4), "doc_id", maxBucket = 1)
     assert(capped.count() == 0)
   }
 
