@@ -142,6 +142,11 @@ final case class GraftModel(
     c.superTypes.flatMap(allDerivations) ++ c.derivations
   }
 
+  /** Every addressable name in the model (reference: getEntityNames,
+    * Legend.scala:191 — classes, enums, mappings, services). */
+  def entityNames: Set[String] =
+    classes.keySet ++ enums.keySet ++ mappings.keySet ++ services.keySet
+
   def merge(other: GraftModel): GraftModel = GraftModel(
     classes ++ other.classes, enums ++ other.enums,
     mappings ++ other.mappings, services ++ other.services)
@@ -161,6 +166,15 @@ object ModelLoader {
 
   def fromFile(path: String): GraftModel =
     fromJson(Files.readString(Paths.get(path)))
+
+  /** Load and merge every .json model file under a directory (reference:
+    * LegendFileLoader.loadResources over an entity directory). */
+  def fromDirectory(dir: String): GraftModel = {
+    val files = Files.list(Paths.get(dir)).iterator().asScala
+      .filter(_.toString.endsWith(".json")).toSeq.sortBy(_.toString)
+    require(files.nonEmpty, s"no .json model files under [$dir]")
+    files.map(p => fromJson(Files.readString(p))).reduce(_ merge _)
+  }
 
   def fromResource(resource: String): GraftModel = {
     val in = getClass.getResourceAsStream(resource)

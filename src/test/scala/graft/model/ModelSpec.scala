@@ -206,6 +206,50 @@ class ModelSpec extends SparkTestBase {
     assert(p.entitySchema.fieldNames.contains("orderKey"))
   }
 
+  test("M1: entityNames lists all addressable names; directory loader merges files") {
+    assert(model.entityNames.contains("tpch::Customer"))
+    assert(model.entityNames.contains("tpch::Segment"))
+    assert(model.entityNames.contains("tpch::mapping::Orders"))
+    assert(model.entityNames.contains("tpch::service::SegmentStats"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-models")
+    java.nio.file.Files.writeString(dir.resolve("a.json"),
+      """{"classes": [{"name": "d::A", "properties": [{"name": "x", "type": "String"}]}]}""")
+    java.nio.file.Files.writeString(dir.resolve("b.json"),
+      """{"enums": [{"name": "d::E", "values": ["V"]}]}""")
+    val merged = ModelLoader.fromDirectory(dir.toString)
+    assert(merged.entityNames == Set("d::A", "d::E"))
+  }
+
+  test("M11: end-to-end mirror of the reference pipeline on raw JSON") {
+    // mirrors LegendSparkTest.scala:42-72: schema-enforced READ of raw
+    // entity-space records -> TRANSFORM -> VALIDATE -> count violations
+    // by rule -> DERIVE
+    val p = GraftPipeline(model, "tpch::mapping::Customer")
+    val dir = java.nio.file.Files.createTempDirectory("graft-json")
+    java.nio.file.Files.writeString(dir.resolve("customers.json"),
+      """{"name": "Customer#001", "nationKey": 1, "custKey": 1, "acctBal": 100.5, "mktSegment": "BUILDING"}
+        |{"name": "Customer#002", "nationKey": 2, "custKey": 2, "acctBal": -7.0, "mktSegment": "MACHINERY"}
+        |{"name": "wrong", "nationKey": 3, "custKey": 3, "acctBal": 1.0, "mktSegment": "BUILDING"}
+        |{"name": "Customer#004", "nationKey": 4, "custKey": 4, "acctBal": 9000.0, "mktSegment": "SAILBOATS"}
+        |""".stripMargin)
+    val bronze = p.read(spark, "json", dir.toString)
+    // file sources force nullable=true; names/types come from the model
+    // (null enforcement is validation's job, as in the reference)
+    assert(bronze.schema.fields.map(f => f.name -> f.dataType).toSeq ==
+      p.entitySchema.fields.map(f => f.name -> f.dataType).toSeq)
+    val gold = p.derive(p.validate(p.transform(bronze)))
+    val byRule = gold.select(explode(col("graft_violations")).as("rule"))
+      .groupBy("rule").count()
+      .as[(String, Long)].collect().toMap
+    assert(byRule == Map(
+      "positive account balance" -> 1L,
+      "customer name format" -> 1L,
+      "[mktSegment] not allowed value" -> 1L))
+    // derivations applied in the same plan
+    assert(gold.filter(col("balanceBand") === "NEGATIVE").count() == 1)
+    assert(p.clean(p.transform(bronze)).count() == 1)
+  }
+
   test("SqlRewrite renames only mapped attribute heads") {
     val out = SqlRewrite.rename("acctBal >= 0.0 AND other.x = 1",
       Map("acctBal" -> "c_acctbal"))
