@@ -31,6 +31,22 @@ object Expectations {
     }
   }
 
+  /** Per-rule compile results instead of fail-fast — an unparseable
+    * business constraint surfaces as a Failure without poisoning the
+    * rest (reference: getExpectations returns Map[rule, Try[sql]],
+    * Legend.scala:83-91). */
+  def compiledForClass(model: GraftModel, className: String): Map[String, scala.util.Try[String]] =
+    forClass(model, className).map { case (name, sql) =>
+      name -> scala.util.Try { SqlRewrite.validateSyntax(sql); sql }
+    }.toMap
+
+  def compiledForMapping(model: GraftModel, mappingName: String): Map[String, scala.util.Try[String]] = {
+    val m = model.mapping(mappingName)
+    forClass(model, m.entity).map { case (name, sql) =>
+      name -> scala.util.Try(SqlRewrite.rename(sql, m.fields))
+    }.toMap
+  }
+
   private def classRules(model: GraftModel, c: GraftClass, parent: String): Seq[(String, String)] = {
     val inherited = c.superTypes.flatMap(st => classRules(model, model.clazz(st), parent))
     val fromProps = c.properties.flatMap(propertyRules(model, _, parent))

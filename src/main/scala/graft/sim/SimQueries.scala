@@ -33,9 +33,16 @@ object SimQueries {
     Similarity.annTopK(vectors(s, dir), "vec_id", "embedding",
       numPlanes = 4, k = K, queryFilter = col("vec_id") < NumQueryVecs)
 
+  /** S3: IVF ANN top-k — 16 lists, 2 probes; data-dependent index
+    * structure beside s2's data-blind hyperplanes. */
+  def s3AnnIvf(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(vectors(s, dir), "vec_id", "embedding",
+      nlist = 16, nprobe = 2, k = K, queryFilter = col("vec_id") < NumQueryVecs)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_cosine_topk" -> (s1CosineTopK _),
-    "s2_ann_lsh" -> (s2AnnLsh _))
+    "s2_ann_lsh" -> (s2AnnLsh _),
+    "s3_ann_ivf" -> (s3AnnIvf _))
 
   val oracles: Map[String, String] = Map(
     "s1_cosine_topk" ->

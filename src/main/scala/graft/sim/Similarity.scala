@@ -96,6 +96,57 @@ object Similarity {
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** IVF (inverted-file) ANN top-k — the index-structure scale path
+    * beside hyperplane LSH.
+    *
+    * Build: `nlist` centroids are sampled deterministically from the
+    * corpus (every ceil(N/nlist)-th vector by id rank — data-dependent,
+    * unlike LSH's data-blind planes), broadcast, and every vector is
+    * assigned to its nearest centroid — one linear scan, nlist dot
+    * products per row, all map-side. Queries probe only their `nprobe`
+    * closest centroid lists, so query cost is corpus/nlist × nprobe
+    * instead of the full corpus.
+    *
+    * At cluster scale the assignment step would persist as a bucketed
+    * table keyed by centroid id (the "inverted file"); here the whole
+    * plan is one Catalyst tree: assignment shuffles once on list id and
+    * the probe is a broadcast semi-filter. */
+  def ivfTopK(vectors: DataFrame, idCol: String, vecCol: String,
+              nlist: Int, nprobe: Int, k: Int, queryFilter: Column): DataFrame = {
+    val spark = vectors.sparkSession
+    // deterministic centroid sample: rank vectors by id, take every
+    // ceil(N/nlist)-th — small collect (nlist rows) at build time
+    val n = vectors.count()
+    val step = math.max(1L, n / nlist)
+    val w = Window.orderBy(col(idCol))
+    val centroids = vectors
+      .select(col(idCol), col(vecCol).as("cvec"), row_number().over(w).as("rk"))
+      .filter((col("rk") - 1) % step === 0).limit(nlist)
+      .select((col("rk") / step).cast("int").as("list_id"), col("cvec"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+    def nearestLists(vec: Column, m: Int): Column = {
+      // top-m centroid ids by cosine: sort (negated sim, id) structs
+      val scored = array(centroids.map { case (cid, cv) =>
+        val cvec = array(cv.map(lit(_)): _*)
+        struct((-cosine(vec, cvec)).as("neg"), lit(cid).as("cid"))
+      }: _*)
+      slice(transform(array_sort(scored), s => s.getField("cid")), 1, m)
+    }
+    val assigned = vectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      element_at(nearestLists(col(vecCol), 1), 1).as("list_id"))
+    val queries = vectors.filter(queryFilter)
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+        explode(nearestLists(col(vecCol), nprobe)).as("list_id"))
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    assigned.join(broadcast(queries), Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("q_vec"), col("c_vec")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(rankW)).filter(col("rank") <= k)
+  }
+
   /** Embedding near-dup pairs (D5): LSH bucket join, then exact cosine
     * verify >= threshold on co-bucketed pairs only. */
   def embeddingDupPairs(vectors: DataFrame, idCol: String, vecCol: String,

@@ -250,6 +250,19 @@ class ModelSpec extends SparkTestBase {
     assert(p.clean(p.transform(bronze)).count() == 1)
   }
 
+  test("M3: Try-based compile surfaces bad constraints without failing the rest") {
+    val broken = ModelLoader.fromJson(
+      """{"classes": [{"name": "x::B",
+        |  "properties": [{"name": "v", "type": "Integer", "multiplicity": "[1]"}],
+        |  "constraints": [
+        |    {"name": "ok rule", "expr": "v > 0"},
+        |    {"name": "bad rule", "expr": "v >>>> 0"}]}]}""".stripMargin)
+    val compiled = Expectations.compiledForClass(broken, "x::B")
+    assert(compiled("ok rule").isSuccess)
+    assert(compiled("bad rule").isFailure)
+    assert(compiled("[v] is mandatory").isSuccess)
+  }
+
   test("SqlRewrite renames only mapped attribute heads") {
     val out = SqlRewrite.rename("acctBal >= 0.0 AND other.x = 1",
       Map("acctBal" -> "c_acctbal"))

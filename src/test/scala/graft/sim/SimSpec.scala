@@ -82,4 +82,17 @@ class SimSpec extends SparkTestBase {
     val plan = SimQueries.s2AnnLsh(spark, sfDir).queryExecution.sparkPlan.toString
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("S3: IVF recall vs brute force is high on clustered data") {
+    val vecs = clustered.toDF("vec_id", "embedding")
+    val queries = col("vec_id") === 0 || col("vec_id") === 10
+    val bf = Similarity.bruteForceTopK(
+      vecs.filter(queries), vecs, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(vecs, "vec_id", "embedding",
+      nlist = 4, nprobe = 2, k = 5, queryFilter = queries)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (bf intersect ivf).size.toDouble / bf.size
+    assert(recall >= 0.8, s"IVF recall $recall below 0.8")
+  }
 }
