@@ -221,7 +221,9 @@ object Relational {
     "q14_union" -> (q14Union _),
     "q15_events_window" -> (q15EventsWindow _),
     "q16_outer_join" -> (q16OuterJoin _),
-    "q17_sessions" -> (q17Sessions _))
+    "q17_sessions" -> (q17Sessions _),
+    "q18_salted_join" -> (SkewJoin.q18SaltedJoin _),
+    "q19_asof_join" -> (AsofJoin.q19AsofJoin _))
 
   val oracles: Map[String, String] = Map(
     "q1_agg" ->
@@ -322,6 +324,8 @@ object Relational {
         |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |  GROUP BY c_custkey)
         |GROUP BY c_count""".stripMargin,
+    "q18_salted_join" -> SkewJoin.oracle,
+    "q19_asof_join" -> AsofJoin.oracle,
     "q17_sessions" ->
       """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS num_sessions,
         |  count(*) AS num_events FROM (

@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Salted equi-join for skewed keys (SURVEY §2.2 R18, §4).
+  *
+  * When one join key carries a disproportionate share of rows ("hot
+  * key"), a plain shuffle join lands that key's entire volume on one
+  * task. Salting splits it: the skewed (probe) side adds a deterministic
+  * salt in [0, saltParts), the other (build) side is replicated once per
+  * salt value, and the join key becomes (key, salt) — the hot key now
+  * spreads over saltParts tasks. Cost: build side shuffles ×saltParts,
+  * so use it when probe skew dominates build size (the typical fact⨝dim
+  * or fact⨝smaller-fact shape). AQE's skew-join handles many cases at
+  * runtime; explicit salting is the deterministic-plan form that also
+  * works where AQE can't split (e.g. under aggregations keyed on the
+  * join key).
+  *
+  * The salt is content-derived (xxhash64 of the probe row's columns),
+  * not random — re-runs produce identical plans and results, and the
+  * join output is provably identical to the unsalted join (the gate
+  * checks q18 against a plain-join oracle). */
+object SkewJoin {
+
+  def saltedEquiJoin(skewed: DataFrame, other: DataFrame,
+                     skewedKey: String, otherKey: String,
+                     saltParts: Int): DataFrame = {
+    val salted = skewed.withColumn("graft_salt",
+      pmod(xxhash64(skewed.columns.map(col).toIndexedSeq: _*), lit(saltParts)))
+    val replicated = other.withColumn("graft_salt",
+      explode(array((0 until saltParts).map(lit(_)): _*)))
+    salted.join(replicated,
+        salted(skewedKey) === replicated(otherKey)
+          && salted("graft_salt") === replicated("graft_salt"))
+      .drop("graft_salt")
+  }
+
+  /** R18 gate query: lineitem (probe, salted) ⨝ orders (replicated) with
+    * revenue per priority — results identical to the unsalted join, which
+    * is exactly what the oracle asserts. Exact integer money space, as in
+    * q4. */
+  def q18SaltedJoin(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val li = graft.Tables(s, dir, "lineitem")
+      .withColumn("rev_e4",
+        round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long")))
+    val orders = graft.Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    saltedEquiJoin(li, orders, "l_orderkey", "o_orderkey", saltParts = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        (sum(col("rev_e4")) / lit(10000.0)).as("revenue"))
+  }
+
+  val oracle: String =
+    """SELECT o_orderpriority,
+      |  count(*) AS n_items,
+      |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |    * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1""".stripMargin
+}

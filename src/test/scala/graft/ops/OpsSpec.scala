@@ -1,0 +1,56 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+/** Semantics of the scale-technique operators (R18 salted join, R19
+  * as-of join). */
+class OpsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("R18: salted join result is identical to the plain join") {
+    val li = graft.Tables(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    val orders = graft.Tables(spark, sfDir, "orders")
+      .select("o_orderkey", "o_orderpriority")
+    val plain = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val salted = SkewJoin.saltedEquiJoin(li, orders, "l_orderkey", "o_orderkey", 8)
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(plain == salted)
+    assert(plain.nonEmpty)
+  }
+
+  test("R18: salt column does not leak into the output") {
+    val out = SkewJoin.q18SaltedJoin(spark, sfDir)
+    assert(!out.columns.contains("graft_salt"))
+  }
+
+  test("R19: as-of picks the latest right row at-or-before each left time") {
+    def ts(m: Long) = new Timestamp(m * 60000)
+    val left = Seq((1L, ts(10), "a"), (1L, ts(30), "b"), (1L, ts(5), "c"), (2L, ts(10), "d"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, ts(8), 100.0), (1L, ts(10), 200.0), (1L, ts(25), 300.0))
+      .toDF("k", "rt", "v")
+      .select(col("k"), col("rt"), col("rt").as("m_t"), col("v").as("m_v"))
+    val out = AsofJoin.asof(left, right.select("k", "rt", "m_t", "m_v"),
+      "k", "t", "rt", Seq("m_t", "m_v"))
+      .select(col("tag"), col("m_v")).collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(out("a").contains(200.0))  // ts(10): matches the ts(10) purchase (>= semantics)
+    assert(out("b").contains(300.0))  // ts(30): latest is ts(25)
+    assert(out("c").isEmpty)          // ts(5): nothing at or before
+    assert(out("d").isEmpty)          // key 2: no right rows
+  }
+
+  test("R19: as-of join plan has no cartesian or range explosion") {
+    val plan = AsofJoin.q19AsofJoin(spark, sfDir).queryExecution.sparkPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+}
