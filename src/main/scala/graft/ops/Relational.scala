@@ -223,7 +223,8 @@ object Relational {
     "q16_outer_join" -> (q16OuterJoin _),
     "q17_sessions" -> (q17Sessions _),
     "q18_salted_join" -> (SkewJoin.q18SaltedJoin _),
-    "q19_asof_join" -> (AsofJoin.q19AsofJoin _))
+    "q19_asof_join" -> (AsofJoin.q19AsofJoin _),
+    "q20_hotkey_salted_join" -> (SkewJoin.q20HotKeySaltedJoin _))
 
   val oracles: Map[String, String] = Map(
     "q1_agg" ->
@@ -326,6 +327,7 @@ object Relational {
         |GROUP BY c_count""".stripMargin,
     "q18_salted_join" -> SkewJoin.oracle,
     "q19_asof_join" -> AsofJoin.oracle,
+    "q20_hotkey_salted_join" -> SkewJoin.hotKeyOracle,
     "q17_sessions" ->
       """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS num_sessions,
         |  count(*) AS num_events FROM (

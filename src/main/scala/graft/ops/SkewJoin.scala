@@ -36,6 +36,42 @@ object SkewJoin {
       .drop("graft_salt")
   }
 
+  /** Two-level salting: only keys whose probe-side row count exceeds
+    * `hotThreshold` get salted (and only their build rows replicate);
+    * the cold majority takes the plain join path. This is the form that
+    * scales — uniform salting replicates the ENTIRE build side
+    * ×saltParts, hot-key salting replicates only the hot keys' build
+    * rows. Costs one extra aggregation pass over the probe side to find
+    * the heavy hitters (broadcast back as a tiny set). Results are
+    * provably identical to the plain join (q20's oracle). */
+  def saltedHotKeyJoin(skewed: DataFrame, other: DataFrame,
+                       skewedKey: String, otherKey: String,
+                       saltParts: Int, hotThreshold: Long): DataFrame = {
+    val hot = skewed.groupBy(col(skewedKey)).agg(count(lit(1)).as("graft_kn"))
+      .filter(col("graft_kn") > hotThreshold)
+      .select(col(skewedKey).as("graft_hot_key"))
+    val salted = skewed
+      .join(broadcast(hot), skewed(skewedKey) === col("graft_hot_key"), "left")
+      .withColumn("graft_salt",
+        when(col("graft_hot_key").isNotNull,
+          pmod(xxhash64(skewed.columns.map(col).toIndexedSeq: _*), lit(saltParts)))
+          .otherwise(lit(0)))
+      .drop("graft_hot_key")
+    val replicated = other
+      .join(broadcast(hot), other(otherKey) === col("graft_hot_key"), "left")
+      // generators can't sit inside CASE: explode a conditional array
+      // instead — hot keys fan out ×saltParts, cold keys stay single
+      .withColumn("graft_salt", explode(
+        when(col("graft_hot_key").isNotNull,
+          array((0 until saltParts).map(lit(_)): _*))
+          .otherwise(array(lit(0)))))
+      .drop("graft_hot_key")
+    salted.join(replicated,
+        salted(skewedKey) === replicated(otherKey)
+          && salted("graft_salt") === replicated("graft_salt"))
+      .drop("graft_salt")
+  }
+
   /** R18 gate query: lineitem (probe, salted) ⨝ orders (replicated) with
     * revenue per priority — results identical to the unsalted join, which
     * is exactly what the oracle asserts. Exact integer money space, as in
@@ -58,6 +94,28 @@ object SkewJoin {
       |  count(*) AS n_items,
       |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)
       |    * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1""".stripMargin
+
+  /** R20 gate query: hot-key-only salting on the same join — identical
+    * results to the plain join, different aggregation so q18/q20 stay
+    * distinguishable. Threshold 5 makes some lineitem orderkeys "hot"
+    * (~4 rows/key average) so both the salted and plain paths carry
+    * rows. */
+  def q20HotKeySaltedJoin(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val li = graft.Tables(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val orders = graft.Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    saltedHotKeyJoin(li, orders, "l_orderkey", "o_orderkey",
+      saltParts = 4, hotThreshold = 5)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_items"), round(sum(col("l_quantity")), 2).as("total_qty"))
+  }
+
+  val hotKeyOracle: String =
+    """SELECT o_orderstatus, count(*) AS n_items,
+      |  round(sum(l_quantity), 2) AS total_qty
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1""".stripMargin
 }

@@ -31,6 +31,18 @@ class OpsSpec extends SparkTestBase {
     assert(!out.columns.contains("graft_salt"))
   }
 
+  test("R20: hot-key salting matches plain join; only hot keys replicate") {
+    val probe = (1 to 100).map(i => (if (i <= 60) 1L else i.toLong, i)).toDF("k", "v")
+    val build = (1L to 100L).map(k => (k, s"p$k")).toDF("bk", "payload")
+    val plain = probe.join(build, col("k") === col("bk"))
+      .groupBy("k").agg(count(lit(1)).as("n")).as[(Long, Long)].collect().toMap
+    val salted = SkewJoin.saltedHotKeyJoin(probe, build, "k", "bk",
+      saltParts = 4, hotThreshold = 10)
+      .groupBy("k").agg(count(lit(1)).as("n")).as[(Long, Long)].collect().toMap
+    assert(salted == plain)
+    assert(salted(1L) == 60)  // the hot key survives intact
+  }
+
   test("R19: as-of picks the latest right row at-or-before each left time") {
     def ts(m: Long) = new Timestamp(m * 60000)
     val left = Seq((1L, ts(10), "a"), (1L, ts(30), "b"), (1L, ts(5), "c"), (2L, ts(10), "d"))
