@@ -111,7 +111,61 @@ object DedupQueries {
        |  JOIN bands y ON x.band_idx = y.band_idx AND x.band_val = y.band_val
        |  WHERE x.doc_id < y.doc_id)""".stripMargin
 
+  /** d5's hyperplane buckets inlined as literal ±1 arrays (deterministic
+    * constants shared with Similarity.hyperplanes) — upgrades d5 from a
+    * rows-only check to an exact oracle. */
+  private def d5BucketSql: String =
+    Similarity.hyperplanes(8, 64).zipWithIndex.map { case (plane, p) =>
+      val arr = plane.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      s"(CASE WHEN list_dot_product(v, $arr) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** d3's SimHash reproduced in SQL: per-token md5 → 60-bit int, 60
+    * bit-vote sums per doc, sign → signature bit, 15-bit band buckets,
+    * hamming verify — every step integer arithmetic both engines share. */
+  private def d3Sql: String = {
+    val bits = 60
+    val voteCols = (0 until bits)
+      .map(i => s"sum(((h >> $i) & 1) * 2 - 1) AS v$i").mkString(",\n    ")
+    val sigExpr = (0 until bits)
+      .map(i => s"(CASE WHEN v$i >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+    val bandSelects = (0 until 4).map { b =>
+      s"SELECT doc_id, s, $b AS band_idx, (s >> ${b * 15}) & 32767 AS band_val FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+       |  FROM documents),
+       |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+       |votes AS (SELECT doc_id,
+       |    $voteCols
+       |  FROM h GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $sigExpr AS s FROM votes),
+       |bands AS (
+       |  $bandSelects),
+       |sized AS (SELECT band_idx, band_val FROM bands GROUP BY 1, 2
+       |  HAVING count(*) BETWEEN 2 AND $MaxBucket)
+       |SELECT a, b, hamming FROM (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+       |    bit_count(xor(x.s, y.s)) AS hamming
+       |  FROM bands x
+       |  JOIN sized z ON x.band_idx = z.band_idx AND x.band_val = z.band_val
+       |  JOIN bands y ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+       |  WHERE x.doc_id < y.doc_id)
+       |WHERE hamming <= 10""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "d3_simhash" -> d3Sql,
+    "d5_embed_dedup" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, $d5BucketSql AS bucket FROM e)
+         |SELECT a, b, cos_sim FROM (
+         |  SELECT x.vec_id AS a, y.vec_id AS b,
+         |    round(list_dot_product(x.v, y.v) /
+         |      (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6)
+         |      AS cos_sim
+         |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+         |WHERE cos_sim >= 0.9""".stripMargin,
     "d1_exact_dedup" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,

@@ -44,7 +44,71 @@ object SimQueries {
     "s2_ann_lsh" -> (s2AnnLsh _),
     "s3_ann_ivf" -> (s3AnnIvf _))
 
+  /** Literal DuckDB array for one hyperplane (the planes are
+    * deterministic md5-derived constants — inlining them makes the LSH
+    * pipeline exactly oracle-reproducible). */
+  private def planeSql(plane: Array[Double]): String =
+    plane.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+
+  /** Bucket expression: bit p set iff dot(v, plane_p) >= 0 — mirrors
+    * Similarity.lshBucket with identical double arithmetic. */
+  private def bucketSql(numPlanes: Int): String =
+    Similarity.hyperplanes(numPlanes, 64).zipWithIndex.map { case (plane, p) =>
+      s"(CASE WHEN list_dot_product(v, ${planeSql(plane)}) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+
+  private val cosSql =
+    "round(list_dot_product(x.v, y.v) / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6)"
+
   val oracles: Map[String, String] = Map(
+    "s3_ann_ivf" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |params AS (SELECT greatest(1, count(*) // 16) AS step FROM e),
+         |ranked AS (SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rk FROM e),
+         |cent AS (
+         |  SELECT CAST(floor(rk / step) AS INT) AS list_id, v AS cv
+         |  FROM ranked, params
+         |  WHERE (rk - 1) % step = 0 AND floor((rk - 1) / step) < 16),
+         |scored AS (
+         |  SELECT r.vec_id, r.v, c.list_id,
+         |    list_dot_product(r.v, c.cv) /
+         |      (sqrt(list_dot_product(r.v, r.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+         |  FROM ranked r, cent c),
+         |assign AS (
+         |  SELECT vec_id, v, list_id FROM (
+         |    SELECT vec_id, v, list_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, list_id ASC) AS rr
+         |    FROM scored) WHERE rr = 1),
+         |probe AS (
+         |  SELECT vec_id AS query_id, v AS qv, list_id FROM (
+         |    SELECT vec_id, v, list_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, list_id ASC) AS rr
+         |    FROM scored WHERE vec_id < $NumQueryVecs) WHERE rr <= 2),
+         |cand AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id,
+         |    round(list_dot_product(p.qv, a.v) /
+         |      (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))), 6)
+         |      AS cos_sim
+         |  FROM probe p JOIN assign a ON p.list_id = a.list_id AND a.vec_id != p.query_id)
+         |SELECT query_id, neighbor_id, cos_sim, rank FROM (
+         |  SELECT query_id, neighbor_id, cos_sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+         |  FROM cand)
+         |WHERE rank <= $K""".stripMargin,
+    "s2_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, ${bucketSql(4)} AS bucket FROM e),
+         |q AS (SELECT * FROM b WHERE vec_id < $NumQueryVecs),
+         |scored AS (
+         |  SELECT x.vec_id AS query_id, y.vec_id AS neighbor_id, $cosSql AS cos_sim
+         |  FROM q x JOIN b y ON x.bucket = y.bucket AND x.vec_id != y.vec_id)
+         |SELECT query_id, neighbor_id, cos_sim, rank FROM (
+         |  SELECT query_id, neighbor_id, cos_sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+         |  FROM scored)
+         |WHERE rank <= $K""".stripMargin,
     "s1_cosine_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |q AS (SELECT * FROM e WHERE vec_id < $NumQueryVecs),

@@ -121,7 +121,9 @@ object Similarity {
     val w = Window.orderBy(col(idCol))
     val centroids = vectors
       .select(col(idCol), col(vecCol).as("cvec"), row_number().over(w).as("rk"))
-      .filter((col("rk") - 1) % step === 0).limit(nlist)
+      // rank bound instead of limit(): deterministic regardless of
+      // partition ordering
+      .filter((col("rk") - 1) % step === 0 && (col("rk") - 1) / step < nlist)
       .select((col("rk") / step).cast("int").as("list_id"), col("cvec"))
       .collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
