@@ -140,6 +140,42 @@ object Dedup {
       .distinct()
   }
 
+  /** Duplicate-group resolution (D6): connected components over the
+    * near-dup pair graph, so each duplicate cluster elects one canonical
+    * keeper (the minimum id). Iterative min-label propagation — the
+    * standard distributed-CC shape (each round: every node takes the min
+    * label among itself and its neighbours; converges in O(diameter)
+    * rounds, and near-dup clusters have tiny diameters). Per round: one
+    * join + one aggregate; `localCheckpoint` cuts the growing lineage so
+    * round N doesn't replan rounds 1..N-1. The driver-side loop only
+    * ever moves one scalar (the convergence count). */
+  def duplicateGroups(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a"), col("b"))
+      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+    var labels = edges.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      val neighborMin = edges
+        .join(labels, edges("b") === labels("id"))
+        .groupBy(edges("a").as("nid"))
+        .agg(min(col("label")).as("nlabel"))
+      val updated = labels
+        .join(neighborMin, labels("id") === col("nid"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = updated.join(labels.withColumnsRenamed(Map("label" -> "old")), "id")
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = updated
+      iter += 1
+    }
+    labels.groupBy(col("label").as("group_id"))
+      .agg(count(lit(1)).as("n_members"), sort_array(collect_list(col("id"))).as("members"))
+  }
+
   /** Exact Jaccard over two distinct-element shingle arrays. Integer
     * counts + one double division: bit-identical across engines. */
   def jaccard(a: Column, b: Column): Column = {

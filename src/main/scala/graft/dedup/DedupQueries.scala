@@ -62,12 +62,18 @@ object DedupQueries {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding")),
       "vec_id", "embedding", numPlanes = 8, threshold = 0.9)
 
+  /** D6: duplicate clusters from the D2 candidate graph — connected
+    * components elect each cluster's canonical keeper. */
+  def d6DupGroups(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateGroups(d2MinhashPairs(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> (d1ExactDedup _),
     "d2_minhash_pairs" -> (d2MinhashPairs _),
     "d3_simhash" -> (d3Simhash _),
     "d4_jaccard_pairs" -> (d4JaccardPairs _),
-    "d5_embed_dedup" -> (d5EmbedDedup _))
+    "d5_embed_dedup" -> (d5EmbedDedup _),
+    "d6_dup_groups" -> (d6DupGroups _))
 
   /** Shared DuckDB CTE chain reproducing the MinHash pipeline exactly:
     * one md5 per shingle → 60-bit int mod p, then the same affine mixes
@@ -154,7 +160,22 @@ object DedupQueries {
        |WHERE hamming <= 10""".stripMargin
   }
 
+  /** d6: connected components via a recursive transitive-closure CTE
+    * over the same candidate graph, labels = min reachable id. */
+  private def d6Sql: String =
+    s"""${candCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |und AS (SELECT a, b FROM cand UNION SELECT b AS a, a AS b FROM cand),
+       |nodes AS (SELECT DISTINCT a AS id FROM und),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT u.a, reach.r FROM und u JOIN reach ON reach.id = u.b)
+       |SELECT label AS group_id, count(*) AS n_members, list_sort(list(id)) AS members
+       |FROM (SELECT id, min(r) AS label FROM reach GROUP BY id)
+       |GROUP BY 1""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "d6_dup_groups" -> d6Sql,
     "d3_simhash" -> d3Sql,
     "d5_embed_dedup" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

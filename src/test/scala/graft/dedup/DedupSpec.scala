@@ -95,6 +95,17 @@ class DedupSpec extends SparkTestBase {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("D6: connected components merge transitive near-dup chains") {
+    // chain 1-2, 2-3 plus isolated pair 7-9: two components
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("a", "b")
+    val groups = Dedup.duplicateGroups(pairs)
+      .as[(Long, Long, Seq[Long])].collect()
+      .map(g => g._1 -> (g._2, g._3)).toMap
+    assert(groups.keySet == Set(1L, 7L))
+    assert(groups(1L) == (3L, Seq(1L, 2L, 3L)))
+    assert(groups(7L) == (2L, Seq(7L, 9L)))
+  }
+
   test("gate queries: no cartesian product in any dedup plan") {
     for (name <- Seq("d2_minhash_pairs", "d3_simhash", "d4_jaccard_pairs", "d5_embed_dedup")) {
       val plan = DedupQueries.queries(name)(spark, sfDir).queryExecution.sparkPlan.toString
