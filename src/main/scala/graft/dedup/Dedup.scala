@@ -150,8 +150,12 @@ object Dedup {
     * round N doesn't replan rounds 1..N-1. The driver-side loop only
     * ever moves one scalar (the convergence count). */
   def duplicateGroups(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+    // materialize the edge list once — every iteration joins it, and
+    // without the checkpoint each round would re-run the entire
+    // candidate-generation pipeline that produced `pairs`
     val edges = pairs.select(col("a"), col("b"))
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
     var labels = edges.select(col("a").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
       .localCheckpoint()
