@@ -69,6 +69,32 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == batchMirror)
   }
 
+  test("ST2: file-source stream over the real events table matches the batch window") {
+    // readStream from parquet (the production source shape), windows in
+    // Complete mode so every window is present for the full comparison
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"))
+    val raw = spark.read.parquet(dir.toString) // ts read as long nanos
+    val toMicros = (df: org.apache.spark.sql.DataFrame) =>
+      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val stream = toMicros(spark.readStream.schema(raw.schema).parquet(dir.toString))
+    val q = Streaming.tumblingCounts(stream)
+      .writeStream.format("memory").queryName("st2_file_out")
+      .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("st2_file_out")
+      .as[(String, String, Long, Double)].collect().toSet
+    val batch = toMicros(raw)
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("total_value"))
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("ST3: stateful sessionization carries state across batches") {
     val input = MemoryStream[StreamEvent](spark)
     // idle-state timeout off: processing-time timers would schedule
