@@ -76,6 +76,44 @@ object Multimodal {
     }
   }
 
+  /** Batched variant — the Scala shape of mapInPandas: rows stream
+    * through in bounded groups so a vectorizing decoder amortizes per
+    * BATCH, while `grouped` on the iterator keeps memory at
+    * O(batchSize), never the partition. */
+  def extractFeaturesBatched(media: Dataset[MediaRecord], batchSize: Int = 64,
+                             bins: Int = 16): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // a real vectorized decoder would process `batch` in one call
+        batch.map(r => MediaFeatures(r.doc_id, r.format, r.n_bytes, decodeStub(r.payload, bins)))
+      }
+    }
+  }
+
+  /** Resize stub (image-pipeline seam): deterministic re-bucketing of
+    * the payload to a target cell count — stands in for a bilinear
+    * resize; output length is exactly targetCells regardless of input. */
+  def resizeStub(payload: Array[Byte], targetCells: Int): Array[Double] = {
+    if (payload.isEmpty) return new Array[Double](targetCells)
+    val out = new Array[Double](targetCells)
+    val counts = new Array[Int](targetCells)
+    payload.zipWithIndex.foreach { case (b, i) =>
+      val cell = (i.toLong * targetCells / payload.length).toInt
+      out(cell) += (b & 0xff); counts(cell) += 1
+    }
+    out.zip(counts).map { case (s, c) => if (c == 0) 0.0 else s / c / 255.0 }
+  }
+
+  /** Frame-sample stub (video/audio seam): every `stride`-th
+    * fixed-length window of the payload, capped at maxFrames —
+    * deterministic stand-in for keyframe extraction. */
+  def frameSampleStub(payload: Array[Byte], frameLen: Int, stride: Int,
+                      maxFrames: Int): Seq[Array[Byte]] =
+    (0 until payload.length by stride)
+      .take(maxFrames)
+      .map(off => payload.slice(off, math.min(off + frameLen, payload.length)))
+
   /** X1 gate query: metadata plumbing end-to-end (oracle-checked — the
     * md5-derived dims and byte lengths reproduce in DuckDB exactly). */
   def x1MultimodalMeta(s: SparkSession, dir: String): DataFrame =

@@ -37,6 +37,28 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.decodeStub(Array.emptyByteArray).sum == 0.0)
   }
 
+  test("X1: batched extraction equals per-row extraction; batches bound memory") {
+    val ds = media.as[MediaRecord]
+    val perRow = Multimodal.extractFeatures(ds)
+      .collect().map(f => f.doc_id -> f.features.toSeq).toMap
+    val batched = Multimodal.extractFeaturesBatched(ds, batchSize = 7)
+      .collect().map(f => f.doc_id -> f.features.toSeq).toMap
+    assert(perRow == batched)
+  }
+
+  test("X1: resize and frame-sample stubs are deterministic and shape-correct") {
+    val bytes = (0 until 1000).map(i => (i % 251).toByte).toArray
+    val r1 = Multimodal.resizeStub(bytes, 32)
+    assert(r1.length == 32)
+    assert(r1.toSeq == Multimodal.resizeStub(bytes, 32).toSeq)
+    assert(r1.forall(v => v >= 0.0 && v <= 1.0))
+    assert(Multimodal.resizeStub(Array.emptyByteArray, 8).toSeq == Seq.fill(8)(0.0))
+    val frames = Multimodal.frameSampleStub(bytes, frameLen = 100, stride = 250, maxFrames = 3)
+    assert(frames.size == 3)
+    assert(frames.forall(_.length == 100))
+    assert(frames.head.toSeq == bytes.slice(0, 100).toSeq)
+  }
+
   test("X1: feature extraction preserves rows, ids, and batch shape") {
     val ds = media.as[MediaRecord]
     val feats = Multimodal.extractFeatures(ds)
