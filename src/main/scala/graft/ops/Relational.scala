@@ -204,6 +204,21 @@ object Relational {
       .agg(sum(col("new_session")).as("num_sessions"), count(lit(1)).as("num_events"))
   }
 
+  /** R21: sliding-frame window aggregate — moving sum/count over the
+    * previous 3 + current events per user. Money in exact cents: Spark
+    * maintains sliding frames incrementally (add/remove), which drifts
+    * from a recompute in floating point but is exact in integers. */
+  def q21MovingWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(-3, Window.currentRow)
+    t(s, dir, "events")
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .select(col("event_id"), col("user_id"),
+        sum(col("cents")).over(w).as("msum_cents"),
+        count(lit(1)).over(w).as("n_window"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_filter_project" -> (q2FilterProject _),
@@ -224,7 +239,8 @@ object Relational {
     "q17_sessions" -> (q17Sessions _),
     "q18_salted_join" -> (SkewJoin.q18SaltedJoin _),
     "q19_asof_join" -> (AsofJoin.q19AsofJoin _),
-    "q20_hotkey_salted_join" -> (SkewJoin.q20HotKeySaltedJoin _))
+    "q20_hotkey_salted_join" -> (SkewJoin.q20HotKeySaltedJoin _),
+    "q21_moving_window" -> (q21MovingWindow _))
 
   val oracles: Map[String, String] = Map(
     "q1_agg" ->
@@ -328,6 +344,13 @@ object Relational {
     "q18_salted_join" -> SkewJoin.oracle,
     "q19_asof_join" -> AsofJoin.oracle,
     "q20_hotkey_salted_join" -> SkewJoin.hotKeyOracle,
+    "q21_moving_window" ->
+      """SELECT event_id, user_id,
+        |  sum(CAST(round(value * 100) AS BIGINT)) OVER w AS msum_cents,
+        |  count(*) OVER w AS n_window
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q17_sessions" ->
       """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS num_sessions,
         |  count(*) AS num_events FROM (

@@ -79,11 +79,23 @@ object TextQueries {
       .groupBy(col("doc_id"))
       .agg(slice(array_sort(collect_set(col("h"))), 1, 4).as("fp"))
 
+  /** T5: corpus-level term statistics — top 25 terms by document
+    * frequency with total occurrence counts. Explode + two-level
+    * aggregate; the final top-k is orderBy+limit (TakeOrdered). */
+  def t5TopTerms(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("doc_freq"), count(lit(1)).as("occurrences"))
+      .orderBy(col("doc_freq").desc, col("occurrences").desc, col("term").asc)
+      .limit(25)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_tokens" -> (t1Tokens _),
     "t2_quality" -> (t2Quality _),
     "t3_langid" -> (t3LangId _),
-    "t4_fingerprint" -> (t4Fingerprint _))
+    "t4_fingerprint" -> (t4Fingerprint _),
+    "t5_top_terms" -> (t5TopTerms _))
 
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -128,6 +140,14 @@ object TextQueries {
          |    WHEN es_hits > 0 THEN 'es'
          |    ELSE 'unknown' END AS predicted
          |FROM h""".stripMargin,
+    "t5_top_terms" ->
+      """SELECT term, doc_freq, occurrences FROM (
+        |  SELECT term, count(DISTINCT doc_id) AS doc_freq, count(*) AS occurrences
+        |  FROM (SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |    FROM documents)
+        |  GROUP BY term)
+        |ORDER BY doc_freq DESC, occurrences DESC, term ASC LIMIT 25""".stripMargin,
     "t4_fingerprint" ->
       """WITH t AS (SELECT doc_id,
         |  string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),

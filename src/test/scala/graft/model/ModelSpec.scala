@@ -263,6 +263,28 @@ class ModelSpec extends SparkTestBase {
     assert(compiled("[v] is mandatory").isSuccess)
   }
 
+  test("schema drift: missing/extra/type/nullability divergences detected") {
+    import org.apache.spark.sql.types._
+    val expected = SchemaGen.schemaOfMapping(model, "tpch::mapping::Customer")
+    // actual table: c_name dropped, c_acctbal became string, extra col
+    val actual = StructType(Seq(
+      StructField("c_nationkey", IntegerType, nullable = true),
+      StructField("c_custkey", LongType, nullable = false),
+      StructField("c_acctbal", StringType, nullable = true),
+      StructField("c_mktsegment", StringType, nullable = true),
+      StructField("c_extra", StringType, nullable = true)))
+    val drifts = SchemaDiff.diff(expected, actual)
+    val byField = drifts.groupBy(_.field)
+    assert(byField("c_name").map(_.kind) == Seq(SchemaDiff.MissingColumn))
+    assert(byField("c_extra").map(_.kind) == Seq(SchemaDiff.UnexpectedColumn))
+    assert(byField("c_acctbal").map(_.kind) == Seq(SchemaDiff.TypeMismatch))
+    assert(byField("c_nationkey").map(_.kind).contains(SchemaDiff.NullabilityWeakened))
+    assert(!SchemaDiff.conforms(model, "tpch::mapping::Customer", actual))
+    // the real table conforms
+    val real = graft.Tables(spark, sfDir, "customer").schema
+    assert(SchemaDiff.conforms(model, "tpch::mapping::Customer", real))
+  }
+
   test("SqlRewrite renames only mapped attribute heads") {
     val out = SqlRewrite.rename("acctBal >= 0.0 AND other.x = 1",
       Map("acctBal" -> "c_acctbal"))
