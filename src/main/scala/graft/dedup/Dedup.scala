@@ -150,15 +150,26 @@ object Dedup {
     * round N doesn't replan rounds 1..N-1. The driver-side loop only
     * ever moves one scalar (the convergence count). */
   def duplicateGroups(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+    // localCheckpoint persists its backing RDD in the block manager but
+    // Dataset.unpersist can't reach it; capture the handle by diffing the
+    // persistent-RDD registry around the call so each round's blocks can
+    // be freed once superseded (without this, Bench/Verify accumulate
+    // every round's label blocks for the whole session)
+    def checkpointed(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint()
+      (out, (sc.getPersistentRDDs -- before).values.toSeq)
+    }
     // materialize the edge list once — every iteration joins it, and
     // without the checkpoint each round would re-run the entire
     // candidate-generation pipeline that produced `pairs`
-    val edges = pairs.select(col("a"), col("b"))
-      .union(pairs.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint()
-    var labels = edges.select(col("a").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
-      .localCheckpoint()
+    val (edges, edgeBlocks) = checkpointed(
+      pairs.select(col("a"), col("b"))
+        .union(pairs.select(col("b").as("a"), col("a").as("b"))))
+    var (labels, labelBlocks) = checkpointed(
+      edges.select(col("a").as("id")).distinct()
+        .select(col("id"), col("id").as("label")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
@@ -166,18 +177,29 @@ object Dedup {
         .join(labels, edges("b") === labels("id"))
         .groupBy(edges("a").as("nid"))
         .agg(min(col("label")).as("nlabel"))
-      val updated = labels
-        .join(neighborMin, labels("id") === col("nid"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .localCheckpoint()
+      val (updated, updatedBlocks) = checkpointed(
+        labels
+          .join(neighborMin, labels("id") === col("nid"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nlabel"), col("label"))).as("label")))
       converged = updated.join(labels.withColumnsRenamed(Map("label" -> "old")), "id")
         .filter(col("label") =!= col("old")).isEmpty
+      // `updated` is materialized (eager checkpoint) and the convergence
+      // check above was the last read of the previous round — free it
+      labelBlocks.foreach(_.unpersist(blocking = false))
       labels = updated
+      labelBlocks = updatedBlocks
       iter += 1
     }
+    // the final labels checkpoint is self-contained, so the edge blocks
+    // are no longer reachable from the returned (lazy) plan
+    edgeBlocks.foreach(_.unpersist(blocking = false))
     labels.groupBy(col("label").as("group_id"))
-      .agg(count(lit(1)).as("n_members"), sort_array(collect_list(col("id"))).as("members"))
+      .agg(count(lit(1)).as("n_members"),
+        // id-sorted, comma-joined: groups are bounded (near-dup clusters),
+        // and the string form is hashable by any downstream engine
+        concat_ws(",", transform(sort_array(collect_list(col("id"))),
+          _.cast("string"))).as("members"))
   }
 
   /** Exact Jaccard over two distinct-element shingle arrays. Integer

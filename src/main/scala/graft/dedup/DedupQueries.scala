@@ -54,13 +54,20 @@ object DedupQueries {
       .filter(col("jac") >= JaccardThreshold)
   }
 
-  /** D5: embedding-cosine near-dup via hyperplane LSH buckets
-    * (rows-only + spec). */
+  /** D5: embedding-cosine near-dup via hyperplane LSH buckets. The gate
+    * corpus is synthetic with no planted near-dups (max pairwise cosine
+    * ≈ 0.51), so the operating point (4 planes, τ=0.4) is chosen to
+    * surface real positives — the gate then proves pair semantics, not
+    * just an empty intersection. Planted-pair semantics at a production
+    * threshold are covered in DedupSpec. */
+  val EmbedPlanes = 4
+  val EmbedThreshold = 0.4
+
   def d5EmbedDedup(s: SparkSession, dir: String): DataFrame =
     Similarity.embeddingDupPairs(
       Tables(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding")),
-      "vec_id", "embedding", numPlanes = 8, threshold = 0.9)
+      "vec_id", "embedding", numPlanes = EmbedPlanes, threshold = EmbedThreshold)
 
   /** D6: duplicate clusters from the D2 candidate graph — connected
     * components elect each cluster's canonical keeper. */
@@ -121,7 +128,7 @@ object DedupQueries {
     * constants shared with Similarity.hyperplanes) — upgrades d5 from a
     * rows-only check to an exact oracle. */
   private def d5BucketSql: String =
-    Similarity.hyperplanes(8, 64).zipWithIndex.map { case (plane, p) =>
+    Similarity.hyperplanes(EmbedPlanes, 64).zipWithIndex.map { case (plane, p) =>
       val arr = plane.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
       s"(CASE WHEN list_dot_product(v, $arr) >= 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString(" + ")
@@ -170,7 +177,8 @@ object DedupQueries {
        |  SELECT id, id FROM nodes
        |  UNION
        |  SELECT u.a, reach.r FROM und u JOIN reach ON reach.id = u.b)
-       |SELECT label AS group_id, count(*) AS n_members, list_sort(list(id)) AS members
+       |SELECT label AS group_id, count(*) AS n_members,
+       |  array_to_string(list_sort(list(id)), ',') AS members
        |FROM (SELECT id, min(r) AS label FROM reach GROUP BY id)
        |GROUP BY 1""".stripMargin
 
@@ -186,7 +194,7 @@ object DedupQueries {
          |      (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6)
          |      AS cos_sim
          |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
-         |WHERE cos_sim >= 0.9""".stripMargin,
+         |WHERE cos_sim >= $EmbedThreshold""".stripMargin,
     "d1_exact_dedup" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,

@@ -125,36 +125,39 @@ object ModelQueries {
         """SELECT c_name AS name, c_nationkey AS nationKey, c_custkey AS custKey,
           |  c_acctbal AS acctBal, c_mktsegment AS mktSegment
           |FROM customer""".stripMargin,
+      // DuckDB sum() over integers yields HUGEINT, which the driver's
+      // pandas hasher renders as float ("6.0" vs Spark's "6") — every
+      // integer sum below is cast back to BIGINT for that reason.
       "m2_expectations" ->
         """SELECT '[name] is mandatory' AS rule,
-          |  sum(CASE WHEN NOT coalesce(c_name IS NOT NULL, FALSE) THEN 1 ELSE 0 END) AS violations
+          |  CAST(sum(CASE WHEN NOT coalesce(c_name IS NOT NULL, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS violations
           |FROM customer
           |UNION ALL
           |SELECT '[nationKey] is mandatory',
-          |  sum(CASE WHEN NOT coalesce(c_nationkey IS NOT NULL, FALSE) THEN 1 ELSE 0 END)
+          |  CAST(sum(CASE WHEN NOT coalesce(c_nationkey IS NOT NULL, FALSE) THEN 1 ELSE 0 END) AS BIGINT)
           |FROM customer
           |UNION ALL
           |SELECT '[custKey] is mandatory',
-          |  sum(CASE WHEN NOT coalesce(c_custkey IS NOT NULL, FALSE) THEN 1 ELSE 0 END)
+          |  CAST(sum(CASE WHEN NOT coalesce(c_custkey IS NOT NULL, FALSE) THEN 1 ELSE 0 END) AS BIGINT)
           |FROM customer
           |UNION ALL
           |SELECT '[mktSegment] not allowed value',
-          |  sum(CASE WHEN NOT coalesce(c_mktsegment IS NULL OR c_mktsegment IN
+          |  CAST(sum(CASE WHEN NOT coalesce(c_mktsegment IS NULL OR c_mktsegment IN
           |    ('AUTOMOBILE','BUILDING','FURNITURE','MACHINERY','HOUSEHOLD'), FALSE)
-          |    THEN 1 ELSE 0 END)
+          |    THEN 1 ELSE 0 END) AS BIGINT)
           |FROM customer
           |UNION ALL
           |SELECT 'positive account balance',
-          |  sum(CASE WHEN NOT coalesce(c_acctbal >= 0.0, FALSE) THEN 1 ELSE 0 END)
+          |  CAST(sum(CASE WHEN NOT coalesce(c_acctbal >= 0.0, FALSE) THEN 1 ELSE 0 END) AS BIGINT)
           |FROM customer
           |UNION ALL
           |SELECT 'customer name format',
-          |  sum(CASE WHEN NOT coalesce(c_name LIKE 'Customer#%', FALSE) THEN 1 ELSE 0 END)
+          |  CAST(sum(CASE WHEN NOT coalesce(c_name LIKE 'Customer#%', FALSE) THEN 1 ELSE 0 END) AS BIGINT)
           |FROM customer""".stripMargin,
       "m3_validate_agg" ->
         s"""SELECT o_orderstatus AS status, count(*) AS total,
-           |  sum(CASE WHEN $ordersClean THEN 1 ELSE 0 END) AS clean,
-           |  sum(CASE WHEN NOT ($ordersClean) THEN 1 ELSE 0 END) AS dirty
+           |  CAST(sum(CASE WHEN $ordersClean THEN 1 ELSE 0 END) AS BIGINT) AS clean,
+           |  CAST(sum(CASE WHEN NOT ($ordersClean) THEN 1 ELSE 0 END) AS BIGINT) AS dirty
            |FROM orders GROUP BY 1""".stripMargin,
       "m4_derivations" ->
         """SELECT CASE WHEN c_acctbal < 0 THEN 'NEGATIVE'
@@ -169,8 +172,8 @@ object ModelQueries {
           |ORDER BY numCustomers DESC, segment ASC LIMIT 3""".stripMargin,
       "m6_pipeline" ->
         s"""SELECT year(o_orderdate) AS order_year, count(*) AS n_orders,
-           |  sum(CASE WHEN o_totalprice > 300000.0 THEN 1 ELSE 0 END) AS n_high_value,
-           |  sum(CASE WHEN $ordersClean THEN 1 ELSE 0 END) AS n_clean,
+           |  CAST(sum(CASE WHEN o_totalprice > 300000.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_value,
+           |  CAST(sum(CASE WHEN $ordersClean THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
            |  round(avg(o_totalprice), 2) AS avg_price
            |FROM orders GROUP BY 1""".stripMargin)
   }

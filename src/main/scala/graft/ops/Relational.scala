@@ -345,8 +345,9 @@ object Relational {
     "q19_asof_join" -> AsofJoin.oracle,
     "q20_hotkey_salted_join" -> SkewJoin.hotKeyOracle,
     "q21_moving_window" ->
+      // CAST: DuckDB's windowed integer sum is HUGEINT → pandas float
       """SELECT event_id, user_id,
-        |  sum(CAST(round(value * 100) AS BIGINT)) OVER w AS msum_cents,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS msum_cents,
         |  count(*) OVER w AS n_window
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC

@@ -62,18 +62,21 @@ object SimQueries {
 
   val oracles: Map[String, String] = Map(
     "s3_ann_ivf" ->
+      // centroid sample mirrors Similarity.ivfTopK: bottom-16 rows by
+      // md5(vec_id) (deterministic uniform draw), list_id by (hash, id) rank
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |params AS (SELECT greatest(1, count(*) // 16) AS step FROM e),
-         |ranked AS (SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rk FROM e),
          |cent AS (
-         |  SELECT CAST(floor(rk / step) AS INT) AS list_id, v AS cv
-         |  FROM ranked, params
-         |  WHERE (rk - 1) % step = 0 AND floor((rk - 1) / step) < 16),
+         |  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) AS list_id,
+         |    v AS cv
+         |  FROM (
+         |    SELECT vec_id, v,
+         |      ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT AS h
+         |    FROM e ORDER BY h, vec_id LIMIT 16)),
          |scored AS (
          |  SELECT r.vec_id, r.v, c.list_id,
          |    list_dot_product(r.v, c.cv) /
          |      (sqrt(list_dot_product(r.v, r.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS cos
-         |  FROM ranked r, cent c),
+         |  FROM e r, cent c),
          |assign AS (
          |  SELECT vec_id, v, list_id FROM (
          |    SELECT vec_id, v, list_id,

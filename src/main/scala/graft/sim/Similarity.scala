@@ -6,11 +6,13 @@ import org.apache.spark.sql.functions._
 
 /** Vector similarity operators (SURVEY §2.4, S1–S2; also backs D5).
   *
-  * Vectors are plain `array<float>` columns; all math runs in double
-  * precision via built-in higher-order functions (`zip_with` products,
-  * sequential `aggregate` fold) — no UDF, and the left-to-right fold
-  * matches DuckDB's list_dot_product order, so the S1 oracle compares
-  * exact doubles.
+  * Vectors are plain `array<double>` columns; all math runs in double
+  * precision through [[graft.functions.DotProduct]] — a native Catalyst
+  * expression whose generated loop stays inside whole-stage codegen (the
+  * higher-order-function formulation is CodegenFallback: interpreted per
+  * row, which dominated these queries when benchmarked). Its sequential
+  * left-to-right fold matches DuckDB's list_dot_product order, so the
+  * oracles compare exact doubles.
   *
   * Scale shapes:
   * - Brute-force top-k (S1): the query set is broadcast (small side);
@@ -21,12 +23,15 @@ import org.apache.spark.sql.functions._
   * - LSH ANN (S2) / embedding dedup (D5): random-hyperplane signatures
   *   (deterministic md5-derived planes) bucket the corpus; only
   *   co-bucketed vectors pair up. Same no-all-pairs contract as D2.
+  * - IVF (S3): centroid sampling is a bottom-nlist-by-hash TakeOrdered
+  *   (never a global sort/window over the corpus); assignment is one
+  *   codegen'd linear scan.
   */
 object Similarity {
 
-  /** Sequential-fold dot product in double precision. */
+  /** Codegen'd sequential dot product in double precision. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorFunctions.dotProduct(a, b)
 
   /** Cosine similarity of two double-array columns. */
   def cosine(a: Column, b: Column): Column =
@@ -99,13 +104,16 @@ object Similarity {
   /** IVF (inverted-file) ANN top-k — the index-structure scale path
     * beside hyperplane LSH.
     *
-    * Build: `nlist` centroids are sampled deterministically from the
-    * corpus (every ceil(N/nlist)-th vector by id rank — data-dependent,
-    * unlike LSH's data-blind planes), broadcast, and every vector is
-    * assigned to its nearest centroid — one linear scan, nlist dot
-    * products per row, all map-side. Queries probe only their `nprobe`
-    * closest centroid lists, so query cost is corpus/nlist × nprobe
-    * instead of the full corpus.
+    * Build: `nlist` centroids are the corpus rows with the smallest
+    * md5(id) values — a deterministic uniform pseudo-random sample whose
+    * plan is TakeOrderedAndProject (per-partition heaps, a bounded
+    * nlist-row collect; NEVER a global sort or an unpartitioned window
+    * over the corpus — that shape moves all 100 TB to one task). Every
+    * vector is then assigned to its nearest centroid in one codegen'd
+    * linear scan: nlist dot products per row, argmax as a greatest +
+    * first-match CASE chain, all map-side. Queries probe only their
+    * `nprobe` closest centroid lists, so query cost is corpus/nlist ×
+    * nprobe instead of the full corpus.
     *
     * At cluster scale the assignment step would persist as a bucketed
     * table keyed by centroid id (the "inverted file"); here the whole
@@ -113,30 +121,46 @@ object Similarity {
     * the probe is a broadcast semi-filter. */
   def ivfTopK(vectors: DataFrame, idCol: String, vecCol: String,
               nlist: Int, nprobe: Int, k: Int, queryFilter: Column): DataFrame = {
-    val spark = vectors.sparkSession
-    // deterministic centroid sample: rank vectors by id, take every
-    // ceil(N/nlist)-th — small collect (nlist rows) at build time
-    val n = vectors.count()
-    val step = math.max(1L, n / nlist)
-    val w = Window.orderBy(col(idCol))
-    val centroids = vectors
-      .select(col(idCol), col(vecCol).as("cvec"), row_number().over(w).as("rk"))
-      // rank bound instead of limit(): deterministic regardless of
-      // partition ordering
-      .filter((col("rk") - 1) % step === 0 && (col("rk") - 1) / step < nlist)
-      .select((col("rk") / step).cast("int").as("list_id"), col("cvec"))
+    val sampleHash =
+      conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10).cast("long")
+    val centroids: Array[(Int, Array[Double])] = vectors
+      .select(col(vecCol).as("cvec"), sampleHash.as("h"), col(idCol).as("cid"))
+      .orderBy(col("h").asc, col("cid").asc)
+      .limit(nlist)
       .collect()
-      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .map(r => r.getSeq[Double](0).toArray)
+      .zipWithIndex
+      .map { case (v, i) => i -> v }
+    def litVec(v: Array[Double]): Column = array(v.map(lit(_)): _*)
+    // centroid norms precomputed driver-side with the same sequential
+    // fold the engines use — bit-identical to sqrt(dot(c, c))
+    def norm(v: Array[Double]): Double = math.sqrt(v.map(x => x * x).sum)
+    // cosine against each centroid, hoisting the row-vector norm
+    def centroidCosines(vec: Column, vnorm: Column): Seq[(Int, Column)] =
+      centroids.toSeq.map { case (cid, cv) =>
+        cid -> dot(vec, litVec(cv)) / (vnorm * lit(norm(cv)))
+      }
+    // nearest list id: array_max over (cos, -list_id) structs — struct
+    // ordering is lexicographic, so ties resolve to the smallest list id,
+    // and each centroid cosine appears exactly ONCE in the plan (a
+    // greatest + CASE-chain argmax would inline every cosine into every
+    // branch: O(nlist²) expression copies)
+    val vnorm = sqrt(dot(col("c_vec"), col("c_vec")))
+    val scored = array(centroidCosines(col("c_vec"), vnorm).map { case (cid, c) =>
+      struct(c.as("cos"), lit(-cid).as("ncid"))
+    }: _*)
+    val assigned = vectors
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .withColumn("list_id", -array_max(scored).getField("ncid"))
+    // query side is tiny (post-filter): the sort-based top-m over an
+    // nlist-entry literal array is fine off the hot path
     def nearestLists(vec: Column, m: Int): Column = {
-      // top-m centroid ids by cosine: sort (negated sim, id) structs
-      val scored = array(centroids.map { case (cid, cv) =>
-        val cvec = array(cv.map(lit(_)): _*)
-        struct((-cosine(vec, cvec)).as("neg"), lit(cid).as("cid"))
+      val qnorm = sqrt(dot(vec, vec))
+      val scored = array(centroidCosines(vec, qnorm).map { case (cid, c) =>
+        struct((-c).as("neg"), lit(cid).as("cid"))
       }: _*)
       slice(transform(array_sort(scored), s => s.getField("cid")), 1, m)
     }
-    val assigned = vectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
-      element_at(nearestLists(col(vecCol), 1), 1).as("list_id"))
     val queries = vectors.filter(queryFilter)
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
         explode(nearestLists(col(vecCol), nprobe)).as("list_id"))

@@ -72,12 +72,14 @@ object TextQueries {
   /** T4: bottom-k fingerprint over distinct word 3-grams (md5-based, so
     * the oracle reproduces it bit-for-bit). Runs on the codegen'd
     * shingle-row shape shared with the dedup pack; docs shorter than k
-    * words have no shingles and therefore no fingerprint row. */
+    * words have no shingles and therefore no fingerprint row. The sketch
+    * is serialized to a comma-joined string: the canonical cross-engine
+    * wire form (the gate's hasher has no array representation). */
   def t4Fingerprint(s: SparkSession, dir: String): DataFrame =
     graft.dedup.Dedup.shingleRows(docs(s, dir), "doc_id", "text", 3)
       .select(col("doc_id"), md5(col("shingle")).as("h"))
       .groupBy(col("doc_id"))
-      .agg(slice(array_sort(collect_set(col("h"))), 1, 4).as("fp"))
+      .agg(concat_ws(",", slice(array_sort(collect_set(col("h"))), 1, 4)).as("fp"))
 
   /** T5: corpus-level term statistics — top 25 terms by document
     * frequency with total occurrence counts. Explode + two-level
@@ -156,6 +158,6 @@ object TextQueries {
         |  i -> array_to_string(w[i:i+2], ' '))) AS s FROM t
         |  WHERE len(w) >= 3)
         |SELECT doc_id,
-        |  (list_sort(list_transform(s, x -> md5(x))))[1:4] AS fp
+        |  array_to_string((list_sort(list_transform(s, x -> md5(x))))[1:4], ',') AS fp
         |FROM sh""".stripMargin)
 }

@@ -83,20 +83,28 @@ class PlanSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", old)
   }
 
-  test("validator is a native expression tree, not a row UDF") {
+  test("validator is a codegen-native expression tree, not a row UDF") {
     val p = model.GraftPipeline(model.ModelQueries.model, "tpch::mapping::Orders")
-    val plan = p.validate(Tables(spark, sfDir, "orders"))
-      .queryExecution.executedPlan.toString
-    // violations column = built-in HOFs over struct array (interpreted
-    // projection, but no serialization boundary and rule predicates are
-    // compiled expressions); crucially NOT an opaque UDF
-    assert(plan.contains("transform(filter("))
-    assert(!plan.contains("UDF"), "validation must not use a row UDF")
+    val validated = p.validate(Tables(spark, sfDir, "orders"))
+    assert(!validated.queryExecution.executedPlan.toString.contains("UDF"),
+      "validation must not use a row UDF")
     // the clean-rows form is a plain conjunctive filter: codegen + pushdown
     val cleanPlan = p.clean(Tables(spark, sfDir, "orders"))
       .queryExecution.executedPlan.toString
     assert(cleanPlan.contains("PushedFilters: [IsNotNull("),
       "clean() filter must push mandatory checks to the scan")
+  }
+
+  test("validate-path plans contain no interpreted (CodegenFallback) expression") {
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    for (name <- Seq("m3_validate_agg", "m6_pipeline")) {
+      val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.sparkPlan
+      val interpreted = plan.flatMap(_.expressions.flatMap(_.collect {
+        case e: CodegenFallback => e
+      }))
+      assert(interpreted.isEmpty,
+        s"$name has interpreted expressions: ${interpreted.map(_.prettyName).distinct}")
+    }
   }
 
   test("flagship entry returns rows") {

@@ -14,9 +14,22 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
+def fetch(rel):
+    """Round-trip through pandas exactly like the driver's gate: DuckDB
+    HUGEINT (e.g. sum() over integers) becomes float64 here, so an oracle
+    that forgets CAST(... AS BIGINT) fails locally too, not just in CI."""
+    df = rel.df()
+    cols = [c.lower() for c in df.columns]
+    rows = [tuple(r) for r in df.itertuples(index=False, name=None)]
+    return cols, rows
+
+
 def norm_cell(v):
     if v is None:
         return "NULL"
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        # the driver's pandas hasher throws on array cells — so do we
+        raise TypeError(f"array-typed cell (driver's gate errors on these): {v!r}")
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -56,15 +69,13 @@ def main():
         name = os.path.basename(d)
         if not os.path.isdir(d) or (only and name not in only):
             continue
-        got = con.sql(f"SELECT * FROM read_parquet('{d}/*.parquet')")
-        gcols, grows = [c.lower() for c in got.columns], got.fetchall()
+        gcols, grows = fetch(con.sql(f"SELECT * FROM read_parquet('{d}/*.parquet')"))
         if name not in oracles:
             print(f"ROWS-ONLY {name}: {len(grows)} rows")
             n_skip += 1
             continue
         try:
-            want = con.sql(oracles[name])
-            wcols, wrows = [c.lower() for c in want.columns], want.fetchall()
+            wcols, wrows = fetch(con.sql(oracles[name]))
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
@@ -73,7 +84,12 @@ def main():
             print(f"FAIL {name}: columns {sorted(gcols)} != {sorted(wcols)}")
             n_fail += 1
             continue
-        a, b = norm_rows(gcols, grows), norm_rows(wcols, wrows)
+        try:
+            a, b = norm_rows(gcols, grows), norm_rows(wcols, wrows)
+        except TypeError as e:
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
         if len(a) != len(b):
             print(f"FAIL {name}: rowcount {len(a)} != {len(b)}")
             n_fail += 1
