@@ -77,10 +77,103 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Compiled centroid math shared by [[NearestCentroids]]'s interpreted
+  * and generated paths (the generated code calls these statics, keeping
+  * each janino method tiny no matter how many centroids there are). */
+object CentroidOps {
+
+  /** Ids (indices) of the `m` centroids nearest to `vec` by cosine,
+    * ordered by (cosine desc, id asc) — ties resolve to the smaller id,
+    * matching `row_number() OVER (ORDER BY cos DESC, list_id ASC)`.
+    * Cosine = dot / (|vec| * norms(i)) with sequential double folds. */
+  def nearest(vec: ArrayData, cents: Array[Array[Double]],
+              norms: Array[Double], m: Int): ArrayData = {
+    val nv = vec.numElements()
+    var vv = 0.0
+    var i = 0
+    while (i < nv) { val x = vec.getDouble(i); vv += x * x; i += 1 }
+    val vnorm = math.sqrt(vv)
+    val k = cents.length
+    val cos = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val cv = cents(c)
+      val n = math.min(nv, cv.length)
+      var acc = 0.0
+      var j = 0
+      while (j < n) { acc += vec.getDouble(j) * cv(j); j += 1 }
+      cos(c) = acc / (vnorm * norms(c))
+      c += 1
+    }
+    // selection of the top m by (cos desc, id asc): m and k are tiny
+    val out = new Array[Int](math.min(m, k))
+    val taken = new Array[Boolean](k)
+    var o = 0
+    while (o < out.length) {
+      var best = -1
+      var bc = 0
+      while (bc < k) {
+        if (!taken(bc) && (best < 0 || cos(bc) > cos(best))) best = bc
+        bc += 1
+      }
+      taken(best) = true
+      out(o) = best
+      o += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Ids of the `m` nearest centroids (by cosine) for an `array<double>`
+  * vector column — the IVF assignment/probe primitive.
+  *
+  * The centroid matrix is a plan constant attached via `addReferenceObj`,
+  * so the generated projection stays a few lines regardless of nlist
+  * (inlining nlist × dim literal arrays into the expression tree makes
+  * janino compilation, not the data, the dominant query cost — measured
+  * at sf0.1). Evaluation itself runs as compiled JVM code either way.
+  */
+case class NearestCentroids(child: Expression,
+                            centroids: Array[Array[Double]],
+                            m: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  private val norms: Array[Double] =
+    centroids.map(v => math.sqrt(v.map(x => x * x).sum))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an array<double> argument, got ${t.sql}")
+    }
+
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.IntegerType, false)
+
+  override def prettyName: String = "graft_nearest_centroids"
+
+  override def nullSafeEval(v: Any): Any =
+    CentroidOps.nearest(v.asInstanceOf[ArrayData], centroids, norms, m)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    val normRef = ctx.addReferenceObj("norms", norms, "double[]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.CentroidOps.nearest($v, $centRef, $normRef, $m);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-level entry points for graft's native expressions. */
 object VectorFunctions {
 
   /** Codegen'd dot product of two array<double> columns. */
   def dotProduct(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Ids of the `m` centroids nearest to `vec` (cos desc, id asc). */
+  def nearestCentroids(vec: Column, centroids: Array[Array[Double]], m: Int): Column =
+    Bridge.column(NearestCentroids(Bridge.expression(vec), centroids, m))
 }

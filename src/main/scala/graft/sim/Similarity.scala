@@ -123,47 +123,24 @@ object Similarity {
               nlist: Int, nprobe: Int, k: Int, queryFilter: Column): DataFrame = {
     val sampleHash =
       conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10).cast("long")
-    val centroids: Array[(Int, Array[Double])] = vectors
+    val centroids: Array[Array[Double]] = vectors
       .select(col(vecCol).as("cvec"), sampleHash.as("h"), col(idCol).as("cid"))
       .orderBy(col("h").asc, col("cid").asc)
       .limit(nlist)
       .collect()
-      .map(r => r.getSeq[Double](0).toArray)
-      .zipWithIndex
-      .map { case (v, i) => i -> v }
-    def litVec(v: Array[Double]): Column = array(v.map(lit(_)): _*)
-    // centroid norms precomputed driver-side with the same sequential
-    // fold the engines use — bit-identical to sqrt(dot(c, c))
-    def norm(v: Array[Double]): Double = math.sqrt(v.map(x => x * x).sum)
-    // cosine against each centroid, hoisting the row-vector norm
-    def centroidCosines(vec: Column, vnorm: Column): Seq[(Int, Column)] =
-      centroids.toSeq.map { case (cid, cv) =>
-        cid -> dot(vec, litVec(cv)) / (vnorm * lit(norm(cv)))
-      }
-    // nearest list id: array_max over (cos, -list_id) structs — struct
-    // ordering is lexicographic, so ties resolve to the smallest list id,
-    // and each centroid cosine appears exactly ONCE in the plan (a
-    // greatest + CASE-chain argmax would inline every cosine into every
-    // branch: O(nlist²) expression copies)
-    val vnorm = sqrt(dot(col("c_vec"), col("c_vec")))
-    val scored = array(centroidCosines(col("c_vec"), vnorm).map { case (cid, c) =>
-      struct(c.as("cos"), lit(-cid).as("ncid"))
-    }: _*)
+      .map(_.getSeq[Double](0).toArray)
+    // assignment + probe both go through the NearestCentroids native
+    // expression: the centroid matrix rides along as ONE plan constant
+    // and the argmax loop is compiled JVM code — ties resolve to the
+    // smaller list id, matching the oracle's (cos DESC, list_id ASC)
+    import graft.functions.VectorFunctions.nearestCentroids
     val assigned = vectors
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
-      .withColumn("list_id", -array_max(scored).getField("ncid"))
-    // query side is tiny (post-filter): the sort-based top-m over an
-    // nlist-entry literal array is fine off the hot path
-    def nearestLists(vec: Column, m: Int): Column = {
-      val qnorm = sqrt(dot(vec, vec))
-      val scored = array(centroidCosines(vec, qnorm).map { case (cid, c) =>
-        struct((-c).as("neg"), lit(cid).as("cid"))
-      }: _*)
-      slice(transform(array_sort(scored), s => s.getField("cid")), 1, m)
-    }
+      .withColumn("list_id",
+        element_at(nearestCentroids(col("c_vec"), centroids, 1), 1))
     val queries = vectors.filter(queryFilter)
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
-        explode(nearestLists(col(vecCol), nprobe)).as("list_id"))
+        explode(nearestCentroids(col(vecCol), centroids, nprobe)).as("list_id"))
     val rankW = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     assigned.join(broadcast(queries), Seq("list_id"))

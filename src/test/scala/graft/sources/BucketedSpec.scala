@@ -40,4 +40,18 @@ class BucketedSpec extends SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS graft_bkt_lineitem")
     }
   }
+
+  test("negative control: the same join unbucketed shuffles both sides") {
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val orders = graft.Tables(spark, sfDir, "orders")
+      val lineitem = graft.Tables(spark, sfDir, "lineitem")
+        .select("l_orderkey", "l_quantity")
+      val plan = orders.join(lineitem, col("o_orderkey") === col("l_orderkey"))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Exchange hashpartitioning"),
+        s"unbucketed fact-fact join must shuffle (control for the bucketed assert):\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
 }

@@ -69,6 +69,27 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == batchMirror)
   }
 
+  test("ST2: events older than the watermark are dropped, not re-aggregated") {
+    val input = MemoryStream[(Timestamp, String, Double)](spark)
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val q = Streaming.tumblingCounts(events, watermark = "30 minutes")
+      .writeStream.format("memory").queryName("st2_late_out")
+      .outputMode(OutputMode.Append()).start()
+    val onTime = Seq((ts(5), "click", 1.0), (ts(20), "click", 2.0))
+    val advance1 = Seq((ts(200), "view", 1.0)) // watermark -> 170 at batch end
+    val advance2 = Seq((ts(210), "view", 1.0)) // hour-0 window finalizes + emits
+    val late = Seq((ts(10), "click", 100.0))   // 160 min behind the watermark
+    val flush = Seq((ts(300), "view", 1.0), (ts(310), "view", 1.0))
+    runBatches(q, input, Seq(onTime, advance1, advance2, late, flush))
+    val hour0 = spark.table("st2_late_out")
+      .filter(col("hour") === "1970-01-01 00")
+      .select("event_type", "cnt", "total_value")
+      .as[(String, Long, Double)].collect().toSet
+    // the late row (value 100.0) must have been dropped: hour 0 holds
+    // only the on-time aggregate, and it was emitted exactly once
+    assert(hour0 == Set(("click", 2L, 3.0)))
+  }
+
   test("ST2: file-source stream over the real events table matches the batch window") {
     // readStream from parquet (the production source shape), windows in
     // Complete mode so every window is present for the full comparison
