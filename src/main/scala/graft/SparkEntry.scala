@@ -11,14 +11,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ops.Relational.queries ++ model.ModelQueries.queries ++
+    ops.Relational.queries ++ ops.Sampling.queries ++ model.ModelQueries.queries ++
       text.TextQueries.queries ++ dedup.DedupQueries.queries ++
       sim.SimQueries.queries ++ multimodal.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
-    ops.Relational.oracles ++ model.ModelQueries.oracles ++
+    ops.Relational.oracles ++ ops.Sampling.oracles ++ model.ModelQueries.oracles ++
       text.TextQueries.oracles ++ dedup.DedupQueries.oracles ++
       sim.SimQueries.oracles ++ multimodal.Multimodal.oracles
 }

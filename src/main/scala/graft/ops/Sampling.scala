@@ -1,0 +1,82 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / dataset-split operators (SURVEY §2.9, P1–P2).
+  *
+  * A training-data pipeline's splits must be (a) reproducible across
+  * runs, engines, and cluster topologies, (b) stable under corpus growth
+  * (a document keeps its split forever), and (c) computable map-side at
+  * 100 TB. `rand()`-based sampling has none of these; hashing the stable
+  * key has all three. The draw is md5-derived (same convention as the
+  * MinHash pack: first 15 hex digits → int64), so the DuckDB oracle
+  * reproduces every assignment bit-for-bit.
+  *
+  * Scale shape: both operators are a single codegen'd scan — the hash,
+  * bucket arithmetic, and filter are map-side; the only shuffle is the
+  * final bounded aggregate (≤ #splits × #langs rows). No sort, no
+  * window, no join.
+  */
+object Sampling {
+
+  /** Stable per-key hash bucket in [0, mod): md5 of the key's decimal
+    * string, first 15 hex digits as int64, reduced mod `mod`. */
+  def hashBucket(key: Column, mod: Int): Column =
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long") % mod
+
+  /** P1: 80/10/10 train/val/test split by hash bucket, audited per
+    * (split, lang): counts plus id-range witnesses. */
+  def p1SplitSample(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .withColumn("bucket", hashBucket(col("doc_id"), 10))
+      .withColumn("split",
+        when(col("bucket") < 8, lit("train"))
+          .when(col("bucket") < 9, lit("val"))
+          .otherwise(lit("test")))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+
+  /** P2: stratified (per-language) sampling with unequal rates — the
+    * rebalancing pass an LLM data mix needs (downsample the dominant
+    * language, keep more of the low-resource ones). Percent rates by
+    * stratum; the checksum makes the gate sensitive to WHICH rows were
+    * kept, not just how many. */
+  val StratRates: Seq[(String, Int)] = Seq("en" -> 10, "zh" -> 50)
+  val DefaultRate = 30
+
+  def p2StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val rate = StratRates.foldRight(lit(DefaultRate): Column) {
+      case ((lang, r), acc) => when(col("lang") === lang, lit(r)).otherwise(acc)
+    }
+    Tables(s, dir, "documents")
+      .filter(hashBucket(col("doc_id"), 100) < rate)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(col("doc_id")).as("id_checksum"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p1_split_sample" -> (p1SplitSample _),
+    "p2_stratified_sample" -> (p2StratifiedSample _))
+
+  private val hashSql = "('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT"
+
+  val oracles: Map[String, String] = Map(
+    "p1_split_sample" ->
+      s"""SELECT CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'val'
+         |  ELSE 'test' END AS split,
+         |  lang, count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
+         |FROM (SELECT doc_id, lang, $hashSql % 10 AS b FROM documents)
+         |GROUP BY 1, 2""".stripMargin,
+    "p2_stratified_sample" ->
+      s"""SELECT lang, count(*) AS n_sampled,
+         |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
+         |FROM documents
+         |WHERE $hashSql % 100 <
+         |  (CASE WHEN lang = 'en' THEN 10 WHEN lang = 'zh' THEN 50 ELSE 30 END)
+         |GROUP BY lang""".stripMargin)
+}

@@ -81,6 +81,27 @@ object TextQueries {
       .groupBy(col("doc_id"))
       .agg(concat_ws(",", slice(array_sort(collect_set(col("h"))), 1, 4)).as("fp"))
 
+  /** T6: TF-IDF top-3 terms per document. tf and df come from two
+    * cascaded hash aggregates (both with map-side partials); idf =
+    * ln(N/df) with N counted once driver-side; ranking is a per-document
+    * window (bounded partitions — never global). The score is rounded to
+    * 6 dp BEFORE ranking so cross-engine ulp drift in ln() cannot flip
+    * ranks. */
+  def t6Tfidf(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val nDocs = d.count()
+    val terms = d.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .withColumn("tfidf", round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"), col("rk"))
+  }
+
   /** T5: corpus-level term statistics — top 25 terms by document
     * frequency with total occurrence counts. Explode + two-level
     * aggregate; the final top-k is orderBy+limit (TakeOrdered). */
@@ -97,7 +118,8 @@ object TextQueries {
     "t2_quality" -> (t2Quality _),
     "t3_langid" -> (t3LangId _),
     "t4_fingerprint" -> (t4Fingerprint _),
-    "t5_top_terms" -> (t5TopTerms _))
+    "t5_top_terms" -> (t5TopTerms _),
+    "t6_tfidf" -> (t6Tfidf _))
 
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -150,6 +172,19 @@ object TextQueries {
         |    FROM documents)
         |  GROUP BY term)
         |ORDER BY doc_freq DESC, occurrences DESC, term ASC LIMIT 25""".stripMargin,
+    "t6_tfidf" ->
+      """WITH toks AS (SELECT doc_id,
+        |  unnest(string_split_regex(trim(lower(text)), '\s+')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT doc_id, term, tf, df, tfidf, rk FROM (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |    round(tf.tf * ln(n.n / dfreq.df), 6) AS tfidf,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY round(tf.tf * ln(n.n / dfreq.df), 6) DESC, tf.term ASC) AS rk
+        |  FROM tf JOIN dfreq USING (term), n)
+        |WHERE rk <= 3""".stripMargin,
     "t4_fingerprint" ->
       """WITH t AS (SELECT doc_id,
         |  string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
