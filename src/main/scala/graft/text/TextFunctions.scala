@@ -31,9 +31,12 @@ object TextFunctions {
           / length(text))
 
   /** How many tokens are in `words` (duplicates counted — a stopword used
-    * twice is two hits). */
+    * twice is two hits). Native codegen expression: the HOF form
+    * `size(filter(toks, isin(...)))` is interpreted per row and dominated
+    * t2/t3 (see [[CountInSet]]). */
   def hitCount(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, t => t.isin(words.map(lit(_)): _*)))
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      CountInSet(org.apache.spark.sql.graftbridge.Bridge.expression(toks), words))
 
   /** Word k-grams ("shingles") of the token array, space-joined. */
   def shingles(toks: Column, k: Int): Column =

@@ -95,9 +95,13 @@ class PlanSpec extends SparkTestBase {
       "clean() filter must push mandatory checks to the scan")
   }
 
-  test("validate-path plans contain no interpreted (CodegenFallback) expression") {
+  test("hot-projection plans contain no interpreted (CodegenFallback) expression") {
     import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-    for (name <- Seq("m3_validate_agg", "m6_pipeline")) {
+    // Queries whose whole plan must be interpreter-free: the validator
+    // path (round-2 fix) and the per-document text scans (round-5 fix —
+    // hitCount was a CodegenFallback HOF evaluated up to 4×/row).
+    for (name <- Seq("m3_validate_agg", "m6_pipeline",
+                     "t1_tokens", "t2_quality", "t3_langid")) {
       val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.sparkPlan
       val interpreted = plan.flatMap(_.expressions.flatMap(_.collect {
         case e: CodegenFallback => e
@@ -105,6 +109,37 @@ class PlanSpec extends SparkTestBase {
       assert(interpreted.isEmpty,
         s"$name has interpreted expressions: ${interpreted.map(_.prettyName).distinct}")
     }
+  }
+
+  test("no CodegenFallback on any unbounded (scan-side) path, all gate queries") {
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    // The 100 TB contract: an interpreted expression may only run where
+    // an aggregation has already bounded the data (e.g. the triangle-pair
+    // expansion over capped LSH buckets in d2/d3/d4, or d6's member-list
+    // formatting over collected groups). Any CodegenFallback in a node
+    // with no aggregate below it executes once per CORPUS row — that is
+    // the failure class that cost 20× on m3/m6 (round 2) and dominated
+    // t2/t3 (round 5); this assertion pins it closed for every query.
+    // Imperative aggregate FUNCTIONS (collect_set/collect_list) are exempt:
+    // Spark has no codegen form for them and the aggregate node itself is
+    // what bounds the data — but anything interpreted nested inside or
+    // beside them on a pre-aggregation node still flags.
+    import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction
+    def interpreted(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+      p.expressions.flatMap(_.collect {
+        case e: CodegenFallback if !e.isInstanceOf[AggregateFunction] => e.prettyName
+      }).distinct
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.sparkPlan
+      plan.collect {
+        case p if interpreted(p).nonEmpty
+          && !p.children.exists(_.exists(_.isInstanceOf[BaseAggregateExec])) =>
+          s"$name / ${p.nodeName}: ${interpreted(p).mkString(", ")}"
+      }
+    }
+    assert(offenders.isEmpty,
+      s"interpreted expressions on unbounded-cardinality paths:\n${offenders.mkString("\n")}")
   }
 
   test("flagship entry returns rows") {
