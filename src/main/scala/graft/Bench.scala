@@ -13,10 +13,17 @@ import java.nio.file.{Files, Paths}
   *   way `.count()` does (count lets the optimizer drop all columns);
   * - failures are recorded explicitly (negative sentinel excluded from
   *   the total) instead of silently subtracting from it;
+  * - single-shot timings at sf0.1 carry ±20-30% run-to-run noise
+  *   (measured: byte-identical code moved the round-3→4 total by 13%),
+  *   so each query is timed `Runs` times and the MEDIAN is reported;
+  * - logging drops to ERROR for the timed runs — localCheckpoint
+  *   unpersist WARNs otherwise pollute the JSON tail;
   * - the JSON line goes to stdout AND to bench_out.json so the driver's
   *   parser never loses it inside sbt log prefixes.
   */
 object Bench {
+
+  val Runs = 3
 
   private def runOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
                       spark: org.apache.spark.sql.SparkSession, sfDir: String): Unit =
@@ -25,6 +32,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local("graft-bench")
+    spark.sparkContext.setLogLevel("ERROR")
 
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
 
@@ -34,13 +42,18 @@ object Bench {
     }
 
     val results: Seq[(String, Double)] = queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { runOnce(fn, spark, sfDir); true }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+      val times = (1 to Runs).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { runOnce(fn, spark, sfDir); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+        }
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      val sec = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) sec else -1.0)
+      val median =
+        if (times.contains(-1.0)) -1.0
+        else times.sorted.apply(Runs / 2)
+      name -> median
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -221,8 +221,11 @@ object Dedup {
     val sigBits: Seq[Column] = (0 until bits).map { i =>
       when(col(s"v$i") >= 0, lit(1L << i)).otherwise(lit(0L))
     }
-    df.repartition(col(idCol))
-      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("tok"))
+    // No pre-shuffle: the scan's natural splits parallelize the map work
+    // (at scale, thousands of file splits), and partial aggregation means
+    // d3's one Exchange carries (id, 60 vote partials) — never the text.
+    // A repartition here would shuffle the widest column in the corpus.
+    df.select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("tok"))
       .select(col(idCol), tokenHash.as("h"))
       .groupBy(col(idCol))
       .agg(votes.head, votes.tail: _*)

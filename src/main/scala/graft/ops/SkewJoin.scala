@@ -83,7 +83,10 @@ object SkewJoin {
           (lit(100L) - round(col("l_discount") * 100).cast("long")))
     val orders = graft.Tables(s, dir, "orders")
       .select(col("o_orderkey"), col("o_orderpriority"))
-    saltedEquiJoin(li, orders, "l_orderkey", "o_orderkey", saltParts = 8)
+    // saltParts = 4: enough to demonstrate hot-key spreading while
+    // keeping the deliberate build-side replication cost (the contrast
+    // case vs q20's hot-key-only form) near the 2x bench budget.
+    saltedEquiJoin(li, orders, "l_orderkey", "o_orderkey", saltParts = 4)
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_items"),
         (sum(col("rev_e4")) / lit(10000.0)).as("revenue"))
