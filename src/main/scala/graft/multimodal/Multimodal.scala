@@ -120,8 +120,46 @@ object Multimodal {
     buildMedia(Tables(s, dir, "documents"))
       .select(col("doc_id"), col("format"), col("width"), col("height"), col("n_bytes"))
 
+  /** X2 gate query: the decode seam end-to-end — buildMedia →
+    * Dataset[MediaRecord] → extractFeaturesBatched (the batched
+    * mapPartitions path a real vectorized decoder plugs into) → features.
+    *
+    * Gate serialization: the normalized histogram is de-normalized back
+    * to per-bin integer COUNTS (round(f × payload length) recovers them
+    * exactly — the division is the only float step) and comma-joined.
+    * Integer strings are bit-portable across engines, where double
+    * formatting is not; counts ↔ features are bijective given n_bytes,
+    * so the oracle checks the full feature vector. */
+  def x2MultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = buildMedia(Tables(s, dir, "documents")).as[MediaRecord]
+    extractFeaturesBatched(media)
+      .map(f => (f.doc_id, f.format, f.n_bytes,
+        f.features.map(d => Math.round(d * math.max(1L, f.n_bytes)).toString).mkString(",")))
+      .toDF("doc_id", "format", "n_bytes", "hist")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x1_multimodal_meta" -> (x1MultimodalMeta _))
+    "x1_multimodal_meta" -> (x1MultimodalMeta _),
+    "x2_multimodal_features" -> (x2MultimodalFeatures _))
+
+  /** DuckDB reproduction of the 16-bin byte histogram: document text is
+    * ASCII in this corpus (verified at every SF), so unicode(char) ==
+    * UTF-8 byte and bin = code // 16 matches decodeStub's (b*16)/256. */
+  private val histOracle: String = {
+    val filters = (0 until 16)
+      .map(k => s"coalesce(count(*) FILTER (WHERE bin = $k), 0) AS c$k").mkString(", ")
+    val cs = (0 until 16).map(k => s"coalesce(h.c$k, 0)").mkString(", ")
+    s"""WITH pos AS (SELECT doc_id, text,
+       |  unnest(range(1, length(text)+1)) AS i FROM documents),
+       |ch AS (SELECT doc_id, unicode(substr(text, i::INT, 1)) // 16 AS bin FROM pos),
+       |h AS (SELECT doc_id, $filters FROM ch GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  ['png', 'jpeg', 'wav'][(d.doc_id % 3 + 1)::INT] AS format,
+       |  octet_length(encode(d.text)) AS n_bytes,
+       |  concat_ws(',', $cs) AS hist
+       |FROM documents d LEFT JOIN h USING (doc_id)""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "x1_multimodal_meta" ->
@@ -130,5 +168,6 @@ object Multimodal {
         |  16 + ('0x' || substr(md5(text), 1, 4))::BIGINT % 49 AS width,
         |  16 + ('0x' || substr(md5(text), 5, 4))::BIGINT % 33 AS height,
         |  octet_length(encode(text)) AS n_bytes
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+    "x2_multimodal_features" -> histOracle)
 }
