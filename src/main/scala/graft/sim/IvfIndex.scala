@@ -1,0 +1,84 @@
+package graft.sim
+
+import graft.sources.Bucketed
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persistent IVF inverted file (SURVEY §2.4 S3, the build-once scale
+  * path).
+  *
+  * [[Similarity.ivfTopK]] rebuilds its index inside every query plan —
+  * fine for a one-shot query, wrong for a served corpus: at 100 TB the
+  * assignment pass (one codegen'd linear scan, nlist dot products per
+  * row) is the expensive step and must be paid once, not per probe.
+  *
+  * Build: every vector is assigned to its nearest centroid (the same
+  * deterministic sample as the in-plan form, so results are identical)
+  * and the assignment is written as a parquet catalog table BUCKETED and
+  * sorted by `list_id` — the on-disk form of the inverted file. Buckets
+  * align storage with the probe access pattern: a probe touches `nprobe`
+  * lists per query, and bucket pruning turns that into reading only the
+  * matching bucket files.
+  *
+  * Probe: queries assign to their `nprobe` closest centroids (same
+  * native [[graft.functions.NearestCentroids]] expression); the probed
+  * list ids — bounded by |queries| × nprobe, queries being the small
+  * side by contract — become a LITERAL In filter on the bucket column,
+  * which is what FileSourceStrategy's bucket pruning consumes. The
+  * corpus side is therefore a bucket-pruned scan with NO Exchange: the
+  * only shuffles in a probe plan are on the (small) query side and the
+  * final per-query rank window. SimSpec asserts both plan properties and
+  * that probe results equal the in-plan ivfTopK bit-for-bit.
+  */
+object IvfIndex {
+
+  /** Handle to a built index: the catalog table holding the bucketed
+    * assignment and the centroid matrix (tiny — nlist × dim doubles;
+    * at cluster scale it would persist beside the table, here the handle
+    * carries it). */
+  final case class Handle(table: String, centroids: Array[Array[Double]])
+
+  /** Build the inverted file: assign all vectors, write bucketed by
+    * list_id. One scan + one write; no shuffle beyond the write's
+    * bucketing. `numBuckets` should divide nlist (list→bucket is
+    * `list_id % numBuckets`); numBuckets == nlist gives one bucket per
+    * list and maximal pruning. */
+  def build(vectors: DataFrame, idCol: String, vecCol: String,
+            nlist: Int, numBuckets: Int, table: String): Handle = {
+    val centroids = Similarity.sampleCentroids(vectors, idCol, vecCol, nlist)
+    import graft.functions.VectorFunctions.nearestCentroids
+    val assigned = vectors
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .withColumn("list_id",
+        element_at(nearestCentroids(col("c_vec"), centroids, 1), 1))
+    Bucketed.writeBucketed(assigned, table, "list_id", numBuckets)
+    Handle(table, centroids)
+  }
+
+  /** Probe the persisted index: top-k by exact cosine within the probed
+    * lists. Corpus side = bucket-pruned scan of `index.table`, no
+    * Exchange; query side = broadcast. */
+  def probe(index: Handle, queries: DataFrame, idCol: String, vecCol: String,
+            nprobe: Int, k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import graft.functions.VectorFunctions.nearestCentroids
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("list_id",
+        explode(nearestCentroids(col("q_vec"), index.centroids, nprobe)))
+    // Literal probe set: bucket pruning only fires on literal predicates
+    // over the bucket column. Bounded collect — |queries| × nprobe ids.
+    val probedLists = q.select(col("list_id")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val corpus = spark.table(index.table)
+      .where(col("list_id").isin(probedLists.map(Int.box): _*))
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    corpus.join(broadcast(q), Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(Similarity.cosine(col("q_vec"), col("c_vec")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(rankW)).filter(col("rank") <= k)
+  }
+}

@@ -115,20 +115,30 @@ object Similarity {
     * `nprobe` closest centroid lists, so query cost is corpus/nlist ×
     * nprobe instead of the full corpus.
     *
-    * At cluster scale the assignment step would persist as a bucketed
-    * table keyed by centroid id (the "inverted file"); here the whole
-    * plan is one Catalyst tree: assignment shuffles once on list id and
-    * the probe is a broadcast semi-filter. */
-  def ivfTopK(vectors: DataFrame, idCol: String, vecCol: String,
-              nlist: Int, nprobe: Int, k: Int, queryFilter: Column): DataFrame = {
+    * This is the one-Catalyst-tree form (index rebuilt per run); the
+    * build-once / probe-many persistence path is [[IvfIndex]]: the
+    * assignment written as a bucketed table keyed by list id, probes as
+    * bucket-pruned reads with no corpus-side shuffle. */
+  /** Deterministic uniform centroid sample: the `nlist` corpus rows with
+    * the smallest md5(id) — TakeOrderedAndProject (per-partition heaps,
+    * bounded nlist-row collect), never a global sort. Shared by the
+    * in-plan [[ivfTopK]] and the persisted [[IvfIndex]] so both assign
+    * identically. */
+  def sampleCentroids(vectors: DataFrame, idCol: String, vecCol: String,
+                      nlist: Int): Array[Array[Double]] = {
     val sampleHash =
       conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10).cast("long")
-    val centroids: Array[Array[Double]] = vectors
+    vectors
       .select(col(vecCol).as("cvec"), sampleHash.as("h"), col(idCol).as("cid"))
       .orderBy(col("h").asc, col("cid").asc)
       .limit(nlist)
       .collect()
       .map(_.getSeq[Double](0).toArray)
+  }
+
+  def ivfTopK(vectors: DataFrame, idCol: String, vecCol: String,
+              nlist: Int, nprobe: Int, k: Int, queryFilter: Column): DataFrame = {
+    val centroids = sampleCentroids(vectors, idCol, vecCol, nlist)
     // assignment + probe both go through the NearestCentroids native
     // expression: the centroid matrix rides along as ONE plan constant
     // and the argmax loop is compiled JVM code — ties resolve to the

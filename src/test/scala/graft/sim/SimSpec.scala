@@ -83,6 +83,46 @@ class SimSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("S3: persisted IVF index — bucket-pruned probe, no corpus-side Exchange, matches in-plan IVF") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val vecs = graft.Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    spark.sql("DROP TABLE IF EXISTS ivf_spec_index")
+    val nlist = 16
+    val idx = IvfIndex.build(vecs, "vec_id", "embedding",
+      nlist = nlist, numBuckets = nlist, table = "ivf_spec_index")
+    val queries = vecs.filter(col("vec_id") < 2)
+    val probed = IvfIndex.probe(idx, queries, "vec_id", "embedding", nprobe = 2, k = 5)
+
+    // results identical to the one-tree form (same centroids, same math)
+    val inPlan = Similarity.ivfTopK(vecs, "vec_id", "embedding",
+      nlist = nlist, nprobe = 2, k = 5, queryFilter = col("vec_id") < 2)
+    assert(probed.collect().toSet == inPlan.collect().toSet)
+    assert(probed.count() == 10) // 2 queries x k
+
+    // plan contract: corpus side is a bucket-pruned scan with no Exchange
+    val old = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val plan = IvfIndex.probe(idx, queries, "vec_id", "embedding", nprobe = 2, k = 5)
+        .queryExecution.executedPlan
+      val bhj = plan.collectFirst { case j: BroadcastHashJoinExec => j }
+      assert(bhj.nonEmpty, s"probe must broadcast the query side:\n$plan")
+      val corpusSide = bhj.get.children.find(
+        _.exists(_.isInstanceOf[FileSourceScanExec])).get
+      assert(corpusSide.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"corpus side must not shuffle:\n$corpusSide")
+      val scan = corpusSide.collectFirst { case s: FileSourceScanExec => s }.get
+      val buckets = scan.optionalBucketSet
+      assert(buckets.nonEmpty, "probe scan lost its bucket info")
+      val selected = buckets.get.cardinality()
+      assert(selected < nlist && selected >= 1,
+        s"expected a pruned bucket set, got $selected of $nlist")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", old)
+  }
+
   test("S3: IVF recall vs brute force is high on clustered data") {
     val vecs = clustered.toDF("vec_id", "embedding")
     val queries = col("vec_id") === 0 || col("vec_id") === 10
