@@ -1,0 +1,252 @@
+package graft.model.legend
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import graft.model._
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Loader for FINOS Legend entity-protocol JSON — the `{classifierPath,
+  * content}` files the Legend studio/SDLC toolchain produces (reference:
+  * LegendFileLoader.scala:1-30 / LegendClasspathLoader.scala, consuming
+  * the same format from `src/test/resources/entities`).
+  *
+  * This closes the model-interchange gap: a user with an existing Legend
+  * workspace points graft at their entity directory and gets a
+  * [[GraftModel]] — classes (properties, multiplicities, inheritance,
+  * constraints, qualified properties), enumerations, relational mappings,
+  * and services — with every PURE lambda translated to entity-space
+  * Spark SQL by [[PureToSql]] at load time. From there the native
+  * pipeline applies unchanged: SchemaGen builds the StructType,
+  * Expectations/Validator compile codegen'd rule columns, Transformer
+  * applies derivations, ServiceGen emits executable SQL.
+  *
+  * Scope (documented, load-time-checked): the PURE subset in
+  * [[PureToSql]]; relational class mappings with column property
+  * mappings (no embedded/otherwise mappings); services whose execution
+  * is a single getAll → filter? → (project | groupBy) → sort? → take?
+  * pipeline — the relational service shape the reference executes.
+  */
+object LegendLoader {
+
+  private val mapper = new ObjectMapper()
+
+  /** Load and merge every .json entity under a directory (recursive). */
+  def fromDirectory(dir: String): GraftModel = {
+    val files = Files.walk(Paths.get(dir)).iterator().asScala
+      .filter(p => p.toString.endsWith(".json") && Files.isRegularFile(p))
+      .toSeq.sortBy(_.toString)
+    require(files.nonEmpty, s"no .json entity files under [$dir]")
+    fromJsonStrings(files.map(Files.readString(_)))
+  }
+
+  def fromFile(path: String): GraftModel =
+    fromJsonStrings(Seq(Files.readString(Paths.get(path))))
+
+  def fromJsonStrings(jsons: Seq[String]): GraftModel =
+    jsons.map(j => parseEntity(mapper.readTree(j))).reduce(_ merge _)
+
+  /** One entity file → a (usually single-element) model fragment.
+    * Unknown classifier paths (runtimes, connections, database DDL) are
+    * skipped: they describe execution environments, not the model. */
+  def parseEntity(root: JsonNode): GraftModel = {
+    val content = root.get("content")
+    require(content != null, "not a Legend entity: missing [content]")
+    content.path("_type").asText() match {
+      case "class"       => GraftModel(Map(parseClass(content)), Map.empty, Map.empty, Map.empty)
+      case "Enumeration" => GraftModel(Map.empty, Map(parseEnum(content)), Map.empty, Map.empty)
+      case "mapping"     => GraftModel(Map.empty, Map.empty, parseMapping(content), Map.empty)
+      case "service"     => GraftModel(Map.empty, Map.empty, Map.empty, Map(parseService(content)))
+      case _             => GraftModel.empty
+    }
+  }
+
+  private def fullPath(content: JsonNode): String =
+    content.get("package").asText() + "::" + content.get("name").asText()
+
+  private def elems(n: JsonNode, field: String): Seq[JsonNode] =
+    Option(n.get(field)).map(_.elements().asScala.toSeq).getOrElse(Nil)
+
+  private def parseMultiplicity(n: JsonNode): Multiplicity = {
+    val lower = n.path("lowerBound").asInt(0)
+    val upper = Option(n.get("upperBound")).map(_.asInt())
+    Multiplicity(lower, upper)
+  }
+
+  private def parseClass(c: JsonNode): (String, GraftClass) = {
+    val name = fullPath(c)
+    val props = elems(c, "properties").map { p =>
+      GraftProperty(
+        name = p.get("name").asText(),
+        dataType = p.get("type").asText(),
+        multiplicity = Option(p.get("multiplicity")).map(parseMultiplicity)
+          .getOrElse(Multiplicity.One),
+        doc = docTag(p))
+    }
+    val constraints = elems(c, "constraints").map { k =>
+      val lam = PureExpr.parse(k.get("functionDefinition"))
+      GraftConstraint(k.get("name").asText(), PureToSql.lambda(lam))
+    }
+    // qualified properties ("derived properties"): zero-arg lambdas over
+    // $this → derivation expressions (reference: Legend.scala:254-263)
+    val derivations = elems(c, "qualifiedProperties").map { q =>
+      val body = elems(q, "body")
+      require(body.size == 1,
+        s"qualified property [${q.get("name").asText()}]: expected single-expression body")
+      GraftDerivation(q.get("name").asText(),
+        PureToSql.scalar(PureExpr.parse(body.head), Set("this")))
+    }
+    name -> GraftClass(
+      name = name,
+      superTypes = elems(c, "superTypes").map(_.asText()),
+      properties = props,
+      constraints = constraints,
+      derivations = derivations,
+      doc = docTag(c))
+  }
+
+  /** The doc profile tagged value, if present. */
+  private def docTag(n: JsonNode): Option[String] =
+    elems(n, "taggedValues").collectFirst {
+      case tv if tv.path("tag").path("value").asText() == "doc" =>
+        tv.path("value").asText()
+    }
+
+  private def parseEnum(c: JsonNode): (String, GraftEnum) = {
+    val name = fullPath(c)
+    name -> GraftEnum(name, elems(c, "values").map(_.get("value").asText()), docTag(c))
+  }
+
+  /** Relational class mappings → one GraftMapping per mapped class,
+    * keyed `<mappingPath>` (single-class mappings, the common case) with
+    * extra classes keyed `<mappingPath>::<class>`. */
+  private def parseMapping(c: JsonNode): Map[String, GraftMapping] = {
+    val path = fullPath(c)
+    val rel = elems(c, "classMappings").filter(_.path("_type").asText() == "relational")
+    require(rel.nonEmpty, s"mapping [$path] has no relational class mappings")
+    rel.zipWithIndex.map { case (cm, i) =>
+      val entity = cm.get("class").asText()
+      val mt = cm.get("mainTable")
+      val schema = mt.path("schema").asText("")
+      val table = mt.get("table").asText()
+      val qualified =
+        if (schema.isEmpty || schema == "default") table else s"$schema.$table"
+      val fields = elems(cm, "propertyMappings")
+        .filter(_.path("_type").asText() == "relationalPropertyMapping")
+        .flatMap { pm =>
+          val field = pm.path("property").path("property").asText()
+          val op = pm.get("relationalOperation")
+          // column operations only; dynamic relational expressions are
+          // out of scope (load-time error beats silent misreads)
+          if (op.path("_type").asText() == "column")
+            Some(field -> op.get("column").asText())
+          else throw new IllegalArgumentException(
+            s"mapping [$path] property [$field]: only column property mappings are supported")
+        }.toMap
+      val key = if (i == 0) path else s"$path::$entity"
+      key -> GraftMapping(key, entity, qualified, fields)
+    }.toMap
+  }
+
+  /** A pureSingleExecution service → GraftService. The execution lambda
+    * must be the relational pipeline shape; anything else fails at load
+    * with the offending verb. */
+  private def parseService(c: JsonNode): (String, GraftService) = {
+    import PureExpr._
+    val path = fullPath(c)
+    val exec = c.get("execution")
+    require(exec != null && exec.path("_type").asText() == "pureSingleExecution",
+      s"service [$path]: only pureSingleExecution services are supported")
+    val mappingName = exec.get("mapping").asText()
+    val lam = PureExpr.parse(exec.get("func"))
+    val bodyExpr = lam match {
+      case PLambda(_, b) => b
+      case other         => other
+    }
+
+    var where: Option[String] = None
+    var select: Seq[(String, String)] = Nil
+    var groupBy: Seq[String] = Nil
+    var orderBy: Seq[String] = Nil
+    var limit: Option[Int] = None
+
+    def rowSql(e: PureExpr): String = e match {
+      case l: PLambda => PureToSql.lambda(l)
+      case other      => PureToSql.scalar(other, Set("this"))
+    }
+
+    def aliasStrings(e: PureExpr): Seq[String] = e match {
+      case PCollection(vs) => vs.map { case PLit(sql) => sql.stripPrefix("'").stripSuffix("'")
+                                       case other => sys.error(s"expected alias string, got $other") }
+      case PLit(sql)       => Seq(sql.stripPrefix("'").stripSuffix("'"))
+      case other           => sys.error(s"expected alias strings, got $other")
+    }
+
+    def values(e: PureExpr): Seq[PureExpr] = e match {
+      case PCollection(vs) => vs
+      case other           => Seq(other)
+    }
+
+    /** agg(x|x.field, y|y.average()) → "avg(field)". */
+    def aggSql(e: PureExpr): String = e match {
+      case PFunc("agg", Seq(mapLam, aggLam)) =>
+        val mapped = rowSql(mapLam)
+        val fn = aggLam match {
+          case PLambda(_, PFunc(f, _)) => f
+          case other => sys.error(s"expected aggregation lambda, got $other")
+        }
+        val sqlFn = fn match {
+          case "average" => "avg"
+          case "count" | "sum" | "min" | "max" => fn
+          case "distinct" => "collect_set"
+          case "uniqueValueOnly" | "first" => "first"
+          case other => sys.error(s"unsupported aggregation function [$other]")
+        }
+        s"$sqlFn($mapped)"
+      case other => sys.error(s"expected agg(...), got $other")
+    }
+
+    def walk(e: PureExpr): Unit = e match {
+      case PFunc("take", Seq(src, PLit(n))) =>
+        limit = Some(n.toInt); walk(src)
+      case PFunc("limit", Seq(src, PLit(n))) =>
+        limit = Some(n.toInt); walk(src)
+      case PFunc("sort", Seq(src, keys)) =>
+        orderBy = values(keys).map {
+          case PFunc("desc", Seq(k)) => s"${aliasStrings(k).head} DESC"
+          case PFunc("asc", Seq(k))  => s"${aliasStrings(k).head} ASC"
+          case PLit(sql)             => sql.stripPrefix("'").stripSuffix("'")
+          case other => sys.error(s"unsupported sort key $other")
+        }
+        walk(src)
+      case PFunc("project", Seq(src, cols, aliases)) =>
+        select = aliasStrings(aliases).zip(values(cols).map(rowSql))
+        walk(src)
+      case PFunc("groupBy", Seq(src, keys, aggs, aliases)) =>
+        val keyExprs = values(keys).map(rowSql)
+        val aggExprs = values(aggs).map(aggSql)
+        val names = aliasStrings(aliases)
+        require(names.size == keyExprs.size + aggExprs.size,
+          s"service [$path]: groupBy aliases must cover keys + aggregations")
+        select = names.zip(keyExprs ++ aggExprs)
+        groupBy = keyExprs
+        walk(src)
+      case PFunc("filter", Seq(src, pred)) =>
+        where = Some(rowSql(pred)); walk(src)
+      case PFunc("getAll", Seq(PPtr(_))) => () // the mapping names the table
+      case other =>
+        sys.error(s"service [$path]: unsupported pipeline step $other")
+    }
+    walk(bodyExpr)
+
+    path -> GraftService(
+      name = path,
+      mapping = mappingName,
+      select = select,
+      where = where,
+      groupBy = groupBy,
+      orderBy = orderBy,
+      limit = limit,
+      doc = Option(c.get("documentation")).map(_.asText()).filter(_.nonEmpty))
+  }
+}

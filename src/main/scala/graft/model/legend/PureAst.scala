@@ -1,0 +1,214 @@
+package graft.model.legend
+
+import com.fasterxml.jackson.databind.JsonNode
+import scala.jdk.CollectionConverters._
+
+/** The PURE expression protocol (the JSON AST the Legend toolchain emits
+  * for constraint/derivation/service lambdas) and its translation to
+  * entity-space Spark SQL.
+  *
+  * The reference hands these ASTs to the Legend engine's execution
+  * planner to get SQL (reference: Legend.scala:339-369,
+  * LegendUtils.scala:342-356). graft has no external compiler: this is a
+  * self-contained translator for the practical subset of PURE that
+  * appears in entity constraints, qualified properties, and relational
+  * services — comparisons, boolean algebra, arithmetic, string and date
+  * functions, emptiness checks, and the relational verbs
+  * (getAll/filter/project/groupBy/sort/take, handled in [[LegendLoader]]).
+  * Everything renders to a plain Spark SQL string over entity field
+  * names, so the downstream machinery (Expectations → SqlRewrite →
+  * Validator, ServiceGen) treats Legend-loaded models exactly like
+  * native graft models: parsed by CatalystSqlParser, executed inside
+  * whole-stage codegen, pushed down where Catalyst allows.
+  *
+  * Unsupported functions fail loudly at LOAD time (not at query time)
+  * with the function name — mirroring the fail-fast contract of the
+  * reference's expectation compiler, which surfaces per-rule failures.
+  */
+sealed trait PureExpr
+
+object PureExpr {
+  /** Function application: `function(parameters...)`. */
+  final case class PFunc(function: String, params: Seq[PureExpr]) extends PureExpr
+  /** Property access: `receiver.name` ($this.amount, $x.firstName). */
+  final case class PProperty(receiver: PureExpr, name: String) extends PureExpr
+  /** Lambda variable reference ($this, $x). */
+  final case class PVar(name: String) extends PureExpr
+  /** Lambda: params + single-expression body (the protocol's body array
+    * holds one expression for constraints/derivations/row lambdas). */
+  final case class PLambda(params: Seq[String], body: PureExpr) extends PureExpr
+  /** Homogeneous value collection (project columns, sort keys, IN lists). */
+  final case class PCollection(values: Seq[PureExpr]) extends PureExpr
+  /** Literal, already rendered to its SQL form. */
+  final case class PLit(sql: String) extends PureExpr
+  /** Pointer to a packageable element (class in getAll, enum in unit args). */
+  final case class PPtr(path: String) extends PureExpr
+  /** Enum value reference (rendered as its string value — graft enums
+    * validate by string domain). */
+  final case class PEnum(path: String, value: String) extends PureExpr
+
+  /** Parse one protocol AST node. */
+  def parse(n: JsonNode): PureExpr = n.get("_type").asText() match {
+    case "lambda" =>
+      val params = elems(n, "parameters").map(p => p.get("name").asText())
+      val body = elems(n, "body")
+      require(body.size == 1, s"expected single-expression lambda body, got ${body.size}")
+      PLambda(params, parse(body.head))
+    case "func" =>
+      PFunc(n.get("function").asText(), elems(n, "parameters").map(parse))
+    case "property" =>
+      val recv = elems(n, "parameters")
+      require(recv.size == 1, "property access expects one receiver")
+      PProperty(parse(recv.head), n.get("property").asText())
+    case "var" => PVar(n.get("name").asText())
+    case "collection" => PCollection(elems(n, "values").map(parse))
+    case "integer" | "float" | "decimal" => PLit(value(n).asText())
+    case "boolean" => PLit(value(n).asText().toUpperCase)
+    case "string" => PLit(quote(value(n).asText()))
+    case "strictDate" => PLit(s"DATE ${quote(value(n).asText())}")
+    case "dateTime" => PLit(s"TIMESTAMP ${quote(value(n).asText())}")
+    case "packageableElementPtr" => PPtr(n.get("fullPath").asText())
+    case "enumValue" => PEnum(n.get("fullPath").asText(), n.get("value").asText())
+    case other => throw new IllegalArgumentException(s"unsupported PURE node type [$other]")
+  }
+
+  private def elems(n: JsonNode, field: String): Seq[JsonNode] =
+    Option(n.get(field)).map(_.elements().asScala.toSeq).getOrElse(Nil)
+
+  private def value(n: JsonNode): JsonNode = {
+    val vs = elems(n, "values")
+    require(vs.size == 1, s"expected single literal value in ${n.toString.take(80)}")
+    vs.head
+  }
+
+  def quote(s: String): String = "'" + s.replace("'", "''") + "'"
+}
+
+/** Scalar-expression renderer: PURE AST → entity-space Spark SQL. */
+object PureToSql {
+
+  import PureExpr._
+
+  /** Render `e` with the given lambda variables standing for "the row":
+    * `$this.amount` / `$x.amount` → `amount`. */
+  def scalar(e: PureExpr, rowVars: Set[String]): String = e match {
+    case PLit(sql) => sql
+    case PEnum(_, v) => quote(v)
+    case PProperty(PVar(v), name) if rowVars(v) => name
+    case PProperty(recv, name) => s"${scalar(recv, rowVars)}.$name"
+    case PVar(v) =>
+      throw new IllegalArgumentException(s"free variable [$$${v}] outside property access")
+    case PLambda(params, body) => scalar(body, rowVars ++ params)
+    case PCollection(vs) => vs.map(scalar(_, rowVars)).mkString("(", ", ", ")")
+    case PPtr(p) =>
+      throw new IllegalArgumentException(s"element pointer [$p] is not a scalar expression")
+    case PFunc(f, ps) => func(f, ps, rowVars)
+  }
+
+  private def bin(op: String, ps: Seq[PureExpr], rv: Set[String]): String = {
+    require(ps.size == 2, s"expected 2 arguments for [$op]")
+    s"(${scalar(ps(0), rv)} $op ${scalar(ps(1), rv)})"
+  }
+
+  /** n-ary left fold for operators PURE sometimes passes as a single
+    * collection argument (plus([a, b, c])). */
+  private def nary(op: String, ps: Seq[PureExpr], rv: Set[String]): String = {
+    val args = ps match {
+      case Seq(PCollection(vs)) => vs
+      case other                => other
+    }
+    require(args.nonEmpty, s"expected arguments for [$op]")
+    args.map(scalar(_, rv)).mkString("(", s" $op ", ")")
+  }
+
+  private def call(name: String, ps: Seq[PureExpr], rv: Set[String]): String =
+    ps.map(scalar(_, rv)).mkString(s"$name(", ", ", ")")
+
+  private def func(f: String, ps: Seq[PureExpr], rv: Set[String]): String = f match {
+    case "and" => bin("AND", ps, rv)
+    case "or" => bin("OR", ps, rv)
+    case "not" => s"(NOT ${scalar(ps.head, rv)})"
+    case "equal" => bin("=", ps, rv)
+    case "greaterThan" => bin(">", ps, rv)
+    case "greaterThanEqual" => bin(">=", ps, rv)
+    case "lessThan" => bin("<", ps, rv)
+    case "lessThanEqual" => bin("<=", ps, rv)
+    case "plus" => nary("+", ps, rv)
+    case "minus" => nary("-", ps, rv)
+    case "times" => nary("*", ps, rv)
+    case "divide" => bin("/", ps, rv)
+    case "abs" | "floor" | "round" | "sqrt" | "exp" => call(f, ps, rv)
+    case "ceiling" => call("ceil", ps, rv)
+    case "rem" => call("mod", ps, rv)
+    // multiplicity [0..1] properties map to nullable columns, so PURE's
+    // emptiness checks are null checks in table space
+    case "isEmpty" => s"(${scalar(ps.head, rv)} IS NULL)"
+    case "isNotEmpty" => s"(${scalar(ps.head, rv)} IS NOT NULL)"
+    case "in" =>
+      require(ps.size == 2, "in(value, collection)")
+      s"(${scalar(ps(0), rv)} IN ${scalar(ps(1), rv)})"
+    case "if" =>
+      require(ps.size == 3, "if(cond, then, else)")
+      val t = unwrapThunk(ps(1)); val z = unwrapThunk(ps(2))
+      s"(CASE WHEN ${scalar(ps(0), rv)} THEN ${scalar(t, rv)} ELSE ${scalar(z, rv)} END)"
+    case "startsWith" => call("startswith", ps, rv)
+    case "endsWith" => call("endswith", ps, rv)
+    case "contains" => call("contains", ps, rv)
+    case "length" => call("length", ps, rv)
+    case "toUpper" => call("upper", ps, rv)
+    case "toLower" => call("lower", ps, rv)
+    case "trim" => call("trim", ps, rv)
+    case "joinStrings" => call("concat_ws", ps.tail :+ ps.head, rv) // PURE: joinStrings(col, sep)
+    case "toString" => s"CAST(${scalar(ps.head, rv)} AS STRING)"
+    // PURE substring(str, start[, end]) is 1-based with INCLUSIVE end;
+    // Spark substring(str, pos, len) — translate end to a length
+    case "substring" if ps.size == 3 =>
+      val (s, a, b) = (scalar(ps(0), rv), scalar(ps(1), rv), scalar(ps(2), rv))
+      s"substring($s, $a, ($b) - ($a) + 1)"
+    case "substring" => call("substring", ps, rv)
+    case "today" => "current_date()"
+    case "now" => "current_timestamp()"
+    case "year" => call("year", ps, rv)
+    case "monthNumber" => call("month", ps, rv)
+    case "dayOfMonth" => call("day", ps, rv)
+    case "dateDiff" =>
+      require(ps.size == 3, "dateDiff(from, to, unit)")
+      val a = scalar(ps(0), rv); val b = scalar(ps(1), rv)
+      durationUnit(ps(2)) match {
+        // whole-unit differences, matching PURE's DurationUnit semantics
+        case "YEARS" => s"CAST(floor(months_between($b, $a) / 12) AS INT)"
+        case "MONTHS" => s"CAST(floor(months_between($b, $a)) AS INT)"
+        case "WEEKS" => s"CAST(floor(datediff($b, $a) / 7) AS INT)"
+        case "DAYS" => s"datediff($b, $a)"
+        case "HOURS" => s"CAST(floor((unix_timestamp($b) - unix_timestamp($a)) / 3600) AS INT)"
+        case "MINUTES" => s"CAST(floor((unix_timestamp($b) - unix_timestamp($a)) / 60) AS INT)"
+        case "SECONDS" => s"CAST(unix_timestamp($b) - unix_timestamp($a) AS INT)"
+        case u => throw new IllegalArgumentException(s"unsupported DurationUnit [$u]")
+      }
+    case other =>
+      throw new IllegalArgumentException(
+        s"unsupported PURE function [$other] — extend PureToSql.func to add it")
+  }
+
+  /** The unit argument of dateDiff: DurationUnit.YEARS arrives as a
+    * property access on the enum's element pointer, or as an enumValue. */
+  private def durationUnit(e: PureExpr): String = e match {
+    case PProperty(PPtr(_), unit) => unit
+    case PEnum(_, unit) => unit
+    case PLit(sql) => sql.stripPrefix("'").stripSuffix("'")
+    case other => throw new IllegalArgumentException(s"expected a DurationUnit, got $other")
+  }
+
+  /** PURE thunks branches of `if` as zero-arg lambdas. */
+  private def unwrapThunk(e: PureExpr): PureExpr = e match {
+    case PLambda(Nil, body) => body
+    case other => other
+  }
+
+  /** Render a constraint/derivation lambda over `$this`. */
+  def lambda(e: PureExpr): String = e match {
+    case PLambda(params, body) =>
+      scalar(body, if (params.isEmpty) Set("this") else params.toSet + "this")
+    case other => scalar(other, Set("this"))
+  }
+}

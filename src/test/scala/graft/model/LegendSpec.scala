@@ -1,0 +1,203 @@
+package graft.model
+
+import graft.SparkTestBase
+import graft.model.legend.LegendLoader
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Legend entity-protocol interchange (SURVEY §2.1 M13).
+  *
+  * Fixtures below are hand-authored in the public Legend entity-protocol
+  * JSON format (`{classifierPath, content}` with PURE lambda ASTs) — the
+  * same format the reference loads from its entity directories — and
+  * exercise classes with inheritance + constraints + qualified
+  * properties, an enumeration, a relational mapping, and two services
+  * (project and groupBy pipelines). End-to-end: load → schema →
+  * expectations → validate → derive → service SQL → run.
+  */
+class LegendSpec extends SparkTestBase {
+
+  // --- tiny protocol-JSON builders (keep the fixtures readable) ---
+  private def mult(lo: Int, hi: Option[Int] = Some(1)): String =
+    hi.fold(s"""{"lowerBound":$lo}""")(u => s"""{"lowerBound":$lo,"upperBound":$u}""")
+  private def prop(name: String, tpe: String, lo: Int = 1): String =
+    s"""{"name":"$name","type":"$tpe","multiplicity":${mult(lo)}}"""
+  private def pvar(n: String) = s"""{"_type":"var","name":"$n"}"""
+  private def pprop(recv: String, name: String) =
+    s"""{"_type":"property","property":"$name","parameters":[$recv]}"""
+  private def thisProp(name: String) = pprop(pvar("this"), name)
+  private def func(f: String, ps: String*) =
+    s"""{"_type":"func","function":"$f","parameters":[${ps.mkString(",")}]}"""
+  private def lit(t: String, v: String) =
+    s"""{"_type":"$t","multiplicity":${mult(1)},"values":[$v]}"""
+  private def lambda(body: String, params: String*) =
+    s"""{"_type":"lambda","body":[$body],"parameters":[${params.map(pvar).mkString(",")}]}"""
+  private def coll(vs: String*) =
+    s"""{"_type":"collection","multiplicity":${mult(vs.size)},"values":[${vs.mkString(",")}]}"""
+  private def ptr(p: String) = s"""{"_type":"packageableElementPtr","fullPath":"$p"}"""
+
+  private val partyJson =
+    s"""{"classifierPath":"meta::pure::metamodel::type::Class","content":{
+       |"_type":"class","name":"party","package":"demo::entity","superTypes":[],
+       |"constraints":[],"qualifiedProperties":[],
+       |"properties":[${prop("name", "String")},${prop("region", "String", lo = 0)}]}}""".stripMargin
+
+  private val segmentJson =
+    s"""{"classifierPath":"meta::pure::metamodel::type::Enumeration","content":{
+       |"_type":"Enumeration","name":"segment","package":"demo::entity",
+       |"values":[{"value":"BUILDING"},{"value":"MACHINERY"},{"value":"AUTOMOBILE"}]}}""".stripMargin
+
+  // constraints: acctBal >= -1000; name startsWith 'C' AND length(name) > 1
+  // qualified property: tenureYears = dateDiff(since, until, YEARS)
+  private val customerJson =
+    s"""{"classifierPath":"meta::pure::metamodel::type::Class","content":{
+       |"_type":"class","name":"customer","package":"demo::entity",
+       |"superTypes":["demo::entity::party"],
+       |"properties":[${prop("custId", "Integer")},${prop("acctBal", "Float")},
+       |  ${prop("mktSegment", "demo::entity::segment", lo = 0)},
+       |  ${prop("since", "Date")},${prop("until", "Date")}],
+       |"constraints":[
+       |  {"name":"balance floor","functionDefinition":${lambda(
+            func("greaterThanEqual", thisProp("acctBal"), lit("float", "-1000.0")))}},
+       |  {"name":"well-named","functionDefinition":${lambda(
+            func("and",
+              func("startsWith", thisProp("name"), lit("string", "\"C\"")),
+              func("greaterThan", func("length", thisProp("name")), lit("integer", "1"))))}}],
+       |"qualifiedProperties":[
+       |  {"name":"tenureYears","parameters":[],"returnType":"Integer",
+       |   "returnMultiplicity":${mult(1)},
+       |   "body":[${func("dateDiff", thisProp("since"), thisProp("until"),
+            pprop(ptr("DurationUnit"), "YEARS"))}]}]}}""".stripMargin
+
+  private def colOp(c: String) = s"""{"_type":"column","column":"$c","table":{"_type":"Table"}}"""
+  private def pm(field: String, column: String) =
+    s"""{"_type":"relationalPropertyMapping",
+       |"property":{"class":"demo::entity::customer","property":"$field"},
+       |"relationalOperation":${colOp(column)}}""".stripMargin
+
+  private val mappingJson =
+    s"""{"classifierPath":"meta::pure::mapping::Mapping","content":{
+       |"_type":"mapping","name":"customer_rel","package":"demo::mapping",
+       |"classMappings":[{"_type":"relational","class":"demo::entity::customer",
+       |"mainTable":{"_type":"Table","schema":"default","table":"legend_customer"},
+       |"propertyMappings":[${Seq(
+          pm("custId", "c_custkey"), pm("name", "c_name"), pm("region", "c_region"),
+          pm("acctBal", "c_acctbal"), pm("mktSegment", "c_mktsegment"),
+          pm("since", "c_since"), pm("until", "c_until")).mkString(",")}]}]}}""".stripMargin
+
+  // getAll → filter(acctBal > 0) → project([name, acctBal], [Name, Balance])
+  //   → sort([desc(Balance)]) → take(2)
+  private val serviceJson =
+    s"""{"classifierPath":"meta::legend::service::metamodel::Service","content":{
+       |"_type":"service","name":"topCustomers","package":"demo::service","pattern":"/top",
+       |"execution":{"_type":"pureSingleExecution","mapping":"demo::mapping::customer_rel",
+       |"func":${lambda(
+          func("take",
+            func("sort",
+              func("project",
+                func("filter",
+                  func("getAll", ptr("demo::entity::customer")),
+                  lambda(func("greaterThan", pprop(pvar("x"), "acctBal"),
+                    lit("float", "0.0")), "x")),
+                coll(lambda(pprop(pvar("x"), "name"), "x"),
+                     lambda(pprop(pvar("x"), "acctBal"), "x")),
+                coll(lit("string", "\"Name\""), lit("string", "\"Balance\""))),
+              coll(func("desc", lit("string", "\"Balance\"")))),
+            lit("integer", "2")))}}}}""".stripMargin
+
+  // getAll → groupBy([mktSegment], [agg(x|x.acctBal, y|y.average())], [Segment, AvgBal])
+  private val groupServiceJson =
+    s"""{"classifierPath":"meta::legend::service::metamodel::Service","content":{
+       |"_type":"service","name":"segmentBalance","package":"demo::service","pattern":"/seg",
+       |"execution":{"_type":"pureSingleExecution","mapping":"demo::mapping::customer_rel",
+       |"func":${lambda(
+          func("groupBy",
+            func("getAll", ptr("demo::entity::customer")),
+            coll(lambda(pprop(pvar("x"), "mktSegment"), "x")),
+            coll(func("agg",
+              lambda(pprop(pvar("x"), "acctBal"), "x"),
+              lambda(func("average", pvar("y")), "y"))),
+            coll(lit("string", "\"Segment\""), lit("string", "\"AvgBal\""))))}}}}""".stripMargin
+
+  private lazy val model = LegendLoader.fromJsonStrings(
+    Seq(partyJson, segmentJson, customerJson, mappingJson, serviceJson, groupServiceJson))
+
+  private def customerRows = {
+    import spark.implicits._
+    Seq(
+      (1L, "Cora", "EUROPE", 120.5, "BUILDING", "2019-03-01", "2024-03-01"),
+      (2L, "Cy", "ASIA", -2000.0, "MACHINERY", "2020-01-15", "2024-01-15"), // violates floor
+      (3L, "Ada", "EUROPE", 300.0, "BUILDING", "2021-06-01", "2023-05-31"), // violates naming
+      (4L, "Cleo", null, 50.0, null, "2022-02-01", "2022-12-01"))
+      .toDF("c_custkey", "c_name", "c_region", "c_acctbal", "c_mktsegment", "c_since", "c_until")
+      .withColumn("c_since", to_date(col("c_since")))
+      .withColumn("c_until", to_date(col("c_until")))
+  }
+
+  test("M13: loads classes, enums, mappings, services; resolves inheritance") {
+    assert(model.classes.keySet ==
+      Set("demo::entity::party", "demo::entity::customer"))
+    assert(model.enum("demo::entity::segment").values ==
+      Seq("BUILDING", "MACHINERY", "AUTOMOBILE"))
+    assert(model.mapping("demo::mapping::customer_rel").table == "legend_customer")
+    // inherited properties come first, as in the reference's resolution
+    assert(model.allProperties("demo::entity::customer").map(_.name) ==
+      Seq("name", "region", "custId", "acctBal", "mktSegment", "since", "until"))
+  }
+
+  test("M13: PURE constraint lambdas translate to parseable entity-space SQL") {
+    val byName = model.clazz("demo::entity::customer").constraints
+      .map(k => k.name -> k.expr).toMap
+    assert(byName("balance floor") == "(acctBal >= -1000.0)")
+    assert(byName("well-named") == "(startswith(name, 'C') AND (length(name) > 1))")
+    // every expectation (technical + enum-domain + business) compiles
+    val compiled = Expectations.compiledForClass(model, "demo::entity::customer")
+    assert(compiled.nonEmpty && compiled.values.forall(_.isSuccess),
+      compiled.filter(_._2.isFailure).keys.mkString(", "))
+  }
+
+  test("M13: schema generation maps Legend primitives and enum refs") {
+    val s = SchemaGen.schemaOf(model, "demo::entity::customer")
+    assert(s("custId").dataType == LongType || s("custId").dataType == IntegerType)
+    assert(s("acctBal").dataType == FloatType) // reference maps Float the same way
+    assert(s("mktSegment").dataType == StringType) // enum ref → string domain
+    assert(s("since").dataType == DateType)
+    assert(s("name").nullable == false && s("region").nullable == true)
+  }
+
+  test("M13: validation flags exactly the planted violations") {
+    val entity = Transformer.toEntity(customerRows,
+      model.mapping("demo::mapping::customer_rel"))
+    val rules = Expectations.forClass(model, "demo::entity::customer")
+    val bad = Validator.validate(entity, rules)
+      .select(col("custId"), explode(col("graft_violations")).as("v"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(bad == Set((2L, "balance floor"), (3L, "well-named")))
+  }
+
+  test("M13: qualified property (dateDiff YEARS) derives correctly") {
+    val entity = Transformer.toEntity(customerRows,
+      model.mapping("demo::mapping::customer_rel"))
+    val derived = Transformer.withDerivations(entity, model, "demo::entity::customer")
+      .select(col("custId"), col("tenureYears"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(derived == Map(1L -> 5, 2L -> 4, 3L -> 1, 4L -> 0))
+  }
+
+  test("M13: project service compiles and runs (filter → project → sort → take)") {
+    customerRows.createOrReplaceTempView("legend_customer")
+    val sql = ServiceGen.serviceSql(model, "demo::service::topCustomers")
+    assert(sql.contains("c_acctbal") && sql.toUpperCase.contains("ORDER BY"))
+    val rows = ServiceGen.runService(spark, model, "demo::service::topCustomers")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(rows == Seq(("Ada", 300.0), ("Cora", 120.5))) // balance desc, top 2
+  }
+
+  test("M13: groupBy service aggregates per segment") {
+    customerRows.createOrReplaceTempView("legend_customer")
+    val rows = ServiceGen.runService(spark, model, "demo::service::segmentBalance")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(rows.keySet == Set("BUILDING", "MACHINERY", null))
+    assert(math.abs(rows("BUILDING") - 210.25) < 1e-9) // avg(120.5, 300.0)
+  }
+}

@@ -90,6 +90,14 @@ class SimSpec extends SparkTestBase {
     val vecs = graft.Tables(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
     spark.sql("DROP TABLE IF EXISTS ivf_spec_index")
+    // a fresh session's in-memory catalog doesn't know a previous run's
+    // table, but its warehouse directory persists — clear it too
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), "ivf_spec_index"))
     val nlist = 16
     val idx = IvfIndex.build(vecs, "vec_id", "embedding",
       nlist = nlist, numBuckets = nlist, table = "ivf_spec_index")
