@@ -12,6 +12,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.Sampling.queries ++ model.ModelQueries.queries ++
+      model.legend.LegendQueries.queries ++
       text.TextQueries.queries ++ dedup.DedupQueries.queries ++
       sim.SimQueries.queries ++ multimodal.Multimodal.queries
 
@@ -19,6 +20,7 @@ object SparkEntry {
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
     ops.Relational.oracles ++ ops.Sampling.oracles ++ model.ModelQueries.oracles ++
+      model.legend.LegendQueries.oracles ++
       text.TextQueries.oracles ++ dedup.DedupQueries.oracles ++
       sim.SimQueries.oracles ++ multimodal.Multimodal.oracles
 }

@@ -1,0 +1,165 @@
+package graft.model.legend
+
+import graft.Tables
+import graft.model._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked gate queries for the Legend interchange path (SURVEY
+  * §2.1 M13; keys m7/m8).
+  *
+  * The fixture below is a complete Legend-protocol entity set authored
+  * in the public wire format (class + constraints with PURE lambda ASTs,
+  * relational mapping, pureSingleExecution service) over the TPC-H
+  * orders table — so the ENTIRE path the reference exercises (entity
+  * JSON → compiled constraints/SQL → execution) runs inside the
+  * DuckDB-checked correctness gate, not just in specs. Both queries are
+  * single-scan shapes: the service is filter→project→sort→take (filter
+  * pushed to the parquet scan), validation is one pass with map-side
+  * partial aggregation — the same 100 TB contract as the m1–m6 pack.
+  */
+object LegendQueries {
+
+  // --- protocol-JSON fixture (hand-authored, public Legend wire format) ---
+  private def mult1 = """{"lowerBound":1,"upperBound":1}"""
+  private def mult01 = """{"lowerBound":0,"upperBound":1}"""
+  private def prop(name: String, tpe: String, m: String) =
+    s"""{"name":"$name","type":"$tpe","multiplicity":$m}"""
+  private def pvar(n: String) = s"""{"_type":"var","name":"$n"}"""
+  private def thisProp(name: String) =
+    s"""{"_type":"property","property":"$name","parameters":[${pvar("this")}]}"""
+  private def xProp(name: String) =
+    s"""{"_type":"property","property":"$name","parameters":[${pvar("x")}]}"""
+  private def func(f: String, ps: String*) =
+    s"""{"_type":"func","function":"$f","parameters":[${ps.mkString(",")}]}"""
+  private def plit(t: String, v: String) =
+    s"""{"_type":"$t","multiplicity":$mult1,"values":[$v]}"""
+  private def str(v: String) = plit("string", "\"" + v + "\"")
+  private def lambda(body: String, params: String*) =
+    s"""{"_type":"lambda","body":[$body],"parameters":[${params.map(pvar).mkString(",")}]}"""
+  private def coll(vs: String*) =
+    s"""{"_type":"collection","multiplicity":{"lowerBound":${vs.size},"upperBound":${vs.size}},"values":[${vs.mkString(",")}]}"""
+  private def ptr(p: String) = s"""{"_type":"packageableElementPtr","fullPath":"$p"}"""
+
+  private val orderClassJson =
+    s"""{"classifierPath":"meta::pure::metamodel::type::Class","content":{
+       |"_type":"class","name":"order","package":"gate::entity","superTypes":[],
+       |"properties":[
+       |  ${prop("orderId", "Integer", mult1)},
+       |  ${prop("status", "String", mult1)},
+       |  ${prop("price", "Float", mult1)},
+       |  ${prop("priority", "String", mult01)}],
+       |"constraints":[
+       |  {"name":"positive price","functionDefinition":${lambda(
+            func("greaterThan", thisProp("price"), plit("float", "0.0")))}},
+       |  {"name":"known status","functionDefinition":${lambda(
+            func("in", thisProp("status"), coll(str("O"), str("F"), str("P"))))}},
+       |  {"name":"urgent well priced","functionDefinition":${lambda(
+            func("or",
+              func("not", func("startsWith", thisProp("priority"), str("1"))),
+              func("greaterThanEqual", thisProp("price"), plit("float", "1000.0"))))}}],
+       |"qualifiedProperties":[]}}""".stripMargin
+
+  private def pm(field: String, column: String) =
+    s"""{"_type":"relationalPropertyMapping",
+       |"property":{"class":"gate::entity::order","property":"$field"},
+       |"relationalOperation":{"_type":"column","column":"$column","table":{"_type":"Table"}}}""".stripMargin
+
+  private val mappingJson =
+    s"""{"classifierPath":"meta::pure::mapping::Mapping","content":{
+       |"_type":"mapping","name":"order_rel","package":"gate::mapping",
+       |"classMappings":[{"_type":"relational","class":"gate::entity::order",
+       |"mainTable":{"_type":"Table","schema":"default","table":"orders"},
+       |"propertyMappings":[${Seq(
+          pm("orderId", "o_orderkey"), pm("status", "o_orderstatus"),
+          pm("price", "o_totalprice"), pm("priority", "o_orderpriority")).mkString(",")}]}]}}""".stripMargin
+
+  // getAll → filter(price >= 100000) → project → sort(desc OrderId) → take(50)
+  private val serviceJson =
+    s"""{"classifierPath":"meta::legend::service::metamodel::Service","content":{
+       |"_type":"service","name":"bigOrders","package":"gate::service","pattern":"/big",
+       |"execution":{"_type":"pureSingleExecution","mapping":"gate::mapping::order_rel",
+       |"func":${lambda(
+          func("take",
+            func("sort",
+              func("project",
+                func("filter",
+                  func("getAll", ptr("gate::entity::order")),
+                  lambda(func("greaterThanEqual", xProp("price"),
+                    plit("float", "100000.0")), "x")),
+                coll(lambda(xProp("orderId"), "x"),
+                     lambda(xProp("status"), "x"),
+                     lambda(xProp("price"), "x")),
+                coll(str("OrderId"), str("Status"), str("Price"))),
+              coll(func("desc", str("OrderId")))),
+            plit("integer", "50")))}}}}""".stripMargin
+
+  /** The loaded model — parsed once per JVM; load-time translation means
+    * a bad fixture fails here, not inside a query. */
+  lazy val model: GraftModel =
+    LegendLoader.fromJsonStrings(Seq(orderClassJson, mappingJson, serviceJson))
+
+  val OrderMapping = "gate::mapping::order_rel"
+
+  /** M13 gate (service path): Legend-protocol service end-to-end —
+    * protocol JSON → PURE AST → SQL → spark.sql. Filter reaches the
+    * scan; sort+take is TakeOrderedAndProject. */
+  def m7LegendService(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "orders").createOrReplaceTempView("orders")
+    ServiceGen.runService(s, model, "gate::service::bigOrders")
+  }
+
+  /** M13 gate (constraint path): Legend-protocol constraints compiled to
+    * expectations and aggregated to per-rule violation counts (same
+    * single-scan explode shape as m2). */
+  def m8LegendValidate(s: SparkSession, dir: String): DataFrame = {
+    val rules = Expectations.forMapping(model, OrderMapping)
+    val checks = array(rules.map { case (name, sql) =>
+      struct(lit(name).as("rule"),
+        when(coalesce(expr(sql), lit(false)), lit(0L)).otherwise(lit(1L)).as("v"))
+    }: _*)
+    Tables(s, dir, "orders")
+      .select(explode(checks).as("c"))
+      .select(col("c.rule").as("rule"), col("c.v").as("v"))
+      .groupBy(col("rule"))
+      .agg(sum(col("v")).as("violations"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m7_legend_service" -> (m7LegendService _),
+    "m8_legend_validate" -> (m8LegendValidate _))
+
+  /** Violated = NOT coalesce(rule, FALSE), as in the m2 oracle; DuckDB's
+    * integer sum casts back to BIGINT for the gate's pandas hasher. */
+  val oracles: Map[String, String] = Map(
+    "m7_legend_service" ->
+      """SELECT o_orderkey AS OrderId, o_orderstatus AS Status,
+        |  o_totalprice AS Price
+        |FROM orders WHERE o_totalprice >= 100000.0
+        |ORDER BY o_orderkey DESC LIMIT 50""".stripMargin,
+    "m8_legend_validate" ->
+      """SELECT '[orderId] is mandatory' AS rule,
+        |  CAST(sum(CASE WHEN NOT coalesce(o_orderkey IS NOT NULL, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS violations
+        |FROM orders
+        |UNION ALL
+        |SELECT '[status] is mandatory',
+        |  CAST(sum(CASE WHEN NOT coalesce(o_orderstatus IS NOT NULL, FALSE) THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM orders
+        |UNION ALL
+        |SELECT '[price] is mandatory',
+        |  CAST(sum(CASE WHEN NOT coalesce(o_totalprice IS NOT NULL, FALSE) THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'positive price',
+        |  CAST(sum(CASE WHEN NOT coalesce(o_totalprice > 0.0, FALSE) THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'known status',
+        |  CAST(sum(CASE WHEN NOT coalesce(o_orderstatus IN ('O','F','P'), FALSE) THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'urgent well priced',
+        |  CAST(sum(CASE WHEN NOT coalesce((NOT starts_with(o_orderpriority, '1'))
+        |    OR o_totalprice >= 1000.0, FALSE) THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM orders""".stripMargin)
+}
