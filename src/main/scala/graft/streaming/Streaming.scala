@@ -46,6 +46,22 @@ object Streaming {
         date_format(col("window.start"), "yyyy-MM-dd HH").as("hour"),
         col("event_type"), col("cnt"), col("total_value"))
 
+  /** ST4: streaming exact dedup — the streaming twin of d1_exact_dedup.
+    * Content-hash keyed dropDuplicatesWithinWatermark: the first arrival
+    * of each hash passes through, later copies are dropped, and the
+    * dedup state holds one entry per hash only within the watermark
+    * horizon — bounded state, unlike a bare dropDuplicates whose state
+    * grows with the stream's lifetime (fatal at 100 TB/day ingest). The
+    * horizon IS the operator contract: a duplicate arriving more than
+    * `watermark` after its original may pass (standard streaming-dedup
+    * semantics; an exact batch d1 pass downstream catches stragglers). */
+  def dedupStream(docs: DataFrame, tsCol: String = "ts",
+                  watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col("text")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Session gap: 30 minutes (micros) — same constant as q17Sessions. */
   val SessionGapMicros: Long = 1800L * 1000 * 1000
 

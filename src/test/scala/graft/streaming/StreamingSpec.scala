@@ -43,6 +43,35 @@ class StreamingSpec extends SparkTestBase {
     assert(rows("neg") == Seq("positive balance"))
   }
 
+  test("ST4: streaming exact dedup keeps first arrivals across batches, matches batch d1 keep-set") {
+    val input = MemoryStream[(Long, String, Timestamp)](spark)
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+    val q = Streaming.dedupStream(docs, watermark = "1 hour")
+      .writeStream.format("memory").queryName("st4_out")
+      .outputMode(OutputMode.Append()).start()
+    runBatches(q, input, Seq(
+      Seq((1L, "alpha", ts(0)), (2L, "beta", ts(1)), (3L, "alpha", ts(2))), // 3 dups 1
+      Seq((4L, "beta", ts(10)), (5L, "gamma", ts(11))),                     // 4 dups 2
+      Seq((6L, "alpha", ts(20)))))                                          // 6 dups 1
+    val kept = spark.table("st4_out").select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    // contract: exactly one representative per content hash (within-batch
+    // winner is arbitrary), and LATER-batch duplicates never pass
+    assert(kept.map(_._2).sorted == Seq("alpha", "beta", "gamma"),
+      s"expected one representative per text, got $kept")
+    assert(!kept.exists(r => r._1 == 4L || r._1 == 6L),
+      s"cross-batch duplicates must be dropped, got $kept")
+    // batch mirror: d1's groupBy elects the same set of content hashes
+    val batch = Seq((1L, "alpha"), (2L, "beta"), (3L, "alpha"),
+      (4L, "beta"), (5L, "gamma"), (6L, "alpha")).toDF("doc_id", "text")
+    val d1Hashes = batch.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"))
+      .select(col("h")).as[String].collect().toSet
+    val streamHashes = spark.table("st4_out")
+      .select(col("content_hash")).as[String].collect().toSet
+    assert(streamHashes == d1Hashes)
+  }
+
   test("ST2: watermarked tumbling window matches the batch mirror") {
     val input = MemoryStream[(Timestamp, String, Double)](spark)
     val events = input.toDF().toDF("ts", "event_type", "value")
