@@ -82,21 +82,23 @@ object TextQueries {
       .agg(concat_ws(",", slice(array_sort(collect_set(col("h"))), 1, 4)).as("fp"))
 
   /** T6: TF-IDF top-3 terms per document. tf and df come from two
-    * cascaded hash aggregates (both with map-side partials); idf =
-    * ln(N/df) with N counted once driver-side; ranking is a per-document
+    * cascaded hash aggregates (both with map-side partials); N rides
+    * along as a broadcast single-row aggregate (no separate driver-side
+    * count job — one plan, one submission); ranking is a per-document
     * window (bounded partitions — never global). The score is rounded to
     * 6 dp BEFORE ranking so cross-engine ulp drift in ln() cannot flip
     * ranks. */
   def t6Tfidf(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val nDocs = d.count()
+    val nDocs = d.agg(count(lit(1)).cast("double").as("n_docs"))
     val terms = d.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
     val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term").asc)
     tf.join(dfreq, "term")
-      .withColumn("tfidf", round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6))
+      .join(broadcast(nDocs))
+      .withColumn("tfidf", round(col("tf") * log(col("n_docs") / col("df")), 6))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"), col("rk"))

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based invariants for the algorithmic cores that the
+  * example-based specs can't sweep: sketch guarantees (pigeonhole
+  * banding), portable-hash mixing, the PURE translator's parseability
+  * contract, and multiplicity parsing. Pure JVM properties — no Spark
+  * session, so the sweep is cheap (100 cases each).
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private def check(p: Prop, name: String): Unit = {
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(100), p)
+    assert(r.passed, s"$name: ${r.status}")
+  }
+
+  test("SimHash banding: hamming(a,b) < numBands implies a shared band (pigeonhole)") {
+    val bits = 60; val numBands = 4; val bandBits = bits / numBands
+    val mask = (1L << bandBits) - 1
+    def bands(sig: Long): Seq[Long] =
+      (0 until numBands).map(b => (sig >>> (b * bandBits)) & mask)
+    val gen = for {
+      a <- Gen.choose(0L, (1L << bits) - 1)
+      nFlips <- Gen.choose(0, numBands - 1) // hamming < numBands
+      flips <- Gen.pick(nFlips, 0 until bits)
+    } yield (a, flips.foldLeft(a)((v, i) => v ^ (1L << i)))
+    check(Prop.forAll(gen) { case (a, b) =>
+      bands(a).zip(bands(b)).exists { case (x, y) => x == y }
+    }, "simhash banding")
+  }
+
+  test("MinHash affine mixes are distinct, in-range, and overflow-free") {
+    import graft.dedup.Dedup.{mixA, mixB, MinhashPrime}
+    check(Prop.forAll(Gen.choose(0, 255)) { i =>
+      val (a, b) = (mixA(i), mixB(i))
+      a >= 0 && a < MinhashPrime && b >= 0 && b < MinhashPrime &&
+        // largest possible product stays under 2^63 (exact in any engine)
+        a * (MinhashPrime - 1) + b > 0
+    }, "mix range")
+    val pairs = (0 until 64).map(i => (graft.dedup.Dedup.mixA(i), graft.dedup.Dedup.mixB(i)))
+    assert(pairs.distinct.size == pairs.size, "mix collision within 64 hash functions")
+  }
+
+  test("bottom-k fingerprint is stable under shingle reordering and duplication") {
+    val gen = for {
+      base <- Gen.nonEmptyListOf(Gen.alphaLowerStr.suchThat(_.nonEmpty))
+      dups <- Gen.someOf(base)
+      shuffled <- Gen.const(scala.util.Random.shuffle(base ++ dups))
+    } yield (base, shuffled)
+    def fp(xs: Seq[String]): Seq[String] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def h(s: String) = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      xs.distinct.map(h).sorted.take(4)
+    }
+    check(Prop.forAll(gen) { case (base, shuffled) =>
+      fp(base) == fp(shuffled)
+    }, "fingerprint stability")
+  }
+
+  test("PureToSql output always parses as a Spark SQL expression") {
+    import graft.model.legend.PureExpr._
+    import graft.model.legend.PureToSql
+    val leafGen: Gen[graft.model.legend.PureExpr] = Gen.oneOf(
+      Gen.identifier.map(n => PProperty(PVar("this"), n)),
+      Gen.choose(-1000, 1000).map(i => PLit(i.toString)),
+      Gen.choose(-10.0, 10.0).map(d => PLit(d.toString)),
+      Gen.alphaStr.map(s => PLit(quote(s))))
+    def exprGen(depth: Int): Gen[graft.model.legend.PureExpr] =
+      if (depth == 0) leafGen
+      else Gen.frequency(
+        2 -> leafGen,
+        1 -> (for {
+          f <- Gen.oneOf("greaterThan", "lessThan", "equal", "plus", "minus", "times")
+          a <- exprGen(depth - 1); b <- exprGen(depth - 1)
+        } yield PFunc(f, Seq(a, b))),
+        1 -> (for {
+          f <- Gen.oneOf("and", "or")
+          a <- exprGen(depth - 1); b <- exprGen(depth - 1)
+        } yield PFunc(f, Seq(a, b))),
+        1 -> exprGen(depth - 1).map(e => PFunc("not", Seq(e))),
+        1 -> exprGen(depth - 1).map(e => PFunc("isEmpty", Seq(e))),
+        1 -> (for {
+          f <- Gen.oneOf("startsWith", "endsWith", "contains")
+          a <- exprGen(depth - 1); s <- Gen.alphaStr
+        } yield PFunc(f, Seq(a, PLit(quote(s))))))
+    check(Prop.forAll(exprGen(3)) { e =>
+      CatalystSqlParser.parseExpression(PureToSql.scalar(e, Set("this")))
+      true
+    }, "PureToSql parseability")
+  }
+
+  test("Multiplicity: parse/toString round-trips") {
+    import graft.model.Multiplicity
+    val gen = for {
+      lo <- Gen.choose(0, 5)
+      hi <- Gen.option(Gen.choose(0, 9).map(lo + _))
+    } yield Multiplicity(lo, hi)
+    check(Prop.forAll(gen) { m =>
+      Multiplicity.parse(m.toString) == m
+    }, "multiplicity round trip")
+  }
+
+  test("hash-bucket split is a partition: every key lands in exactly one split") {
+    // mirrors Sampling.p1's bucket → split mapping
+    def split(bucket: Long): String =
+      if (bucket < 8) "train" else if (bucket < 9) "val" else "test"
+    check(Prop.forAll(Gen.choose(0L, Long.MaxValue)) { id =>
+      val b = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(8).foldLeft(0L)((acc, x) => (acc << 8) | (x & 0xffL)).abs % 10
+      Set("train", "val", "test").contains(split(b))
+    }, "split partition")
+  }
+}
