@@ -142,6 +142,26 @@ class PlanSpec extends SparkTestBase {
       s"interpreted expressions on unbounded-cardinality paths:\n${offenders.mkString("\n")}")
   }
 
+  test("m7 legend service: filter pushed to scan, top-k is TakeOrdered, no exchange") {
+    val plan = sparkPlanOf("m7_legend_service")
+    assert(plan.contains("TakeOrderedAndProject"), "service sort+take must plan as top-k")
+    assert(plan.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThanOrEqual(o_totalprice"),
+      s"service filter not pushed to the scan:\n$plan")
+  }
+
+  test("t6: the corpus-count side of the broadcast is a single-row aggregate") {
+    // the N broadcast must never be a data-sized side — assert the BNLJ
+    // builds on an aggregate (1 row), not on a table scan
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val plan = SparkEntry.queries("t6_tfidf")(spark, sfDir).queryExecution.sparkPlan
+    val bnlj = plan.collectFirst { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnlj.nonEmpty, "t6 should attach N via a broadcast single-row join")
+    val buildIsAgg = bnlj.get.children.exists(c =>
+      c.exists(_.isInstanceOf[BaseAggregateExec]) && c.collectLeaves().size == 1)
+    assert(buildIsAgg, "the broadcast side must be the count aggregate")
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -11,6 +11,33 @@ class OpsSpec extends SparkTestBase {
 
   import spark.implicits._
 
+  test("AQE splits a skewed shuffle-join partition at runtime (the non-rewrite skew path)") {
+    // q18/q20 are the explicit-plan forms; this pins the THIRD skew tool
+    // the docs point to — AQE's runtime skew-join split — by forcing the
+    // detection thresholds down to toy scale and checking the final
+    // adaptive plan actually split the hot partition.
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val old = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // one pathological key (50k rows) beside 100 cold keys (10 each)
+      val skewed = spark.range(50000).select(lit(0L).as("k"), col("id").as("payload"))
+        .union(spark.range(1000).select((col("id") % 100 + 1).as("k"), col("id")))
+      val dim = spark.range(101).select(col("id").as("k2"), (col("id") * 2).as("v"))
+      val joined = skewed.join(dim, col("k") === col("k2"))
+      // execute THIS dataset's plan (count() would build a different
+      // query execution and leave this AdaptiveSparkPlan unfinalized)
+      assert(joined.collect().length == 51000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true") && finalPlan.contains("skewed"),
+        s"expected AQE to mark and split the skewed partition:\n$finalPlan")
+    } finally old.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("R18: salted join result is identical to the plain join") {
     val li = graft.Tables(spark, sfDir, "lineitem")
       .select("l_orderkey", "l_linenumber", "l_extendedprice")
