@@ -169,6 +169,35 @@ class ModelSpec extends SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS graft_m9_tmp")
   }
 
+  test("M9: partitioned governed table prunes partitions on read") {
+    val tmpModel = model.copy(mappings = model.mappings +
+      ("tmp" -> model.mapping("tpch::mapping::Customer").copy(table = "graft_m9_part")))
+    def rmDir(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmDir)
+      f.delete(); ()
+    }
+    rmDir(new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), "graft_m9_part"))
+    try {
+      val ddl = TableGen.ddl(model, "tpch::mapping::Customer",
+        partitionBy = Seq("c_mktsegment"))
+      assert(ddl.contains("PARTITIONED BY (c_mktsegment)"))
+      // unknown partition column fails fast, before any DDL runs
+      intercept[IllegalArgumentException] {
+        TableGen.ddl(model, "tpch::mapping::Customer", partitionBy = Seq("nope"))
+      }
+      TableGen.create(spark, tmpModel, "tmp", partitionBy = Seq("c_mktsegment"))
+      TableGen.write(graft.Tables(spark, sfDir, "customer").limit(40), tmpModel, "tmp")
+      val read = spark.table("graft_m9_part")
+        .filter(org.apache.spark.sql.functions.col("c_mktsegment") === "BUILDING")
+      assert(read.count() > 0)
+      val scan = read.queryExecution.executedPlan.toString
+      // the filter must prune DIRECTORIES (partition filter), not rows
+      assert(scan.contains("PartitionFilters: [") && scan.contains("c_mktsegment"),
+        s"expected partition pruning in:\n$scan")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_m9_part")
+  }
+
   test("M10: reverse codegen emits classes, store, and mappings") {
     val schema = StructType(Seq(
       StructField("user_id", LongType, nullable = false),
