@@ -134,7 +134,10 @@ object PureToSql {
     case "lessThan" => bin("<", ps, rv)
     case "lessThanEqual" => bin("<=", ps, rv)
     case "plus" => nary("+", ps, rv)
-    case "minus" => nary("-", ps, rv)
+    case "minus" =>
+      // single-argument minus is PURE's unary negation
+      val args = ps match { case Seq(PCollection(vs)) => vs; case other => other }
+      if (args.size == 1) s"(- ${scalar(args.head, rv)})" else nary("-", ps, rv)
     case "times" => nary("*", ps, rv)
     case "divide" => bin("/", ps, rv)
     case "abs" | "floor" | "round" | "sqrt" | "exp" => call(f, ps, rv)
@@ -166,8 +169,26 @@ object PureToSql {
       val (s, a, b) = (scalar(ps(0), rv), scalar(ps(1), rv), scalar(ps(2), rv))
       s"substring($s, $a, ($b) - ($a) + 1)"
     case "substring" => call("substring", ps, rv)
+    // collection size; scalar-context `count` is PURE's collection size too
+    // (the aggregation form is handled by the service translator)
+    case "size" | "count" => s"size(${scalar(ps.head, rv)})"
+    case "matches" => bin("RLIKE", ps, rv)
+    case "parseInteger" => s"CAST(${scalar(ps.head, rv)} AS BIGINT)"
+    case "parseFloat" | "parseDecimal" => s"CAST(${scalar(ps.head, rv)} AS DOUBLE)"
     case "today" => "current_date()"
     case "now" => "current_timestamp()"
+    case "firstDayOfMonth" => s"trunc(${scalar(ps.head, rv)}, 'MM')"
+    case "firstDayOfYear" => s"trunc(${scalar(ps.head, rv)}, 'YYYY')"
+    case "adjust" =>
+      require(ps.size == 3, "adjust(date, n, unit)")
+      val d = scalar(ps(0), rv); val n = scalar(ps(1), rv)
+      durationUnit(ps(2)) match {
+        case "DAYS" => s"date_add($d, $n)"
+        case "WEEKS" => s"date_add($d, ($n) * 7)"
+        case "MONTHS" => s"add_months($d, $n)"
+        case "YEARS" => s"add_months($d, ($n) * 12)"
+        case u => throw new IllegalArgumentException(s"unsupported adjust unit [$u]")
+      }
     case "year" => call("year", ps, rv)
     case "monthNumber" => call("month", ps, rv)
     case "dayOfMonth" => call("day", ps, rv)

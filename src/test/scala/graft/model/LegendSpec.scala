@@ -193,6 +193,30 @@ class LegendSpec extends SparkTestBase {
     assert(rows == Seq(("Ada", 300.0), ("Cora", 120.5))) // balance desc, top 2
   }
 
+  test("M13: extended PURE function coverage renders correct, parseable SQL") {
+    import graft.model.legend.PureExpr._
+    import graft.model.legend.PureToSql
+    def p(n: String) = PProperty(PVar("this"), n)
+    def unit(u: String) = PProperty(PPtr("DurationUnit"), u)
+    val cases: Seq[(graft.model.legend.PureExpr, String)] = Seq(
+      PFunc("minus", Seq(p("x"))) -> "(- x)",
+      PFunc("minus", Seq(p("x"), p("y"))) -> "(x - y)",
+      PFunc("size", Seq(p("tags"))) -> "size(tags)",
+      PFunc("count", Seq(p("tags"))) -> "size(tags)",
+      PFunc("matches", Seq(p("name"), PLit("'^C.*'"))) -> "(name RLIKE '^C.*')",
+      PFunc("parseInteger", Seq(p("s"))) -> "CAST(s AS BIGINT)",
+      PFunc("firstDayOfMonth", Seq(p("d"))) -> "trunc(d, 'MM')",
+      PFunc("adjust", Seq(p("d"), PLit("3"), unit("MONTHS"))) -> "add_months(d, 3)",
+      PFunc("adjust", Seq(p("d"), PLit("2"), unit("YEARS"))) -> "add_months(d, (2) * 12)",
+      PFunc("if", Seq(PFunc("isEmpty", Seq(p("a"))), PLambda(Nil, PLit("0")),
+        PLambda(Nil, p("a")))) -> "(CASE WHEN (a IS NULL) THEN 0 ELSE a END)")
+    for ((ast, expected) <- cases) {
+      val sql = PureToSql.scalar(ast, Set("this"))
+      assert(sql == expected, s"for $ast")
+      SqlRewrite.validateSyntax(sql)
+    }
+  }
+
   test("M13: groupBy service aggregates per segment") {
     customerRows.createOrReplaceTempView("legend_customer")
     val rows = ServiceGen.runService(spark, model, "demo::service::segmentBalance")
