@@ -160,6 +160,43 @@ object Similarity {
       .withColumn("rank", row_number().over(rankW)).filter(col("rank") <= k)
   }
 
+  /** K-means clustering over an embedding column (S5) — the corpus-
+    * curation primitive (data mixing, domain balancing, diversity
+    * sampling all start from cluster assignments).
+    *
+    * Lloyd's iterations, Spark-shaped: ASSIGNMENT is one codegen'd
+    * linear scan through the native [[graft.functions.NearestCentroids]]
+    * expression (k dot products per row, map-side only); UPDATE is
+    * posexplode → groupBy(cluster, dim) → avg with map-side partials —
+    * one shuffle of (cluster, dim, partial sums), never vectors. The
+    * driver only ever holds the k × dim centroid matrix (collected each
+    * round — bounded by the model size, not the data). Init is the
+    * deterministic bottom-k-by-md5 sample shared with IVF, so runs are
+    * reproducible. Returns (centroids, assignment DataFrame with
+    * idCol + cluster). */
+  def kmeans(vectors: DataFrame, idCol: String, vecCol: String,
+             k: Int, iterations: Int): (Array[Array[Double]], DataFrame) = {
+    import graft.functions.VectorFunctions.nearestCentroids
+    var cents = sampleCentroids(vectors, idCol, vecCol, k)
+    def assign(c: Array[Array[Double]]): DataFrame =
+      vectors.withColumn("cluster",
+        element_at(nearestCentroids(col(vecCol), c, 1), 1))
+    var iter = 0
+    while (iter < iterations) {
+      val updated = assign(cents)
+        .select(col("cluster"), posexplode(col(vecCol)).as(Seq("dim", "v")))
+        .groupBy(col("cluster"), col("dim"))
+        .agg(avg(col("v")).as("m"))
+        .collect()
+      val dim = updated.map(_.getInt(1)).max + 1
+      val next = Array.tabulate(cents.length)(c => cents(c).take(dim)) // empty clusters keep position
+      updated.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      cents = next
+      iter += 1
+    }
+    (cents, assign(cents).select(col(idCol), col("cluster")))
+  }
+
   /** Embedding near-dup pairs (D5): LSH bucket join, then exact cosine
     * verify >= threshold on co-bucketed pairs only. */
   def embeddingDupPairs(vectors: DataFrame, idCol: String, vecCol: String,

@@ -131,6 +131,22 @@ class SimSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", old)
   }
 
+  test("S5: k-means separates the planted clusters and is deterministic") {
+    val vecs = clustered.toDF("vec_id", "embedding")
+    val (cents, assigned) = Similarity.kmeans(vecs, "vec_id", "embedding",
+      k = 2, iterations = 5)
+    assert(cents.length == 2 && cents.forall(_.length == dim))
+    val byCluster = assigned.as[(Long, Int)].collect().groupBy(_._2)
+      .view.mapValues(_.map(_._1).toSet).toMap
+    // the two planted clusters (ids 0-9 vs 10-19) must come out intact
+    assert(byCluster.values.toSet == Set((0L until 10L).toSet, (10L until 20L).toSet),
+      s"clusters not separated: $byCluster")
+    // deterministic init + deterministic iterations → identical re-run
+    val (cents2, _) = Similarity.kmeans(vecs, "vec_id", "embedding",
+      k = 2, iterations = 5)
+    assert(cents.map(_.toSeq).toSeq == cents2.map(_.toSeq).toSeq)
+  }
+
   test("S3: IVF recall vs brute force is high on clustered data") {
     val vecs = clustered.toDF("vec_id", "embedding")
     val queries = col("vec_id") === 0 || col("vec_id") === 10
