@@ -59,9 +59,25 @@ object Sampling {
         sum(col("doc_id")).as("id_checksum"))
   }
 
+  /** P3: deterministic exact-k uniform sample — the k corpus rows with
+    * the smallest md5(id): how a fixed-size eval/calibration set is
+    * drawn from a moving corpus. The plan is TakeOrderedAndProject
+    * (per-partition heaps of k, merge on the driver) — NEVER a global
+    * sort; at 100 TB the cost is one scan + k rows per partition. Same
+    * bottom-k-by-hash primitive as the IVF centroid sample. */
+  val SampleK = 100
+
+  def p3UniformSample(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        hashBucket(col("doc_id"), Int.MaxValue).as("h"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+      .limit(SampleK)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_split_sample" -> (p1SplitSample _),
-    "p2_stratified_sample" -> (p2StratifiedSample _))
+    "p2_stratified_sample" -> (p2StratifiedSample _),
+    "p3_uniform_sample" -> (p3UniformSample _))
 
   private val hashSql = "('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT"
 
@@ -78,5 +94,9 @@ object Sampling {
          |FROM documents
          |WHERE $hashSql % 100 <
          |  (CASE WHEN lang = 'en' THEN 10 WHEN lang = 'zh' THEN 50 ELSE 30 END)
-         |GROUP BY lang""".stripMargin)
+         |GROUP BY lang""".stripMargin,
+    "p3_uniform_sample" ->
+      s"""SELECT doc_id, lang, h FROM (
+         |  SELECT doc_id, lang, $hashSql % 2147483647 AS h FROM documents)
+         |ORDER BY h ASC, doc_id ASC LIMIT $SampleK""".stripMargin)
 }

@@ -217,6 +217,34 @@ class LegendSpec extends SparkTestBase {
     }
   }
 
+  test("M13: unsupported PURE constructs fail loudly at LOAD time with the offending name") {
+    // unknown scalar function in a constraint
+    val badConstraint =
+      s"""{"classifierPath":"meta::pure::metamodel::type::Class","content":{
+         |"_type":"class","name":"bad","package":"demo::entity","superTypes":[],
+         |"properties":[${prop("a", "Integer")}],
+         |"constraints":[{"name":"weird","functionDefinition":${lambda(
+            func("someExoticFunction", thisProp("a")))}}],
+         |"qualifiedProperties":[]}}""".stripMargin
+    val e1 = intercept[IllegalArgumentException] {
+      LegendLoader.fromJsonStrings(Seq(badConstraint))
+    }
+    assert(e1.getMessage.contains("someExoticFunction"))
+    // non-column relational operation in a mapping
+    val badMapping =
+      s"""{"classifierPath":"meta::pure::mapping::Mapping","content":{
+         |"_type":"mapping","name":"bad_rel","package":"demo::mapping",
+         |"classMappings":[{"_type":"relational","class":"demo::entity::customer",
+         |"mainTable":{"_type":"Table","schema":"default","table":"t"},
+         |"propertyMappings":[{"_type":"relationalPropertyMapping",
+         |"property":{"class":"demo::entity::customer","property":"name"},
+         |"relationalOperation":{"_type":"dynaFunc","funcName":"concat"}}]}]}}""".stripMargin
+    val e2 = intercept[IllegalArgumentException] {
+      LegendLoader.fromJsonStrings(Seq(badMapping))
+    }
+    assert(e2.getMessage.contains("name") && e2.getMessage.contains("column"))
+  }
+
   test("M13: groupBy service aggregates per segment") {
     customerRows.createOrReplaceTempView("legend_customer")
     val rows = ServiceGen.runService(spark, model, "demo::service::segmentBalance")
