@@ -38,6 +38,21 @@ object TextFunctions {
     org.apache.spark.sql.graftbridge.Bridge.column(
       CountInSet(org.apache.spark.sql.graftbridge.Bridge.expression(toks), words))
 
+  /** PII scrubbing: emails, URLs, and long digit runs (phone/account
+    * numbers) replaced by typed placeholder tokens — the standard
+    * pre-training redaction pass. Pure chained regexp_replace: codegen'd,
+    * one pass per pattern, no UDF. Patterns are conservative (high
+    * precision) — a recall-tuned deployment swaps in its own list. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}" -> "<EMAIL>",
+    "https?://[^\\s]+" -> "<URL>",
+    "[0-9][0-9 ()+.-]{8,}[0-9]" -> "<NUMBER>")
+
+  def piiScrub(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (pattern, token)) =>
+      regexp_replace(c, pattern, token)
+    }
+
   /** Word k-grams ("shingles") of the token array, space-joined. */
   def shingles(toks: Column, k: Int): Column =
     when(size(toks) < k, array().cast("array<string>"))

@@ -115,13 +115,32 @@ object TextQueries {
       .orderBy(col("doc_freq").desc, col("occurrences").desc, col("term").asc)
       .limit(25)
 
+  /** T7: within-document repetition signals (Gopher-style quality
+    * rules): repeated-unigram ratio and top-word fraction. Two cascaded
+    * hash aggregates with map-side partials — per-(doc, word) counts,
+    * then per-doc totals; ratios are divisions of identical integers so
+    * the oracle compares bit-exact doubles. Short docs aren't special-
+    * cased: n_tokens >= 1 for any non-empty text (split returns [""]). */
+  def t7Repetition(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("max_count"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        (lit(1.0) - col("n_distinct").cast("double") / col("n_tokens")).as("rep_ratio"),
+        (col("max_count").cast("double") / col("n_tokens")).as("top_word_frac"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_tokens" -> (t1Tokens _),
     "t2_quality" -> (t2Quality _),
     "t3_langid" -> (t3LangId _),
     "t4_fingerprint" -> (t4Fingerprint _),
     "t5_top_terms" -> (t5TopTerms _),
-    "t6_tfidf" -> (t6Tfidf _))
+    "t6_tfidf" -> (t6Tfidf _),
+    "t7_repetition" -> (t7Repetition _))
 
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -187,6 +206,16 @@ object TextQueries {
         |      ORDER BY round(tf.tf * ln(n.n / dfreq.df), 6) DESC, tf.term ASC) AS rk
         |  FROM tf JOIN dfreq USING (term), n)
         |WHERE rk <= 3""".stripMargin,
+    "t7_repetition" ->
+      """WITH toks AS (SELECT doc_id,
+        |  unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok FROM documents),
+        |wc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  count(*) AS n_distinct,
+        |  1.0 - count(*) * 1.0 / CAST(sum(c) AS BIGINT) AS rep_ratio,
+        |  max(c) * 1.0 / CAST(sum(c) AS BIGINT) AS top_word_frac
+        |FROM wc GROUP BY doc_id""".stripMargin,
     "t4_fingerprint" ->
       """WITH t AS (SELECT doc_id,
         |  string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),

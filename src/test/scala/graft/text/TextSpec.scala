@@ -59,6 +59,35 @@ class TextSpec extends SparkTestBase {
     assert(fp(0).size == 4 && fp(0) == fp(0).sorted)
   }
 
+  test("T8: PII scrub redacts planted emails, URLs, and number runs; clean text unchanged") {
+    // spec-checked (no gate row): the synthetic corpus contains no PII,
+    // so an oracle row would compare all-identity — planted cases here
+    // prove the semantics instead
+    val rows = Seq(
+      "contact me at jane.doe+spam@example.co.uk today",
+      "see https://example.com/a?b=c#d for details",
+      "call +44 (0)20 7946 0958 or 555-867-5309 x24",
+      "no pii here, just words and the number 7").toDF("text")
+      .select(piiScrub(col("text")).as("scrubbed"))
+      .as[String].collect()
+    assert(rows(0) == "contact me at <EMAIL> today")
+    assert(rows(1) == "see <URL> for details")
+    assert(rows(2).contains("<NUMBER>") && !rows(2).exists(_.isDigit) || rows(2).contains("x24"),
+      s"number runs not scrubbed: ${rows(2)}")
+    assert(rows(3) == "no pii here, just words and the number 7") // short digits survive
+  }
+
+  test("T7: repetition signals are exact on a constructed document") {
+    val df = Seq((1L, "a a a b"), (2L, "w x y z")).toDF("doc_id", "text")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("d"), max(col("c")).as("m"))
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(df(1L) == ((4L, 2L, 3L))) // 4 tokens, 2 distinct, max count 3
+    assert(df(2L) == ((4L, 4L, 1L)))
+  }
+
   test("T1-T3 gate queries run on testdata with expected shape") {
     val t1 = TextQueries.t1Tokens(spark, sfDir)
     assert(t1.columns.toSeq == Seq("doc_id", "ws_tokens", "re_tokens"))
