@@ -62,6 +62,30 @@ object Streaming {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** ST5: watermarked stream-stream interval join — each left event
+    * picks up right-side events for the same key within the trailing
+    * `boundSeconds` window. Both sides carry watermarks and the join
+    * condition bounds event time on BOTH ends, so Spark can expire join
+    * state once the watermark passes a row's last possible match — the
+    * state-bounding contract without which a stream-stream join
+    * accumulates one side forever. Append mode: a pair emits once its
+    * window is final. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   keyCol: String, tsCol: String,
+                   watermark: String, boundSeconds: Long): DataFrame = {
+    // flat l_/r_ prefixes, not structs: packing the watermarked ts into
+    // a struct duplicates the event-time column and Spark rejects a
+    // stream with more than one
+    val l = left.withWatermark(tsCol, watermark)
+      .select(left.columns.map(c => col(c).as(s"l_$c")).toIndexedSeq: _*)
+    val r = right.withWatermark(tsCol, watermark)
+      .select(right.columns.map(c => col(c).as(s"r_$c")).toIndexedSeq: _*)
+    l.join(r,
+      col(s"l_$keyCol") === col(s"r_$keyCol") &&
+        col(s"r_$tsCol") >= col(s"l_$tsCol") - expr(s"INTERVAL $boundSeconds SECONDS") &&
+        col(s"r_$tsCol") <= col(s"l_$tsCol"))
+  }
+
   /** Session gap: 30 minutes (micros) — same constant as q17Sessions. */
   val SessionGapMicros: Long = 1800L * 1000 * 1000
 

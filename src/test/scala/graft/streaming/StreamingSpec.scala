@@ -72,6 +72,39 @@ class StreamingSpec extends SparkTestBase {
     assert(streamHashes == d1Hashes)
   }
 
+  test("ST5: stream-stream interval join matches the batch join mirror") {
+    val clicks = MemoryStream[(Long, Timestamp)](spark)
+    val views = MemoryStream[(Long, Timestamp)](spark)
+    val joined = Streaming.intervalJoin(
+      clicks.toDF().toDF("user", "ts"), views.toDF().toDF("user", "ts"),
+      keyCol = "user", tsCol = "ts", watermark = "10 minutes", boundSeconds = 120)
+      .select(col("l_user").as("user"), col("l_ts").as("click_ts"), col("r_ts").as("view_ts"))
+    val q = joined.writeStream.format("memory").queryName("st5_out")
+      .outputMode(OutputMode.Append()).start()
+    val clickData = Seq((1L, ts(10)), (2L, ts(12)))
+    val viewData = Seq(
+      (1L, ts(9)),   // within 120s of user 1's click -> joins
+      (1L, ts(5)),   // too early -> no join
+      (2L, ts(12)),  // same instant -> joins
+      (2L, ts(13)))  // after the click -> no join (trailing window)
+    clicks.addData(clickData); q.processAllAvailable()
+    views.addData(viewData); q.processAllAvailable()
+    // advance both watermarks far enough that all pairs are final
+    clicks.addData(Seq((99L, ts(120)))); views.addData(Seq((99L, ts(200))))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("st5_out")
+      .as[(Long, Timestamp, Timestamp)].collect().toSet
+    // batch mirror: plain interval join over the same rows
+    val bc = clickData.toDF("user", "click_ts")
+    val bv = viewData.toDF("user", "view_ts")
+    val mirror = bc.join(bv, bc("user") === bv("user")
+        && col("view_ts") >= col("click_ts") - expr("INTERVAL 120 SECONDS")
+        && col("view_ts") <= col("click_ts"))
+      .select(bc("user"), col("click_ts"), col("view_ts"))
+      .as[(Long, Timestamp, Timestamp)].collect().toSet
+    assert(got == mirror && got.size == 2, s"stream $got != batch $mirror")
+  }
+
   test("ST2: watermarked tumbling window matches the batch mirror") {
     val input = MemoryStream[(Timestamp, String, Double)](spark)
     val events = input.toDF().toDF("ts", "event_type", "value")
