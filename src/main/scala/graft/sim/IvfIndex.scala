@@ -41,9 +41,10 @@ object IvfIndex {
 
   /** Build the inverted file: assign all vectors, write bucketed by
     * list_id. One scan + one write; no shuffle beyond the write's
-    * bucketing. `numBuckets` should divide nlist (list→bucket is
-    * `list_id % numBuckets`); numBuckets == nlist gives one bucket per
-    * list and maximal pruning. */
+    * bucketing. Spark buckets by Murmur3(list_id) mod numBuckets, so
+    * numBuckets ≈ nlist gives near-one-list-per-bucket (hash collisions
+    * can co-locate a few lists — pruning still skips every bucket whose
+    * hash no probed list maps to). */
   def build(vectors: DataFrame, idCol: String, vecCol: String,
             nlist: Int, numBuckets: Int, table: String): Handle = {
     val centroids = Similarity.sampleCentroids(vectors, idCol, vecCol, nlist)
