@@ -20,6 +20,7 @@ object GraftSession {
   def build(appName: String, master: Option[String] = None): SparkSession = {
     val b = SparkSession.builder()
       .appName(appName)
+      .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

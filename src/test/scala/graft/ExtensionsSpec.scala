@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SparkSessionExtensions integration: SQL-callable native expressions
+  * and the automatic HOF→CountInSet optimizer rewrite. Runs on the
+  * shared session — GraftSession wires the extensions into every
+  * session it builds, so this also proves the production wiring. */
+class ExtensionsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def countInSets(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+    plan.flatMap(_.expressions.flatMap(_.collect { case c: text.CountInSet => c }))
+
+  test("graft_dot and graft_count_in_set are callable from SQL") {
+    val dot = spark.sql(
+      "SELECT graft_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d")
+      .as[Double].head()
+    assert(dot == 32.0)
+    val hits = spark.sql(
+      "SELECT graft_count_in_set(array('the', 'cat', 'the'), 'the', 'a') AS h")
+      .as[Int].head()
+    assert(hits == 2)
+  }
+
+  test("optimizer rewrites size(filter(x, isin(...))) to the native CountInSet") {
+    // real scan (literal-backed inputs constant-fold to a LocalRelation
+    // before the rule could show up in the plan)
+    val df = Tables(spark, sfDir, "documents")
+      .select(split(lower(col("text")), "\\s+").as("toks"))
+      .select(size(filter(col("toks"), t => t.isin("the", "a"))).as("hits"))
+    // under ANSI (Spark 4 default) size(NULL) is null — same semantics
+    // as CountInSet, so the rewrite fires even on a nullable column
+    assert(countInSets(df.queryExecution.optimizedPlan).nonEmpty,
+      s"rewrite did not fire:\n${df.queryExecution.optimizedPlan}")
+    // results identical to the direct native form
+    val direct = Tables(spark, sfDir, "documents")
+      .select(text.TextFunctions.hitCount(
+        split(lower(col("text")), "\\s+"), Seq("the", "a")).as("hits"))
+    assert(df.as[Int].collect().toSeq == direct.as[Int].collect().toSeq)
+  }
+
+  test("rewrite does NOT fire when legacy size(NULL)=-1 semantics differ") {
+    val old = (spark.conf.get("spark.sql.ansi.enabled"),
+      spark.conf.get("spark.sql.legacy.sizeOfNull"))
+    try {
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      spark.conf.set("spark.sql.legacy.sizeOfNull", "true")
+      val df = Tables(spark, sfDir, "documents")
+        .select(split(lower(col("text")), "\\s+").as("toks")) // nullable source
+        .select(size(filter(col("toks"), t => t.isin("the"))).as("hits"))
+      assert(countInSets(df.queryExecution.optimizedPlan).isEmpty,
+        "null-semantics-changing rewrite must not fire on a nullable array")
+    } finally {
+      spark.conf.set("spark.sql.ansi.enabled", old._1)
+      spark.conf.set("spark.sql.legacy.sizeOfNull", old._2)
+    }
+  }
+}
