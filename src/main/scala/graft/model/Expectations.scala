@@ -23,11 +23,15 @@ object Expectations {
     classRules(model, model.clazz(className), parent = "")
 
   /** Table-space rules for a mapping: entity rules with every field name
-    * rewritten to its mapped column. */
+    * rewritten to its mapped column — through the enum-translating CASE
+    * where the mapping defines one, and with derived properties inlined
+    * so constraints over them (e.g. `hiringAge > 18`) resolve on the
+    * raw table. */
   def forMapping(model: GraftModel, mappingName: String): Seq[(String, String)] = {
     val m = model.mapping(mappingName)
+    val subs = model.tableSubstitutions(mappingName)
     forClass(model, m.entity).map { case (name, sql) =>
-      name -> SqlRewrite.rename(sql, m.fields)
+      name -> SqlRewrite.substitute(sql, subs)
     }
   }
 
@@ -43,7 +47,7 @@ object Expectations {
   def compiledForMapping(model: GraftModel, mappingName: String): Map[String, scala.util.Try[String]] = {
     val m = model.mapping(mappingName)
     forClass(model, m.entity).map { case (name, sql) =>
-      name -> scala.util.Try(SqlRewrite.rename(sql, m.fields))
+      name -> scala.util.Try(SqlRewrite.substitute(sql, model.tableSubstitutions(mappingName)))
     }.toMap
   }
 

@@ -82,16 +82,39 @@ final case class GraftClass(
 
 final case class GraftEnum(name: String, values: Seq[String], doc: Option[String] = None)
 
-/** Relational mapping: which table an entity persists to and the
+/** Relational mapping: which table an entity persists to, the
   * entity-field → table-column renames (reference: relational mapping,
-  * Legend.scala:310-320). */
+  * Legend.scala:310-320), and optional enumeration source-value
+  * translations (reference: enumerationMappings in the mapping protocol,
+  * e.g. entities/databricks/mapping/employee_delta.json — which the
+  * reference's own loader drops; graft translates them).
+  *
+  * `enumFields` maps an entity field to ordered (sourceValue, enumValue)
+  * pairs: the raw column holds source codes, the entity value is the
+  * enum value. */
 final case class GraftMapping(
     name: String,
     entity: String,
     table: String,
-    fields: Map[String, String]) {
+    fields: Map[String, String],
+    enumFields: Map[String, Seq[(String, String)]] = Map.empty) {
   /** table column → entity field (for lifting raw tables into entity space). */
   lazy val inverse: Map[String, String] = fields.map(_.swap)
+
+  /** The table-space SQL reading `field` in entity terms: a CASE
+    * translating source codes to enum values, or None when no
+    * translation is needed (no enum mapping, or all pairs identity —
+    * the common case; eliding the CASE keeps the plan unchanged).
+    * Unmapped source codes pass through raw so the enum-domain
+    * expectation catches them instead of silently nulling. */
+  def enumExpr(field: String): Option[String] = {
+    val col = fields.getOrElse(field, field)
+    enumFields.get(field).filter(_.exists { case (s, e) => s != e }).map { pairs =>
+      def q(s: String) = "'" + s.replace("'", "''") + "'"
+      val whens = pairs.map { case (s, e) => s"WHEN ${q(s)} THEN ${q(e)}" }.mkString(" ")
+      s"CASE $col $whens ELSE $col END"
+    }
+  }
 }
 
 /** A declarative query over a mapping — the graft analogue of a Legend
@@ -140,6 +163,26 @@ final case class GraftModel(
   def allDerivations(className: String): Seq[GraftDerivation] = {
     val c = clazz(className)
     c.superTypes.flatMap(allDerivations) ++ c.derivations
+  }
+
+  /** Entity-space name → table-space SQL for a mapping: every mapped
+    * field to its column (through the enum-translating CASE where the
+    * mapping defines one) and every derivation INLINED as its compiled
+    * expression — so constraints over derived properties (e.g. the
+    * reference corpus's `[hiringAge] should be > 18`) compile to SQL
+    * that resolves on the raw table, exactly as the Legend engine
+    * inlines qualified properties (LegendEntityTest.scala:203-227).
+    * Derivations compile in declaration order (inherited first), so a
+    * later one may reference an earlier one; a redeclared name (a
+    * subclass repeating a superclass derivation) keeps the last
+    * definition. */
+  def tableSubstitutions(mappingName: String): Map[String, String] = {
+    val m = mapping(mappingName)
+    val fieldSubs: Map[String, String] =
+      m.fields.map { case (field, col) => field -> m.enumExpr(field).getOrElse(col) }
+    allDerivations(m.entity).foldLeft(fieldSubs) { (acc, d) =>
+      acc + (d.name -> SqlRewrite.substitute(d.expr, acc))
+    }
   }
 
   /** Every addressable name in the model (reference: getEntityNames,
@@ -228,7 +271,14 @@ object ModelLoader {
     val fieldsNode = n.get("fields")
     require(fieldsNode != null && fieldsNode.isObject, s"mapping requires a fields object")
     val fields = fieldsNode.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
-    GraftMapping(str(n, "name"), str(n, "entity"), str(n, "table"), fields)
+    // optional enum translations: {"field": [{"source": "S", "value": "Scala"}]}
+    val enumFields = Option(n.get("enumFields")).map { ef =>
+      ef.properties().asScala.map { e =>
+        e.getKey -> e.getValue.elements().asScala.map(p =>
+          str(p, "source") -> str(p, "value")).toSeq
+      }.toMap
+    }.getOrElse(Map.empty[String, Seq[(String, String)]])
+    GraftMapping(str(n, "name"), str(n, "entity"), str(n, "table"), fields, enumFields)
   }
 
   private def parseService(n: JsonNode): GraftService = GraftService(

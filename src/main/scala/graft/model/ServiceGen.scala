@@ -30,7 +30,8 @@ object ServiceGen {
     val fields = model.allProperties(m.entity).map { p =>
       val colName = m.fields.getOrElse(p.name,
         throw new IllegalArgumentException(s"mapping [${m.name}] has no column for field [${p.name}]"))
-      s"$colName AS ${p.name}"
+      // enum-mapped fields read through their source→enum CASE
+      s"${m.enumExpr(p.name).getOrElse(colName)} AS ${p.name}"
     }
     val derivations = Transformer.derivationsForMapping(model, mappingName)
       .map { case (name, sql) => s"$sql AS $name" }
@@ -40,14 +41,20 @@ object ServiceGen {
     else s"SELECT $select FROM ${m.table} WHERE ${where.map(w => s"($w)").mkString(" AND ")}"
   }
 
-  /** Compile a declarative service to a single table-space SQL string. */
+  /** Compile a declarative service to a single table-space SQL string.
+    * Fields compile through enum CASEs and derivations inline (so a
+    * service may project derived properties like `age`); aliases are
+    * backtick-quoted when needed (the reference corpus has aliases with
+    * spaces, e.g. "Hiring Age" in service/employee.json). */
   def serviceSql(model: GraftModel, serviceName: String): String = {
     val svc = model.service(serviceName)
     val m = model.mapping(svc.mapping)
-    def compile(e: String): String = SqlRewrite.rename(e, m.fields)
+    val subs = model.tableSubstitutions(svc.mapping)
+    def compile(e: String): String = SqlRewrite.substitute(e, subs)
+    import org.apache.spark.sql.catalyst.util.quoteIfNeeded
 
     val select = svc.select
-      .map { case (alias, e) => s"${compile(e)} AS $alias" }
+      .map { case (alias, e) => s"${compile(e)} AS ${quoteIfNeeded(alias)}" }
       .mkString(", ")
     val sb = new StringBuilder(s"SELECT $select FROM ${m.table}")
     svc.where.foreach(w => sb.append(s" WHERE ${compile(w)}"))

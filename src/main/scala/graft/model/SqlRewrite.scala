@@ -25,6 +25,40 @@ object SqlRewrite {
     rewritten.sql
   }
 
+  /** Rewrite attributes to arbitrary table-space SQL *expressions* — the
+    * general form of [[rename]], needed when a field doesn't map to a
+    * bare column: enum-translating CASE expressions and derived
+    * properties inlined into constraints (the reference compiles both
+    * through the Legend engine's planner; graft substitutes at the
+    * Catalyst AST level).
+    *
+    * Replacements are spliced as-is and NOT re-visited: they are already
+    * in table space, and descending into them would loop when a column
+    * shares its name with the entity field it backs (e.g. `sme` →
+    * `CASE sme ... END`). Dotted paths keep the rename-on-head behavior
+    * when the replacement is itself an attribute; substituting a
+    * non-attribute expression under a dotted tail is an error (loud
+    * beats silent misreads). */
+  def substitute(sqlExpr: String, subs: Map[String, String]): String = {
+    import org.apache.spark.sql.catalyst.expressions.Expression
+    if (subs.isEmpty) return rename(sqlExpr, Map.empty)
+    lazy val parsedSubs: Map[String, Expression] =
+      subs.map { case (k, v) => k -> CatalystSqlParser.parseExpression(v) }
+    def walk(e: Expression): Expression = e match {
+      case a: UnresolvedAttribute if subs.contains(a.nameParts.head) =>
+        parsedSubs(a.nameParts.head) match {
+          case ua: UnresolvedAttribute =>
+            UnresolvedAttribute(ua.nameParts ++ a.nameParts.tail)
+          case replacement =>
+            require(a.nameParts.size == 1,
+              s"cannot substitute expression [${subs(a.nameParts.head)}] under dotted path [${a.name}]")
+            replacement
+        }
+      case other => other.mapChildren(walk)
+    }
+    walk(CatalystSqlParser.parseExpression(sqlExpr)).sql
+  }
+
   /** Syntax-check an expression (throws ParseException on bad input). */
   def validateSyntax(sqlExpr: String): Unit = {
     CatalystSqlParser.parseExpression(sqlExpr)

@@ -22,9 +22,17 @@ object Transformer {
   def toTable(df: DataFrame, mapping: GraftMapping): DataFrame =
     df.withColumnsRenamed(mapping.fields)
 
-  /** Table-space df → entity fields (read direction). */
-  def toEntity(df: DataFrame, mapping: GraftMapping): DataFrame =
-    df.withColumnsRenamed(mapping.inverse)
+  /** Table-space df → entity fields (read direction). Enum-mapped
+    * columns translate source codes to enum values first (one CASE per
+    * such column — stays in codegen), then everything renames in a
+    * single projection. */
+  def toEntity(df: DataFrame, mapping: GraftMapping): DataFrame = {
+    val translated = mapping.enumFields.keys.flatMap { field =>
+      mapping.enumExpr(field).map(mapping.fields.getOrElse(field, field) -> expr(_))
+    }.toMap
+    val base = if (translated.isEmpty) df else df.withColumns(translated)
+    base.withColumnsRenamed(mapping.inverse)
+  }
 
   /** Append all of a class's derived properties (entity space). */
   def withDerivations(df: DataFrame, model: GraftModel, className: String): DataFrame = {
@@ -33,9 +41,14 @@ object Transformer {
   }
 
   /** Derivations compiled to table space through a mapping:
-    * (name, compiled SQL) pairs, e.g. for inclusion in generated SQL. */
+    * (name, compiled SQL) pairs, e.g. for inclusion in generated SQL.
+    * Deduped by name, last definition wins — a subclass that redeclares
+    * a superclass derivation (the reference corpus's employee repeats
+    * person's `age`/`initials`) yields ONE column, not duplicates. */
   def derivationsForMapping(model: GraftModel, mappingName: String): Seq[(String, String)] = {
+    val subs = model.tableSubstitutions(mappingName)
     val m = model.mapping(mappingName)
-    model.allDerivations(m.entity).map(d => d.name -> SqlRewrite.rename(d.expr, m.fields))
+    val compiled = model.allDerivations(m.entity).map(d => d.name -> subs(d.name))
+    compiled.map(_._1).distinct.map(n => n -> compiled.filter(_._1 == n).last._2)
   }
 }

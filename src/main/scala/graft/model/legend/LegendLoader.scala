@@ -119,11 +119,40 @@ object LegendLoader {
 
   /** Relational class mappings → one GraftMapping per mapped class,
     * keyed `<mappingPath>` (single-class mappings, the common case) with
-    * extra classes keyed `<mappingPath>::<class>`. */
+    * extra classes keyed `<mappingPath>::<class>`.
+    *
+    * Enumeration mappings (source code → enum value, reference:
+    * mapping/employee_delta.json `enumerationMappings` — which the
+    * reference's own getMappingFields drops, LegendUtils.scala:342-356)
+    * are parsed and attached to the fields that reference them via
+    * `enumMappingId`; unknown ids and non-string source values fail at
+    * load (no silent path). */
   private def parseMapping(c: JsonNode): Map[String, GraftMapping] = {
     val path = fullPath(c)
     val rel = elems(c, "classMappings").filter(_.path("_type").asText() == "relational")
     require(rel.nonEmpty, s"mapping [$path] has no relational class mappings")
+
+    // enumeration mappings, keyed by explicit id or the protocol's
+    // default id (the enumeration path with :: collapsed to _)
+    val enumMaps: Map[String, Seq[(String, String)]] =
+      elems(c, "enumerationMappings").map { em =>
+        val enumeration = em.path("enumeration").asText()
+        val id = Option(em.get("id")).map(_.asText())
+          .getOrElse(enumeration.replace("::", "_"))
+        val pairs = elems(em, "enumValueMappings").flatMap { evm =>
+          val enumValue = evm.get("enumValue").asText()
+          elems(evm, "sourceValues").map { sv =>
+            sv.path("_type").asText() match {
+              case "stringSourceValue" | "integerSourceValue" =>
+                sv.get("value").asText() -> enumValue
+              case other => throw new IllegalArgumentException(
+                s"mapping [$path] enumeration [$enumeration]: unsupported source value type [$other]")
+            }
+          }
+        }
+        id -> pairs
+      }.toMap
+
     rel.zipWithIndex.map { case (cm, i) =>
       val entity = cm.get("class").asText()
       val mt = cm.get("mainTable")
@@ -131,20 +160,26 @@ object LegendLoader {
       val table = mt.get("table").asText()
       val qualified =
         if (schema.isEmpty || schema == "default") table else s"$schema.$table"
-      val fields = elems(cm, "propertyMappings")
-        .filter(_.path("_type").asText() == "relationalPropertyMapping")
-        .flatMap { pm =>
-          val field = pm.path("property").path("property").asText()
-          val op = pm.get("relationalOperation")
-          // column operations only; dynamic relational expressions are
-          // out of scope (load-time error beats silent misreads)
-          if (op.path("_type").asText() == "column")
-            Some(field -> op.get("column").asText())
-          else throw new IllegalArgumentException(
-            s"mapping [$path] property [$field]: only column property mappings are supported")
-        }.toMap
+      var enumFields = Map.empty[String, Seq[(String, String)]]
+      val fields = elems(cm, "propertyMappings").map { pm =>
+        val tpe = pm.path("_type").asText()
+        val field = pm.path("property").path("property").asText()
+        // only relational (column-backed) property mappings are in
+        // scope; anything else fails loudly at load, never silently
+        if (tpe != "relationalPropertyMapping") throw new IllegalArgumentException(
+          s"mapping [$path] property [$field]: unsupported property mapping type [$tpe]")
+        val op = pm.get("relationalOperation")
+        if (op.path("_type").asText() != "column") throw new IllegalArgumentException(
+          s"mapping [$path] property [$field]: only column property mappings are supported")
+        Option(pm.get("enumMappingId")).map(_.asText()).foreach { id =>
+          val pairs = enumMaps.getOrElse(id, throw new IllegalArgumentException(
+            s"mapping [$path] property [$field]: unknown enumMappingId [$id]"))
+          enumFields += field -> pairs
+        }
+        field -> op.get("column").asText()
+      }.toMap
       val key = if (i == 0) path else s"$path::$entity"
-      key -> GraftMapping(key, entity, qualified, fields)
+      key -> GraftMapping(key, entity, qualified, fields, enumFields)
     }.toMap
   }
 
@@ -212,10 +247,13 @@ object LegendLoader {
       case PFunc("limit", Seq(src, PLit(n))) =>
         limit = Some(n.toInt); walk(src)
       case PFunc("sort", Seq(src, keys)) =>
+        // sort keys are projection aliases; quote when not a plain
+        // identifier (the corpus has aliases like "Hiring Age")
+        import org.apache.spark.sql.catalyst.util.quoteIfNeeded
         orderBy = values(keys).map {
-          case PFunc("desc", Seq(k)) => s"${aliasStrings(k).head} DESC"
-          case PFunc("asc", Seq(k))  => s"${aliasStrings(k).head} ASC"
-          case PLit(sql)             => sql.stripPrefix("'").stripSuffix("'")
+          case PFunc("desc", Seq(k)) => s"${quoteIfNeeded(aliasStrings(k).head)} DESC"
+          case PFunc("asc", Seq(k))  => s"${quoteIfNeeded(aliasStrings(k).head)} ASC"
+          case PLit(sql)             => quoteIfNeeded(sql.stripPrefix("'").stripSuffix("'"))
           case other => sys.error(s"unsupported sort key $other")
         }
         walk(src)

@@ -133,7 +133,17 @@ object PureToSql {
     case "greaterThanEqual" => bin(">=", ps, rv)
     case "lessThan" => bin("<", ps, rv)
     case "lessThanEqual" => bin("<=", ps, rv)
-    case "plus" => nary("+", ps, rv)
+    // PURE `plus` is overloaded over numbers AND strings; the Legend
+    // engine resolves by static type and emits concat for strings
+    // (pinned: LegendEntityTest.scala:195 — `$this.firstName->substring(0,1)
+    // + $this.lastName->substring(0,1)` compiles to concat(...)). graft
+    // has no type context here, so it resolves syntactically: if any
+    // operand is a string literal or a string-returning function, the
+    // whole chain is string concatenation.
+    case "plus" =>
+      val args = ps match { case Seq(PCollection(vs)) => vs; case other => other }
+      if (args.exists(looksString)) args.map(scalar(_, rv)).mkString("concat(", ", ", ")")
+      else nary("+", ps, rv)
     case "minus" =>
       // single-argument minus is PURE's unary negation
       val args = ps match { case Seq(PCollection(vs)) => vs; case other => other }
@@ -163,11 +173,10 @@ object PureToSql {
     case "trim" => call("trim", ps, rv)
     case "joinStrings" => call("concat_ws", ps.tail :+ ps.head, rv) // PURE: joinStrings(col, sep)
     case "toString" => s"CAST(${scalar(ps.head, rv)} AS STRING)"
-    // PURE substring(str, start[, end]) is 1-based with INCLUSIVE end;
-    // Spark substring(str, pos, len) — translate end to a length
-    case "substring" if ps.size == 3 =>
-      val (s, a, b) = (scalar(ps(0), rv), scalar(ps(1), rv), scalar(ps(2), rv))
-      s"substring($s, $a, ($b) - ($a) + 1)"
+    // PURE substring(str, start, len) maps 1:1 onto SQL substring —
+    // the Legend engine passes the arguments straight through (pinned:
+    // LegendEntityTest.scala:195, `substring(0,1)` → `substring(col, 0, 1)`,
+    // one character, not an inclusive-end range)
     case "substring" => call("substring", ps, rv)
     // collection size; scalar-context `count` is PURE's collection size too
     // (the aggregation form is handled by the service translator)
@@ -196,9 +205,11 @@ object PureToSql {
       require(ps.size == 3, "dateDiff(from, to, unit)")
       val a = scalar(ps(0), rv); val b = scalar(ps(1), rv)
       durationUnit(ps(2)) match {
-        // whole-unit differences, matching PURE's DurationUnit semantics
-        case "YEARS" => s"CAST(floor(months_between($b, $a) / 12) AS INT)"
-        case "MONTHS" => s"CAST(floor(months_between($b, $a)) AS INT)"
+        // calendar-component differences, matching what the Legend
+        // engine emits for dateDiff (pinned: LegendEntityTest.scala:194
+        // — YEARS compiles to `year(b) - year(a)`, not elapsed years)
+        case "YEARS" => s"(year($b) - year($a))"
+        case "MONTHS" => s"(((year($b) - year($a)) * 12) + (month($b) - month($a)))"
         case "WEEKS" => s"CAST(floor(datediff($b, $a) / 7) AS INT)"
         case "DAYS" => s"datediff($b, $a)"
         case "HOURS" => s"CAST(floor((unix_timestamp($b) - unix_timestamp($a)) / 3600) AS INT)"
@@ -209,6 +220,20 @@ object PureToSql {
     case other =>
       throw new IllegalArgumentException(
         s"unsupported PURE function [$other] — extend PureToSql.func to add it")
+  }
+
+  /** Syntactically-evident string expressions, for resolving PURE's
+    * overloaded `plus`: string literals, string-returning functions,
+    * and nested string concatenations. */
+  private def looksString(e: PureExpr): Boolean = e match {
+    case PLit(sql) => sql.startsWith("'")
+    case PEnum(_, _) => true
+    case PFunc(f, _) if Set("substring", "toUpper", "toLower", "trim",
+      "joinStrings", "toString")(f) => true
+    case PFunc("plus", ps) =>
+      val args = ps match { case Seq(PCollection(vs)) => vs; case other => other }
+      args.exists(looksString)
+    case _ => false
   }
 
   /** The unit argument of dateDiff: DurationUnit.YEARS arrives as a

@@ -181,7 +181,9 @@ class LegendSpec extends SparkTestBase {
     val derived = Transformer.withDerivations(entity, model, "demo::entity::customer")
       .select(col("custId"), col("tenureYears"))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
-    assert(derived == Map(1L -> 5, 2L -> 4, 3L -> 1, 4L -> 0))
+    // calendar-year difference (year(b) - year(a)), the semantics the
+    // Legend engine pins (LegendEntityTest.scala:194)
+    assert(derived == Map(1L -> 5, 2L -> 4, 3L -> 2, 4L -> 0))
   }
 
   test("M13: project service compiles and runs (filter → project → sort → take)") {
