@@ -89,18 +89,32 @@ object Streaming {
   /** Session gap: 30 minutes (micros) — same constant as q17Sessions. */
   val SessionGapMicros: Long = 1800L * 1000 * 1000
 
+  /** Idle-state expiry horizon: 1 hour of EVENT time after a user's
+    * last event, their session state is dropped. */
+  val IdleExpiryMs: Long = 3600L * 1000
+
   /** ST3: stateful sessionization via flatMapGroupsWithState — a new
     * session starts after a >30 min idle gap. Emits the running per-user
     * (num_sessions, num_events) each update (Update output mode).
-    * State expires after an idle timeout so abandoned users don't
-    * accumulate (bounded state at 100 TB/day event volumes). */
+    *
+    * State expires on an EVENT-TIME timeout keyed off the watermark:
+    * a user idle for [[IdleExpiryMs]] of event time is dropped once the
+    * watermark passes that horizon. The clock being the watermark (not
+    * wall clock) makes expiry deterministic under replay/backfill — a
+    * re-run at any processing speed expires exactly the same users at
+    * exactly the same stream positions, where a processing-time timer
+    * would expire whoever the wall clock happened to catch. Bounded
+    * state either way: O(users active within the horizon). */
   def sessionize(events: Dataset[StreamEvent],
-                 idleStateTimeout: Boolean = true): Dataset[SessionSummary] = {
+                 idleStateTimeout: Boolean = true,
+                 watermark: String = "0 seconds"): Dataset[SessionSummary] = {
     import events.sparkSession.implicits._
     val timeoutConf =
-      if (idleStateTimeout) GroupStateTimeout.ProcessingTimeTimeout()
+      if (idleStateTimeout) GroupStateTimeout.EventTimeTimeout()
       else GroupStateTimeout.NoTimeout()
-    events
+    // EventTimeTimeout requires a watermark on the event-time column
+    val src = if (idleStateTimeout) events.withWatermark("ts", watermark) else events
+    src
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionSummary](
         OutputMode.Update(), timeoutConf) {
@@ -124,7 +138,13 @@ object Streaming {
                   st.numEvents + 1)
               }
               state.update(next)
-              if (idleStateTimeout) state.setTimeoutDuration("1 hour")
+              // expire at last-event-time + horizon; Spark requires the
+              // timeout to sit strictly past the current watermark (a
+              // late straggler could otherwise set one already elapsed)
+              if (idleStateTimeout)
+                state.setTimeoutTimestamp(math.max(
+                  next.lastTsMicros / 1000 + IdleExpiryMs,
+                  state.getCurrentWatermarkMs() + 1))
               Iterator.single(SessionSummary(userId, next.numSessions, next.numEvents))
             }
           }

@@ -178,10 +178,34 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.nonEmpty)
   }
 
+  test("ST3: idle state expires from ADVANCING EVENT TIME (watermark), not wall clock") {
+    val input = MemoryStream[StreamEvent](spark)
+    val q = Streaming.sessionize(input.toDS(), idleStateTimeout = true)
+      .writeStream.format("memory").queryName("st3_expiry_out")
+      .outputMode(OutputMode.Update()).start()
+    runBatches(q, input, Seq(
+      // user 1: 2 events, one session; watermark -> 10 min at batch end
+      // (start at ts(1): an epoch-0 event sits ON the initial watermark
+      // and is dropped as late)
+      Seq(StreamEvent(1L, 1L, ts(1)), StreamEvent(1L, 2L, ts(10))),
+      // user 2 far in the future; watermark -> 300 min at batch end
+      Seq(StreamEvent(2L, 3L, ts(300))),
+      // watermark (300) now exceeds user 1's expiry (10 + 60): this
+      // batch fires the event-time timeout and drops user 1's state
+      Seq(StreamEvent(2L, 4L, ts(310))),
+      // user 1 returns: state restarts at (1 session, 1 event) — the
+      // un-expired continuation would read (2 sessions, 3 events)
+      Seq(StreamEvent(1L, 5L, ts(320)))))
+    val user1 = spark.table("st3_expiry_out").as[SessionSummary].collect()
+      .filter(_.user_id == 1L).toSet
+    assert(user1 == Set(SessionSummary(1L, 1L, 2L), SessionSummary(1L, 1L, 1L)))
+    // the whole run used event-time batches only — no wall-clock sleeps:
+    // expiry was driven by the watermark, deterministically replayable
+  }
+
   test("ST3: stateful sessionization carries state across batches") {
     val input = MemoryStream[StreamEvent](spark)
-    // idle-state timeout off: processing-time timers would schedule
-    // continuous empty micro-batches under the test's tight trigger
+    // idle-state timeout off: the batch mirror below has no expiry
     val q = Streaming.sessionize(input.toDS(), idleStateTimeout = false)
       .writeStream.format("memory").queryName("st3_out")
       .outputMode(OutputMode.Update()).start()
