@@ -81,25 +81,29 @@ object TextQueries {
       .groupBy(col("doc_id"))
       .agg(concat_ws(",", slice(array_sort(collect_set(col("h"))), 1, 4)).as("fp"))
 
-  /** T6: TF-IDF top-3 terms per document. tf and df come from two
-    * cascaded hash aggregates (both with map-side partials); N rides
-    * along as a broadcast single-row aggregate (no separate driver-side
-    * count job — one plan, one submission); ranking is a per-document
-    * window (bounded partitions — never global). The score is rounded to
-    * 6 dp BEFORE ranking so cross-engine ulp drift in ln() cannot flip
-    * ranks. */
+  /** T6: TF-IDF top-3 terms per document. tf comes from one hash
+    * aggregate with map-side partials (the exploded token stream
+    * combines BEFORE its shuffle — the property that matters at 100 TB);
+    * df is a `count over (partition by term)` window on the tf relation
+    * — NOT a separate aggregate joined back, which cost a third
+    * Exchange of the same rows (round-5 plan audit); N rides along as a
+    * broadcast single-row aggregate (no separate driver-side count job);
+    * ranking is a per-document window (bounded partitions — never
+    * global). Three Exchanges total, each carrying only (doc, term, tf)
+    * rows or smaller. The score is rounded to 6 dp BEFORE ranking so
+    * cross-engine ulp drift in ln() cannot flip ranks. */
   def t6Tfidf(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val nDocs = d.agg(count(lit(1)).cast("double").as("n_docs"))
     val terms = d.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
     val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val w = org.apache.spark.sql.expressions.Window
+    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+    val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term").asc)
-    tf.join(dfreq, "term")
+    tf.withColumn("df", count(lit(1)).over(wTerm))
       .join(broadcast(nDocs))
       .withColumn("tfidf", round(col("tf") * log(col("n_docs") / col("df")), 6))
-      .withColumn("rk", row_number().over(w))
+      .withColumn("rk", row_number().over(wDoc))
       .filter(col("rk") <= 3)
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"), col("rk"))
   }
@@ -133,6 +137,27 @@ object TextQueries {
         (lit(1.0) - col("n_distinct").cast("double") / col("n_tokens")).as("rep_ratio"),
         (col("max_count").cast("double") / col("n_tokens")).as("top_word_frac"))
 
+  /** T8: PII scrubbing as a gate row. The corpus itself carries no PII,
+    * so the query INJECTS deterministic PII (an email, a URL, and a
+    * phone-style digit run derived from doc_id) and scrubs it — both
+    * sides reproducible in the DuckDB oracle, so the compare checks the
+    * actual redaction output, not a vacuous no-op. All three patterns
+    * are RE2-safe (no backrefs/lookarounds), so Java and DuckDB regex
+    * semantics agree byte-for-byte. One codegen'd scan, no shuffle. */
+  def t8PiiScrub(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val injected = concat(col("text"),
+      lit(" reach user"), id,
+      lit("@example.com via https://ex.invalid/u/"), id,
+      lit(" or 0800 5550"), id)
+    val scrubbed = piiScrub(injected)
+    docs(s, dir).select(
+      col("doc_id"),
+      scrubbed.as("scrubbed"),
+      size(regexp_extract_all(scrubbed, lit("<EMAIL>|<URL>|<NUMBER>"), lit(0)))
+        .as("n_redacted"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_tokens" -> (t1Tokens _),
     "t2_quality" -> (t2Quality _),
@@ -140,7 +165,8 @@ object TextQueries {
     "t4_fingerprint" -> (t4Fingerprint _),
     "t5_top_terms" -> (t5TopTerms _),
     "t6_tfidf" -> (t6Tfidf _),
-    "t7_repetition" -> (t7Repetition _))
+    "t7_repetition" -> (t7Repetition _),
+    "t8_pii_scrub" -> (t8PiiScrub _))
 
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -216,6 +242,19 @@ object TextQueries {
         |  1.0 - count(*) * 1.0 / CAST(sum(c) AS BIGINT) AS rep_ratio,
         |  max(c) * 1.0 / CAST(sum(c) AS BIGINT) AS top_word_frac
         |FROM wc GROUP BY doc_id""".stripMargin,
+    "t8_pii_scrub" ->
+      """WITH i AS (SELECT doc_id, text
+        |  || ' reach user' || doc_id || '@example.com via https://ex.invalid/u/'
+        |  || doc_id || ' or 0800 5550' || doc_id AS t FROM documents),
+        |s AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |    'https?://[^\s]+', '<URL>', 'g'),
+        |    '[0-9][0-9 ()+.-]{8,}[0-9]', '<NUMBER>', 'g') AS scrubbed
+        |  FROM i)
+        |SELECT doc_id, scrubbed,
+        |  len(regexp_extract_all(scrubbed, '<EMAIL>|<URL>|<NUMBER>')) AS n_redacted
+        |FROM s""".stripMargin,
     "t4_fingerprint" ->
       """WITH t AS (SELECT doc_id,
         |  string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),

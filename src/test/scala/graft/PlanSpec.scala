@@ -162,6 +162,19 @@ class PlanSpec extends SparkTestBase {
     assert(buildIsAgg, "the broadcast side must be the count aggregate")
   }
 
+  test("t6: df rides the term window — no third shuffle from a join-back") {
+    // tf agg (doc,term) + term window + doc window = 3 exchanges on the
+    // big path (plus the single-row N broadcast); the round-5 shape paid
+    // a 4th Exchange re-shuffling tf rows into a df aggregate join
+    // (string-matched on the executed plan: sparkPlan is pre-exchange-
+    // insertion and AQE hides subtrees from collect())
+    val plan = executedPlanOf("t6_tfidf")
+    val shuffles = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles == 3, s"t6 must have exactly 3 Exchanges, got $shuffles:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      "df must come from a window, not a shuffled join-back")
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
