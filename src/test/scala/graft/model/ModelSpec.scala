@@ -153,20 +153,36 @@ class ModelSpec extends SparkTestBase {
     assert(sql.contains("c_acctbal"))          // business rule in table space
   }
 
-  test("M9: table DDL carries comments; create+write+read round trip") {
-    val ddl = TableGen.ddl(model, "tpch::mapping::Customer")
-    assert(ddl.contains("CREATE TABLE IF NOT EXISTS customer"))
-    assert(ddl.contains("COMMENT 'Legal name'"))
-    assert(ddl.contains("USING parquet"))
-    // round trip through a real catalog table
-    val tmpModel = model.copy(mappings = model.mappings +
-      ("tmp" -> model.mapping("tpch::mapping::Customer").copy(table = "graft_m9_tmp")))
-    try {
-      TableGen.create(spark, tmpModel, "tmp")
-      val src = graft.Tables(spark, sfDir, "customer").limit(5)
-      TableGen.write(src, tmpModel, "tmp")
-      assert(spark.table("graft_m9_tmp").count() == 5)
-    } finally spark.sql("DROP TABLE IF EXISTS graft_m9_tmp")
+  // format-parameterized M9: the DDL/dispatch plumbing is identical for
+  // every TableFormat; execution runs for each format the session can
+  // actually execute (parquet always; delta when its jars are present)
+  for (format <- Seq("parquet", "delta"))
+    test(s"M9: table DDL carries comments; create+write+read round trip [$format]") {
+      val fmt = TableFormat.forName(format)
+      val ddl = TableGen.ddl(model, "tpch::mapping::Customer", format)
+      assert(ddl.contains("CREATE TABLE IF NOT EXISTS customer"))
+      assert(ddl.contains("COMMENT 'Legal name'"))
+      assert(ddl.contains(s"USING $format"))
+      assume(fmt.available(spark), s"$format jars not on this classpath")
+      val tmpModel = model.copy(mappings = model.mappings +
+        ("tmp" -> model.mapping("tpch::mapping::Customer").copy(table = "graft_m9_tmp")))
+      try {
+        TableGen.create(spark, tmpModel, "tmp", format)
+        val src = graft.Tables(spark, sfDir, "customer").limit(5)
+        TableGen.write(src, tmpModel, "tmp")
+        assert(spark.table("graft_m9_tmp").count() == 5)
+      } finally spark.sql("DROP TABLE IF EXISTS graft_m9_tmp")
+    }
+
+  test("M9: an unavailable format fails fast with its name, before any DDL") {
+    assume(!TableFormat.Delta.available(spark), "delta IS available here")
+    val e = intercept[IllegalArgumentException] {
+      TableGen.create(spark, model, "tpch::mapping::Customer", "delta")
+    }
+    assert(e.getMessage.contains("delta"))
+    // generic formats pass through the seam unprobed
+    assert(TableFormat.forName("orc") == TableFormat.Passthrough("orc"))
+    assert(TableGen.ddl(model, "tpch::mapping::Customer", "orc").contains("USING orc"))
   }
 
   test("M9: partitioned governed table prunes partitions on read") {
