@@ -39,10 +39,45 @@ object SimQueries {
     Similarity.ivfTopK(vectors(s, dir), "vec_id", "embedding",
       nlist = 16, nprobe = 2, k = K, queryFilter = col("vec_id") < NumQueryVecs)
 
+  val KmeansK = 8
+
+  /** S5 gate: TWO full Lloyd's iterations with an exact update, so the
+    * iteration engine itself is DuckDB-oracle-checked (the production
+    * [[Similarity.kmeans]] is float-avg based and spec-checked; float
+    * summation order made its oracle unstable — round-5 verdict). The
+    * trick: centroid components are means of SCALED-INTEGER sums
+    * (floor(x*1e6 + 0.5) as BIGINT — order-independent, overflow-safe
+    * at < 2^53) followed by two IEEE divisions, so every intermediate
+    * is bit-identical in any engine and NO rounding tolerance is
+    * needed anywhere. Assignment is the same codegen'd
+    * NearestCentroids scan as production k-means; each update shuffles
+    * only (cluster, dim, integer partial) rows with map-side combine;
+    * the driver holds k×dim doubles between rounds. Output: the
+    * centroid matrix after round 2 as (cluster, dim, val) rows. */
+  def s5Kmeans(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.nearestCentroids
+    val e = vectors(s, dir)
+    def assign(c: Array[Array[Double]]): DataFrame =
+      e.withColumn("cluster", element_at(nearestCentroids(col("embedding"), c, 1), 1))
+    def update(assigned: DataFrame): DataFrame = assigned
+      .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("cluster"), col("dim"))
+      .agg(sum(floor(col("x") * 1e6 + 0.5)).as("sm"), count(lit(1)).as("n"))
+      .select(col("cluster"), col("dim"),
+        (col("sm").cast("double") / col("n").cast("double") / 1e6).as("val"))
+    val cents0 = Similarity.sampleCentroids(e, "vec_id", "embedding", KmeansK)
+    // empty clusters keep their previous centroid (position preserved)
+    val cents1 = cents0.map(_.clone)
+    update(assign(cents0)).collect()
+      .foreach(r => cents1(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    update(assign(cents1))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_cosine_topk" -> (s1CosineTopK _),
     "s2_ann_lsh" -> (s2AnnLsh _),
-    "s3_ann_ivf" -> (s3AnnIvf _))
+    "s3_ann_ivf" -> (s3AnnIvf _),
+    "s5_kmeans" -> (s5Kmeans _))
 
   /** Literal DuckDB array for one hyperplane (the planes are
     * deterministic md5-derived constants — inlining them makes the LSH
@@ -61,6 +96,47 @@ object SimQueries {
     "round(list_dot_product(x.v, y.v) / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6)"
 
   val oracles: Map[String, String] = Map(
+    "s5_kmeans" ->
+      // unrolled 2-round Lloyd's mirror: same bottom-8-by-md5 init as
+      // the ivf oracle, cosine argmax assignment (ties -> smaller
+      // cluster), scaled-integer exact update; empty clusters keep the
+      // previous centroid via the LEFT JOIN coalesce
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cent0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) AS c, v AS cv
+         |  FROM (SELECT vec_id, v,
+         |          ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT AS h
+         |        FROM e ORDER BY h, vec_id LIMIT $KmeansK)),
+         |s0 AS (SELECT e.vec_id, e.v, c.c,
+         |         list_dot_product(e.v, c.cv) /
+         |           (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+         |       FROM e, cent0 c),
+         |a0 AS (SELECT vec_id, v, c FROM (
+         |         SELECT vec_id, v, c,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c ASC) AS rr
+         |         FROM s0) WHERE rr = 1),
+         |u1 AS (SELECT c, dim,
+         |         CAST(sum(CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+         |           / count(*) / 1000000.0 AS val
+         |       FROM (SELECT c, unnest(v) AS x, unnest(range(len(v))) AS dim FROM a0)
+         |       GROUP BY c, dim),
+         |c1 AS (SELECT c0.c, coalesce(u.cv, c0.cv) AS cv
+         |       FROM cent0 c0 LEFT JOIN
+         |         (SELECT c, list(val ORDER BY dim) AS cv FROM u1 GROUP BY c) u
+         |         ON c0.c = u.c),
+         |s1 AS (SELECT e.vec_id, e.v, c.c,
+         |         list_dot_product(e.v, c.cv) /
+         |           (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+         |       FROM e, c1 c),
+         |a1 AS (SELECT vec_id, v, c FROM (
+         |         SELECT vec_id, v, c,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c ASC) AS rr
+         |         FROM s1) WHERE rr = 1)
+         |SELECT c AS cluster, CAST(dim AS INT) AS dim,
+         |  CAST(sum(CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+         |    / count(*) / 1000000.0 AS val
+         |FROM (SELECT c, unnest(v) AS x, unnest(range(len(v))) AS dim FROM a1)
+         |GROUP BY c, dim""".stripMargin,
     "s3_ann_ivf" ->
       // centroid sample mirrors Similarity.ivfTopK: bottom-16 rows by
       // md5(vec_id) (deterministic uniform draw), list_id by (hash, id) rank
