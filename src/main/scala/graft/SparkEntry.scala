@@ -14,7 +14,8 @@ object SparkEntry {
     ops.Relational.queries ++ ops.Sampling.queries ++ model.ModelQueries.queries ++
       model.legend.LegendQueries.queries ++
       text.TextQueries.queries ++ dedup.DedupQueries.queries ++
-      sim.SimQueries.queries ++ multimodal.Multimodal.queries
+      sim.SimQueries.queries ++ multimodal.Multimodal.queries ++
+      pipelines.CurationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -22,5 +23,6 @@ object SparkEntry {
     ops.Relational.oracles ++ ops.Sampling.oracles ++ model.ModelQueries.oracles ++
       model.legend.LegendQueries.oracles ++
       text.TextQueries.oracles ++ dedup.DedupQueries.oracles ++
-      sim.SimQueries.oracles ++ multimodal.Multimodal.oracles
+      sim.SimQueries.oracles ++ multimodal.Multimodal.oracles ++
+      pipelines.CurationQueries.oracles
 }

@@ -74,10 +74,32 @@ object Sampling {
       .orderBy(col("h").asc, col("doc_id").asc)
       .limit(SampleK)
 
+  /** P4: weighted exact-k sample WITHOUT replacement in one pass
+    * (Efraimidis–Spirakis): row i draws u_i deterministically from
+    * md5(id) and scores key_i = -ln(u_i) / w_i; the k SMALLEST keys are
+    * the sample, with inclusion probability ∝ w_i. Weight = token count,
+    * i.e. "sample by content mass" — the draw a token-budget eval or
+    * calibration set needs. The plan is TakeOrderedAndProject
+    * (per-partition heaps, never a global sort), identical at any scale.
+    * Keys round to 9 dp BEFORE ranking (doc_id tiebreak) so libm ulp
+    * differences in ln() cannot flip ranks cross-engine — t6's trick. */
+  val WeightedK = 100
+
+  def p4WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val u = (hashBucket(col("doc_id"), Int.MaxValue).cast("double") + lit(1.0)) /
+      lit(2147483648.0) // (0, 1]: h in [0, 2^31-2]
+    val w = size(graft.text.TextFunctions.tokens(col("text"))).cast("double")
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), round(-log(u) / w, 9).as("key"))
+      .orderBy(col("key").asc, col("doc_id").asc)
+      .limit(WeightedK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_split_sample" -> (p1SplitSample _),
     "p2_stratified_sample" -> (p2StratifiedSample _),
-    "p3_uniform_sample" -> (p3UniformSample _))
+    "p3_uniform_sample" -> (p3UniformSample _),
+    "p4_weighted_sample" -> (p4WeightedSample _))
 
   private val hashSql = "('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT"
 
@@ -98,5 +120,12 @@ object Sampling {
     "p3_uniform_sample" ->
       s"""SELECT doc_id, lang, h FROM (
          |  SELECT doc_id, lang, $hashSql % 2147483647 AS h FROM documents)
-         |ORDER BY h ASC, doc_id ASC LIMIT $SampleK""".stripMargin)
+         |ORDER BY h ASC, doc_id ASC LIMIT $SampleK""".stripMargin,
+    "p4_weighted_sample" ->
+      s"""SELECT doc_id, lang, key FROM (
+         |  SELECT doc_id, lang,
+         |    round(-ln((($hashSql % 2147483647) + 1.0) / 2147483648.0)
+         |      / len(string_split_regex(trim(lower(text)), '\\s+')), 9) AS key
+         |  FROM documents)
+         |ORDER BY key ASC, doc_id ASC LIMIT $WeightedK""".stripMargin)
 }

@@ -1,0 +1,146 @@
+package graft.pipelines
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.ops.Sampling
+import graft.text.TextFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus-curation operators (SURVEY §2.10) — the composed
+  * passes a pretraining data pipeline actually runs, built from the
+  * same primitives the individual gate queries prove (quality signals
+  * T2, exact dedup D1, PII scrub T8, hash split P1, shingles D2,
+  * deterministic sampling P3).
+  *
+  * c1 is ONE plan: scan → quality filter (map-side) → keep-first dedup
+  * (single shuffle on content hash) → PII scrub (map-side) → split tag
+  * (map-side). At 100 TB that is one pass over the corpus with one
+  * Exchange carrying only surviving rows.
+  *
+  * t9 is the train-eval CONTAMINATION check (n-gram overlap between
+  * corpus documents and a held-out eval set): the eval set is bounded
+  * (fixed k), so its distinct shingles broadcast and the corpus side
+  * never shuffles for the probe — the same bounded-build-side contract
+  * as the heavy-hitter skew join.
+  */
+object CurationQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "documents")
+
+  // c1 thresholds: drop short/punctuation-heavy docs (Gopher-style
+  // floor); the values keep a majority of the synthetic corpus while
+  // exercising both predicates
+  val MinTokens = 20
+  val MaxPunct = 0.2
+
+  /** C1 core, df-level (spec-testable): quality gate, exact-dedup
+    * keep-first (window, not groupBy: the SURVIVING ROW flows on, no
+    * join-back), PII scrub, deterministic train/val/test tag.
+    * `clean_len` proves the scrub ran without carrying full text
+    * through the gate compare. */
+  def curate(d: DataFrame,
+             minTokens: Int = MinTokens,
+             maxPunct: Double = MaxPunct): DataFrame = {
+    val dedupW = Window.partitionBy(col("content_hash")).orderBy(col("doc_id").asc)
+    d
+      .withColumn("n_tokens", size(TextFunctions.tokens(col("text"))))
+      .withColumn("punct_ratio", TextFunctions.charRatio(lower(col("text")), "[^a-z0-9\\s]"))
+      .filter(col("n_tokens") >= minTokens && col("punct_ratio") <= maxPunct)
+      .withColumn("content_hash", md5(col("text")))
+      .withColumn("rn", row_number().over(dedupW))
+      .filter(col("rn") === 1)
+      .withColumn("split",
+        when(Sampling.hashBucket(col("doc_id"), 10) < 8, lit("train"))
+          .when(Sampling.hashBucket(col("doc_id"), 10) < 9, lit("val"))
+          .otherwise(lit("test")))
+      .select(col("doc_id"), col("lang"), col("split"), col("n_tokens"),
+        length(TextFunctions.piiScrub(col("text"))).as("clean_len"))
+  }
+
+  def c1Curation(s: SparkSession, dir: String): DataFrame = curate(docs(s, dir))
+
+  /** T9 eval-set size: fixed, so the eval shingle set is bounded and
+    * broadcastable regardless of corpus scale. */
+  val EvalK = 50
+  val ShingleK = 3
+
+  /** T9 core, df-level: train-eval contamination — for every corpus
+    * document, how many of its distinct word 3-grams also appear in the
+    * (deterministic, bottom-k-by-md5) eval set. Docs sharing nothing
+    * are dropped; eval docs themselves are excluded (anti join on the
+    * bounded id set). */
+  def contamination(d: DataFrame, evalK: Int = EvalK): DataFrame = {
+    val sh = Dedup.shingleRows(d, "doc_id", "text", ShingleK).distinct()
+    val evalIds = d
+      .select(col("doc_id").as("eval_id"),
+        Sampling.hashBucket(col("doc_id"), Int.MaxValue).as("h"))
+      .orderBy(col("h").asc, col("eval_id").asc)
+      .limit(evalK)
+      .select(col("eval_id"))
+    val evalShingles = sh.join(broadcast(evalIds), col("doc_id") === col("eval_id"))
+      .select(col("shingle")).distinct()
+      .withColumn("hit", lit(1))
+    sh.join(broadcast(evalShingles), Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0))).as("n_shared"))
+      .filter(col("n_shared") > 0)
+      .join(broadcast(evalIds), col("doc_id") === col("eval_id"), "left_anti")
+      .select(col("doc_id"), col("n_shared"), col("n_shingles"),
+        (col("n_shared").cast("double") / col("n_shingles")).as("contamination"))
+  }
+
+  def t9Contamination(s: SparkSession, dir: String): DataFrame =
+    contamination(docs(s, dir))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c1_curation" -> (c1Curation _),
+    "t9_contamination" -> (t9Contamination _))
+
+  private val hashSql = "('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT"
+
+  private val scrubSql =
+    """regexp_replace(regexp_replace(regexp_replace(text,
+      |  '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+      |  'https?://[^\s]+', '<URL>', 'g'),
+      |  '[0-9][0-9 ()+.-]{8,}[0-9]', '<NUMBER>', 'g')""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "c1_curation" ->
+      s"""WITH q AS (SELECT doc_id, lang, text,
+         |    len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tokens,
+         |    (length(lower(text)) - length(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g')))
+         |      * 1.0 / length(lower(text)) AS punct_ratio
+         |  FROM documents),
+         |f AS (SELECT * FROM q WHERE n_tokens >= $MinTokens AND punct_ratio <= $MaxPunct),
+         |d AS (SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM f)
+         |SELECT doc_id, lang,
+         |  CASE WHEN $hashSql % 10 < 8 THEN 'train'
+         |       WHEN $hashSql % 10 < 9 THEN 'val' ELSE 'test' END AS split,
+         |  n_tokens,
+         |  length($scrubSql) AS clean_len
+         |FROM d WHERE rn = 1""".stripMargin,
+    "t9_contamination" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+         |    SELECT doc_id, unnest(list_transform(
+         |      range(1, greatest(len(w) - ${ShingleK - 1}, 0) + 1),
+         |      i -> array_to_string(w[i:i+${ShingleK - 1}], ' '))) AS shingle
+         |    FROM t WHERE len(w) >= $ShingleK)),
+         |ev AS (SELECT doc_id FROM (
+         |    SELECT doc_id, $hashSql % 2147483647 AS h FROM documents)
+         |  ORDER BY h ASC, doc_id ASC LIMIT $EvalK),
+         |evs AS (SELECT DISTINCT shingle FROM sh JOIN ev USING (doc_id)),
+         |agg AS (SELECT s.doc_id,
+         |    count(*) AS n_shingles,
+         |    CAST(sum(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+         |  FROM sh s LEFT JOIN evs e ON s.shingle = e.shingle
+         |  GROUP BY s.doc_id)
+         |SELECT doc_id, n_shared, n_shingles,
+         |  n_shared * 1.0 / n_shingles AS contamination
+         |FROM agg
+         |WHERE n_shared > 0 AND doc_id NOT IN (SELECT doc_id FROM ev)""".stripMargin)
+}

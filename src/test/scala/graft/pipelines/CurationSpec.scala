@@ -1,0 +1,109 @@
+package graft.pipelines
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Curation pipeline semantics (SURVEY §2.10): planted quality
+  * violations, duplicates, PII, and eval-overlap — each must be
+  * handled by the composed pass exactly as the standalone operators
+  * would. */
+class CurationSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private val longText =
+    (1 to 30).map(i => s"word$i").mkString(" ") // 30 clean tokens
+
+  test("c1: quality gate drops short and punctuation-heavy docs") {
+    val df = Seq(
+      (1L, "en", longText),                       // keeps
+      (2L, "en", "too short"),                    // < MinTokens
+      (3L, "en", (1 to 30).map(_ => "@!#?").mkString(" "))) // punct-heavy
+      .toDF("doc_id", "lang", "text")
+    val kept = CurationQueries.curate(df).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L))
+  }
+
+  test("c1: exact-dedup keeps the smallest doc_id of each content group") {
+    val df = Seq(
+      (5L, "en", longText), (2L, "en", longText), (9L, "en", longText),
+      (7L, "de", longText + " unique"))
+      .toDF("doc_id", "lang", "text")
+    val kept = CurationQueries.curate(df).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 7L))
+  }
+
+  test("c1: PII is scrubbed (clean_len reflects redaction)") {
+    val pii = longText + " mail me at someone@example.com now"
+    val clean = longText + " mail me at <EMAIL> now"
+    val df = Seq((1L, "en", pii)).toDF("doc_id", "lang", "text")
+    val len = CurationQueries.curate(df).select("clean_len").as[Int].head()
+    assert(len == clean.length)
+  }
+
+  test("c1: split tag matches the P1 hash-bucket convention") {
+    val df = (1L to 40L).map(i => (i, "en", longText + s" tail$i"))
+      .toDF("doc_id", "lang", "text")
+    val out = CurationQueries.curate(df)
+      .select(col("doc_id"),
+        graft.ops.Sampling.hashBucket(col("doc_id"), 10).as("b"), col("split"))
+      .collect()
+    out.foreach { r =>
+      val expect = if (r.getLong(1) < 8) "train" else if (r.getLong(1) < 9) "val" else "test"
+      assert(r.getString(2) == expect, s"doc ${r.getLong(0)}")
+    }
+    // at 40 docs all three splits should be populated
+    assert(out.map(_.getString(2)).toSet == Set("train", "val", "test"))
+  }
+
+  test("t9: planted eval overlap is counted; eval docs and clean docs excluded") {
+    // evalK=1 picks the doc with the smallest md5 hash; plant a doc
+    // sharing exactly one 3-gram with it and one sharing nothing
+    val base = (1L to 5L).map(i => (i, "en", s"alpha$i beta$i gamma$i delta$i"))
+    val df = base.toDF("doc_id", "lang", "text")
+    val evalId = df
+      .select(col("doc_id"), graft.ops.Sampling.hashBucket(col("doc_id"), Int.MaxValue).as("h"))
+      .orderBy(col("h").asc, col("doc_id").asc).limit(1)
+      .select("doc_id").as[Long].head()
+    val contaminated = 100L
+    val cleanDoc = 101L
+    val df2 = df.union(Seq(
+      (contaminated, "en", s"alpha$evalId beta$evalId gamma$evalId wholly new tail"),
+      (cleanDoc, "en", "nothing shared here at all friends")).toDF("doc_id", "lang", "text"))
+    val out = CurationQueries.contamination(df2, evalK = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // exactly one shared trigram: "alphaK betaK gammaK" (the planted
+    // doc's later trigrams end in "wholly new tail", absent from eval)
+    assert(out.contains(contaminated))
+    assert(out(contaminated)._1 == 1L, s"got ${out(contaminated)}")
+    assert(!out.contains(cleanDoc))
+    assert(!out.contains(evalId), "eval docs must be excluded")
+  }
+
+  test("p4: weighted sampling over-represents heavy (long) documents") {
+    val d = graft.Tables(spark, "/root/testdata/sf0.01", "documents")
+    val corpusMean = d.select(avg(size(graft.text.TextFunctions.tokens(col("text")))))
+      .as[Double].head()
+    val sampled = graft.ops.Sampling.p4WeightedSample(spark, "/root/testdata/sf0.01")
+      .join(d, "doc_id")
+      .select(avg(size(graft.text.TextFunctions.tokens(col("text")))))
+      .as[Double].head()
+    assert(sampled > corpusMean,
+      s"weighted sample mean tokens $sampled should exceed corpus mean $corpusMean")
+    // deterministic: same sample on re-run
+    val ids1 = graft.ops.Sampling.p4WeightedSample(spark, "/root/testdata/sf0.01")
+      .select("doc_id").as[Long].collect().toSeq
+    val ids2 = graft.ops.Sampling.p4WeightedSample(spark, "/root/testdata/sf0.01")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(ids1 == ids2 && ids1.size == graft.ops.Sampling.WeightedK)
+  }
+
+  test("c1/p4 plans: one Exchange for curate; TakeOrdered for the weighted draw") {
+    val c1 = CurationQueries.c1Curation(spark, sfDir).queryExecution.executedPlan.toString
+    assert(c1.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      s"curate must shuffle exactly once (content-hash window):\n$c1")
+    val p4 = graft.ops.Sampling.p4WeightedSample(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p4.contains("TakeOrderedAndProject"), "weighted draw must be a top-k, not a sort")
+  }
+}
