@@ -219,6 +219,34 @@ object Relational {
         count(lit(1)).over(w).as("n_window"))
   }
 
+  /** R22: EXACT per-group median without a per-group sort of the fact
+    * table. l_quantity has a bounded value domain (50 distinct), so the
+    * median comes from value-frequency counts: one map-side-combined
+    * aggregate over the fact (the only fact-sized shuffle, carrying ≤
+    * |groups|×|domain| rows), then a cumulative-sum window and the
+    * median selection over that TINY relation. This is the shape that
+    * survives 100 TB — `percentile()` (exact) sorts every group's
+    * values, `median() OVER` buffers them; counting needs neither.
+    * Even-cardinality groups average the two middle values (single
+    * IEEE add + halve — engine-portable, no interpolation formula). */
+  def q22ExactMedian(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity").asc)
+    val wAll = Window.partitionBy(col("l_returnflag"))
+    counts
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        min(when(col("cum") >= expr("(n + 1) DIV 2"), col("l_quantity"))).as("lo"),
+        min(when(col("cum") >= expr("(n + 2) DIV 2"), col("l_quantity"))).as("hi"),
+        max(col("n")).as("n_rows"))
+      .select(col("l_returnflag"),
+        ((col("lo") + col("hi")) / 2).as("median_qty"), col("n_rows"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_filter_project" -> (q2FilterProject _),
@@ -240,9 +268,22 @@ object Relational {
     "q18_salted_join" -> (SkewJoin.q18SaltedJoin _),
     "q19_asof_join" -> (AsofJoin.q19AsofJoin _),
     "q20_hotkey_salted_join" -> (SkewJoin.q20HotKeySaltedJoin _),
-    "q21_moving_window" -> (q21MovingWindow _))
+    "q21_moving_window" -> (q21MovingWindow _),
+    "q22_exact_median" -> (q22ExactMedian _))
 
   val oracles: Map[String, String] = Map(
+    "q22_exact_median" ->
+      """WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |s AS (SELECT l_returnflag, l_quantity,
+        |    sum(c) OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS cum,
+        |    sum(c) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM c)
+        |SELECT l_returnflag,
+        |  (min(CASE WHEN cum >= (n + 1) // 2 THEN l_quantity END) +
+        |   min(CASE WHEN cum >= (n + 2) // 2 THEN l_quantity END)) / 2 AS median_qty,
+        |  CAST(max(n) AS BIGINT) AS n_rows
+        |FROM s GROUP BY 1""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

@@ -62,6 +62,37 @@ object Streaming {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** ST6: streaming NEAR-dup suppression — the streaming face of the
+    * D2 MinHash family. Each document's dedup key is its per-row
+    * MinHash band key (same md5 + affine-mix constants as the batch
+    * pipeline, computed as array expressions — no window/aggregate, so
+    * it streams); a later document whose band key was seen within the
+    * watermark horizon is dropped. Catches duplicates exact hashing
+    * misses (whitespace/case-only edits normalize to the same token
+    * stream → same signature) with single-band recall semantics: a
+    * band collides iff all its mins agree — run B parallel pipelines
+    * keyed on different bands for higher recall, exactly as batch LSH
+    * uses B bands. Docs too short to shingle fall back to exact
+    * content-hash dedup (prefixed key — never collides with band
+    * keys). State: one entry per distinct key within the horizon. */
+  def nearDupStream(docs: DataFrame, tsCol: String = "ts",
+                    watermark: String = "1 hour",
+                    numHashes: Int = 4): DataFrame = {
+    docs
+      .withColumn("band_key", nearDupKey(col("text"), numHashes))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("band_key")
+  }
+
+  /** The ST6 key as a plain column expression (shared by the batch
+    * mirror in specs). */
+  def nearDupKey(text: org.apache.spark.sql.Column, numHashes: Int = 4): org.apache.spark.sql.Column = {
+    val sh = graft.text.TextFunctions.shingles(graft.text.TextFunctions.tokens(text), 3)
+    val sig = graft.dedup.Dedup.minhashFromBase(graft.dedup.Dedup.shingleBaseHashes(sh), numHashes)
+    when(size(sh) === 0, concat(lit("x:"), md5(text)))
+      .otherwise(concat_ws("|", sig.cast("array<string>")))
+  }
+
   /** ST5: watermarked stream-stream interval join — each left event
     * picks up right-side events for the same key within the trailing
     * `boundSeconds` window. Both sides carry watermarks and the join

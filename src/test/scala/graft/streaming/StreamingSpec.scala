@@ -178,6 +178,35 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.nonEmpty)
   }
 
+  test("ST6: streaming near-dup drops normalization-equivalent docs exact dedup misses") {
+    val input = MemoryStream[(Long, String, Timestamp)](spark)
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+    val q = Streaming.nearDupStream(docs)
+      .writeStream.format("memory").queryName("st6_out")
+      .outputMode(OutputMode.Append()).start()
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    // same tokens as `a` after lower+split — different raw bytes, so
+    // md5(text) differs and ST4's exact dedup would KEEP it
+    val aNearDup = "The  quick   brown fox\tjumps over THE lazy dog again and again"
+    val b = "completely different content with nothing shared at all here"
+    val short = "too short" // < 3 tokens: exact-hash fallback key
+    runBatches(q, input, Seq(
+      Seq((1L, a, ts(1)), (4L, short, ts(1))),
+      Seq((2L, aNearDup, ts(2)), (3L, b, ts(3)), (5L, short, ts(3)))))
+    val kept = spark.table("st6_out").select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L), s"got $kept") // 2 near-dup-dropped, 5 exact-dropped
+    // batch mirror: keep-first by the same key
+    val all = Seq((1L, a, ts(1)), (4L, short, ts(1)),
+      (2L, aNearDup, ts(2)), (3L, b, ts(3)), (5L, short, ts(3)))
+      .toDF("doc_id", "text", "ts")
+    val batchKeep = all.withColumn("k", Streaming.nearDupKey(col("text")))
+      .groupBy("k").agg(min("doc_id").as("doc_id"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == batchKeep)
+    // sanity: the near-dup pair's EXACT hashes differ (ST4 would keep both)
+    assert(spark.range(1).select(md5(lit(a)) =!= md5(lit(aNearDup))).as[Boolean].head())
+  }
+
   test("ST3: idle state expires from ADVANCING EVENT TIME (watermark), not wall clock") {
     val input = MemoryStream[StreamEvent](spark)
     val q = Streaming.sessionize(input.toDS(), idleStateTimeout = true)
