@@ -139,9 +139,37 @@ object Multimodal {
       .toDF("doc_id", "format", "n_bytes", "hist")
   }
 
+  /** X3 frame-sampling parameters: every 256th byte offset starts a
+    * 64-byte frame, at most 4 frames per record — a keyframe-extraction
+    * stand-in with the real fan-out shape (record → frame rows). */
+  val FrameLen = 64
+  val FrameStride = 256
+  val MaxFrames = 4
+
+  /** X3 gate query: the frame-sample seam end-to-end — each media
+    * record fans out to its sampled frames (typed flatMap — a real
+    * keyframe extractor replaces only frameSampleStub), then per-frame
+    * metadata + content hash. md5 of the frame BYTES is oracle-checked:
+    * the corpus is ASCII (verified at every SF), so byte slices equal
+    * character slices and DuckDB reproduces the hash from substr. */
+  def x3FrameSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = buildMedia(Tables(s, dir, "documents")).as[MediaRecord]
+    media
+      .flatMap { m =>
+        frameSampleStub(m.payload, FrameLen, FrameStride, MaxFrames).zipWithIndex.map {
+          case (frame, idx) => (m.doc_id, idx, idx * FrameStride, frame.length, frame)
+        }
+      }
+      .toDF("doc_id", "frame_idx", "off", "n_frame_bytes", "frame")
+      .select(col("doc_id"), col("frame_idx"), col("off"), col("n_frame_bytes"),
+        md5(col("frame")).as("frame_md5"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_multimodal_meta" -> (x1MultimodalMeta _),
-    "x2_multimodal_features" -> (x2MultimodalFeatures _))
+    "x2_multimodal_features" -> (x2MultimodalFeatures _),
+    "x3_frame_sample" -> (x3FrameSample _))
 
   /** DuckDB reproduction of the 16-bin byte histogram: document text is
     * ASCII in this corpus (verified at every SF), so unicode(char) ==
@@ -169,5 +197,15 @@ object Multimodal {
         |  16 + ('0x' || substr(md5(text), 5, 4))::BIGINT % 33 AS height,
         |  octet_length(encode(text)) AS n_bytes
         |FROM documents""".stripMargin,
-    "x2_multimodal_features" -> histOracle)
+    "x2_multimodal_features" -> histOracle,
+    "x3_frame_sample" ->
+      s"""WITH f AS (SELECT doc_id, text,
+         |    unnest(range(0, octet_length(encode(text)), $FrameStride)[1:$MaxFrames]) AS off
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(off // $FrameStride AS INT) AS frame_idx,
+         |  CAST(off AS INT) AS off,
+         |  CAST(least($FrameLen, length(text) - off) AS INT) AS n_frame_bytes,
+         |  md5(substr(text, (off + 1)::INT, $FrameLen)) AS frame_md5
+         |FROM f""".stripMargin)
 }

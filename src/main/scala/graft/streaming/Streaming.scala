@@ -117,6 +117,18 @@ object Streaming {
         col(s"r_$tsCol") <= col(s"l_$tsCol"))
   }
 
+  /** ST7: stream-static enrichment join — every streamed row picks up
+    * its dimension attributes. The static side is broadcast (explicit
+    * hint: dims are fixed-cardinality, never SF-scaled) and re-planned
+    * each micro-batch, so a catalog-table dim picks up updates between
+    * batches and the operator carries NO streaming state at all — the
+    * cheapest possible join a 100 TB/day enrichment pass can run.
+    * Left join: an event with no dim row flows through with nulls
+    * (dropping events silently on a late-arriving dim is the classic
+    * enrichment bug). */
+  def enrichStream(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Session gap: 30 minutes (micros) — same constant as q17Sessions. */
   val SessionGapMicros: Long = 1800L * 1000 * 1000
 

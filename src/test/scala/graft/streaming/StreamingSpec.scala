@@ -178,6 +178,26 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.nonEmpty)
   }
 
+  test("ST7: stream-static enrichment matches the batch join; unmatched rows survive") {
+    val input = MemoryStream[(Long, String)](spark)
+    val events = input.toDF().toDF("event_id", "nation_key")
+    val dim = Seq(("FR", "EUROPE"), ("JP", "ASIA")).toDF("nation_key", "region")
+    val q = Streaming.enrichStream(events, dim, "nation_key")
+      .writeStream.format("memory").queryName("st7_out")
+      .outputMode(OutputMode.Append()).start()
+    runBatches(q, input, Seq(
+      Seq((1L, "FR"), (2L, "JP")),
+      Seq((3L, "XX")))) // no dim row: must flow through with null region
+    val out = spark.table("st7_out")
+      .select("event_id", "region").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "EUROPE", 2L -> "ASIA", 3L -> null))
+    // batch mirror on the same rows
+    val batch = Seq((1L, "FR"), (2L, "JP"), (3L, "XX")).toDF("event_id", "nation_key")
+      .join(dim, Seq("nation_key"), "left")
+      .select("event_id", "region").as[(Long, String)].collect().toMap
+    assert(out == batch)
+  }
+
   test("ST6: streaming near-dup drops normalization-equivalent docs exact dedup misses") {
     val input = MemoryStream[(Long, String, Timestamp)](spark)
     val docs = input.toDF().toDF("doc_id", "text", "ts")
