@@ -28,24 +28,17 @@ object Dedup {
   /** One (doc_id, shingle) row per word-kGram occurrence (duplicates
     * retained — MinHash minima are unaffected by multiplicity).
     *
-    * Execution shape chosen for codegen: posexplode the token array,
-    * then `lead` windows over (id, pos) assemble each k-gram from its
-    * following tokens — every operator here is whole-stage-codegen'd
-    * (array HOF lambdas are interpreted in Spark; this shape avoids them
-    * on the hot path). The window's hash-partitioning on id is exactly
-    * what the downstream signature groupBy needs, so the whole dedup
-    * pipeline shuffles the token stream once. */
-  def shingleRows(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("pos"))
-    val parts = col("tok") +: (1 until k).map(j => lead(col("tok"), j).over(w))
-    // concat (not concat_ws): a null lead must null the shingle, not
-    // silently shorten it
-    val shingle = concat(parts.flatMap(p => Seq(p, lit(" "))).dropRight(1): _*)
-    df.select(col(idCol), posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "tok")))
-      .select(col(idCol), shingle.as("shingle"))
-      .filter(col("shingle").isNotNull)
-  }
+    * The shingle array comes from the native [[graft.text.Shingles]]
+    * codegen expression — one map-side pass, no shuffle. (Round ≤5 used
+    * posexplode + `lead` windows, which were codegen'd but bought
+    * adjacency with a full shuffle+sort of the exploded token stream;
+    * the native expression removed that Exchange, and downstream
+    * aggregates now get MAP-SIDE PARTIALS before their own shuffle —
+    * at 100 TB the wire carries per-partition signatures, not the
+    * tokenized corpus.) */
+  def shingleRows(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    df.select(col(idCol),
+      explode(TextFunctions.shingles(TextFunctions.tokens(col(textCol)), k)).as("shingle"))
 
   /** doc_id + distinct shingle set (docs with no shingle are dropped —
     * they cannot collide with anything). */
@@ -99,8 +92,9 @@ object Dedup {
     *
     * ONE hash aggregate computes all numHashes mins as plain integer
     * expressions over the scalar base hash — whole-stage codegen end to
-    * end, and the groupBy reuses shingleRows' hash-partitioning on id,
-    * so no additional shuffle. */
+    * end, with map-side partial mins combining the exploded shingle
+    * stream BEFORE its single shuffle (the Exchange carries one
+    * 16-min partial per doc per partition, not the token stream). */
   def bands(rows: DataFrame, idCol: String, numHashes: Int, numBands: Int): DataFrame = {
     val rowsPerBand = numHashes / numBands
     // md5 once per shingle in the projection; the 16 mins reference the

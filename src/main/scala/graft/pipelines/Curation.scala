@@ -72,7 +72,11 @@ object CurationQueries {
     * are dropped; eval docs themselves are excluded (anti join on the
     * bounded id set). */
   def contamination(d: DataFrame, evalK: Int = EvalK): DataFrame = {
-    val sh = Dedup.shingleRows(d, "doc_id", "text", ShingleK).distinct()
+    // per-doc distinct shingles fused into the map-side native
+    // expression: no shuffle anywhere before the probe's final agg
+    val sh = d.select(col("doc_id"),
+      explode(TextFunctions.distinctShingles(
+        TextFunctions.tokens(col("text")), ShingleK)).as("shingle"))
     val evalIds = d
       .select(col("doc_id").as("eval_id"),
         Sampling.hashBucket(col("doc_id"), Int.MaxValue).as("h"))

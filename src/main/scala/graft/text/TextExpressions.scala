@@ -24,6 +24,34 @@ object TextOps {
     }
     c
   }
+
+  private val Space = UTF8String.fromString(" ")
+
+  /** Word k-grams of a token array, space-joined, in position order;
+    * `distinct` keeps each shingle's first occurrence only. Null tokens
+    * contribute empty strings (the tokenizer never yields nulls).
+    * Shared by [[Shingles]]'s interpreted and generated paths. */
+  def shingles(toks: ArrayData, k: Int, distinct: Boolean): ArrayData = {
+    val n = toks.numElements()
+    if (n < k)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val out = new java.util.ArrayList[AnyRef](n - k + 1)
+    val seen = if (distinct) new java.util.HashSet[UTF8String](2 * (n - k + 1)) else null
+    val parts = new Array[UTF8String](k)
+    var i = 0
+    while (i <= n - k) {
+      var j = 0
+      while (j < k) {
+        parts(j) = if (toks.isNullAt(i + j)) UTF8String.EMPTY_UTF8
+                   else toks.getUTF8String(i + j)
+        j += 1
+      }
+      val s = UTF8String.concatWs(Space, parts: _*)
+      if (!distinct || seen.add(s)) out.add(s)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
 }
 
 /** Count of tokens in an `array<string>` column that belong to a fixed
@@ -71,6 +99,53 @@ case class CountInSet(child: Expression, words: Seq[String])
     nullSafeCodeGen(ctx, ev, v =>
       s"${ev.value} = graft.text.TextOps.countIn($v, $setRef);")
   }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Word k-gram ("shingle") array from an `array<string>` token column —
+  * the shingling primitive behind the MinHash/Jaccard/fingerprint/
+  * contamination pipelines.
+  *
+  * Why native: the two composable forms both lose at scale. The HOF form
+  * (`transform(sequence(...), i -> concat_ws(' ', slice(toks, i, k)))`)
+  * is CodegenFallback — interpreted per row AND per element, the exact
+  * failure class CountInSet fixed for membership counting. The window
+  * form (posexplode → lead(tok, j) over (partition by id order by pos))
+  * is codegen'd but buys its shingles with a full SHUFFLE + SORT of the
+  * exploded token stream — at 100 TB that Exchange carries the entire
+  * tokenized corpus and exists only to reassemble adjacency that the
+  * source row already had. This expression emits the shingle array in
+  * one pass inside whole-stage codegen: no lambda dispatch, no shuffle,
+  * map-side only.
+  *
+  * `distinct = true` folds the downstream DISTINCT into the same pass
+  * (first occurrence kept), which drops yet another Exchange from
+  * consumers that only need the shingle SET (Jaccard, contamination).
+  */
+case class Shingles(child: Expression, k: Int, distinct: Boolean)
+  extends UnaryExpression {
+
+  require(k >= 1, s"shingle size must be >= 1, got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an array<string> argument, got ${t.sql}")
+    }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def prettyName: String = "graft_shingles"
+
+  override def nullSafeEval(v: Any): Any =
+    TextOps.shingles(v.asInstanceOf[ArrayData], k, distinct)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.text.TextOps.shingles($v, $k, $distinct);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -53,12 +53,19 @@ object TextFunctions {
       regexp_replace(c, pattern, token)
     }
 
-  /** Word k-grams ("shingles") of the token array, space-joined. */
+  /** Word k-grams ("shingles") of the token array, space-joined, via
+    * the native [[Shingles]] codegen expression (the composable HOF
+    * form — `transform(sequence(...), i -> concat_ws(...))` — is
+    * CodegenFallback: interpreted per row AND per element). */
   def shingles(toks: Column, k: Int): Column =
-    when(size(toks) < k, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(1), size(toks) - lit(k - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(k)))))
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      Shingles(org.apache.spark.sql.graftbridge.Bridge.expression(toks), k, distinct = false))
+
+  /** Distinct shingle SET in one pass (first occurrence kept) — folds
+    * the downstream DISTINCT into the same map-side expression. */
+  def distinctShingles(toks: Column, k: Int): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      Shingles(org.apache.spark.sql.graftbridge.Bridge.expression(toks), k, distinct = true))
 
   /** Portable per-shingle hash for seed `i`: md5 of the shingle with a
     * seed suffix. Identical in any engine with md5 — the basis for
