@@ -247,6 +247,21 @@ object Relational {
         ((col("lo") + col("hi")) / 2).as("median_qty"), col("n_rows"))
   }
 
+  /** R23: pivot (long → wide) — per-status quantity totals spread into
+    * one column per return flag. The pivot VALUES are passed explicitly:
+    * without them Spark runs a separate distinct-collect job just to
+    * discover the columns, an extra pass over the fact table that a
+    * 100 TB pipeline never wants (and nondeterministic column order
+    * besides). Executes as ONE conditional aggregate with map-side
+    * partials — same plan family as q6. Sums stay exact: l_quantity is
+    * integral-valued, and integer-valued double sums are associative
+    * below 2^53, so no cross-engine rounding is needed. */
+  def q23Pivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_linestatus"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(sum(col("l_quantity")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_filter_project" -> (q2FilterProject _),
@@ -269,7 +284,8 @@ object Relational {
     "q19_asof_join" -> (AsofJoin.q19AsofJoin _),
     "q20_hotkey_salted_join" -> (SkewJoin.q20HotKeySaltedJoin _),
     "q21_moving_window" -> (q21MovingWindow _),
-    "q22_exact_median" -> (q22ExactMedian _))
+    "q22_exact_median" -> (q22ExactMedian _),
+    "q23_pivot" -> (q23Pivot _))
 
   val oracles: Map[String, String] = Map(
     "q22_exact_median" ->
@@ -284,6 +300,12 @@ object Relational {
         |   min(CASE WHEN cum >= (n + 2) // 2 THEN l_quantity END)) / 2 AS median_qty,
         |  CAST(max(n) AS BIGINT) AS n_rows
         |FROM s GROUP BY 1""".stripMargin,
+    "q23_pivot" ->
+      """SELECT l_linestatus,
+        |  sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END) AS A,
+        |  sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END) AS N,
+        |  sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS R
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

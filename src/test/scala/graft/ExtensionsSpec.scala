@@ -58,4 +58,52 @@ class ExtensionsSpec extends SparkTestBase {
       spark.conf.set("spark.sql.legacy.sizeOfNull", old._2)
     }
   }
+
+  private def shingleExprs(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+    plan.flatMap(_.expressions.flatMap(_.collect { case s: text.Shingles => s }))
+
+  test("graft_shingles is callable from SQL (with optional distinct)") {
+    val sh = spark.sql(
+      "SELECT graft_shingles(array('a', 'b', 'c', 'b', 'c'), 2) AS s")
+      .as[Seq[String]].head()
+    assert(sh == Seq("a b", "b c", "c b", "b c"))
+    val dsh = spark.sql(
+      "SELECT graft_shingles(array('a', 'b', 'c', 'b', 'c'), 2, true) AS s")
+      .as[Seq[String]].head()
+    assert(dsh == Seq("a b", "b c", "c b"))
+  }
+
+  test("optimizer rewrites the guarded HOF shingle idiom to the native Shingles") {
+    // the exact guarded formulation graft itself shipped before the
+    // native kernel — what a user following the docs would write
+    def hofShingles(toks: org.apache.spark.sql.Column, k: Int) =
+      when(size(toks) < k, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(1), size(toks) - lit(k - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(k)))))
+    val df = Tables(spark, sfDir, "documents")
+      .select(hofShingles(split(lower(col("text")), "\\s+"), 3).as("sh"))
+    assert(shingleExprs(df.queryExecution.optimizedPlan).nonEmpty,
+      s"shingle rewrite did not fire:\n${df.queryExecution.optimizedPlan}")
+    // results identical to the direct native form (short docs included)
+    val direct = Tables(spark, sfDir, "documents")
+      .select(text.TextFunctions.shingles(split(lower(col("text")), "\\s+"), 3).as("sh"))
+    assert(df.as[Seq[String]].collect().toSeq == direct.as[Seq[String]].collect().toSeq)
+  }
+
+  test("shingle rewrite does NOT fire on a non-space separator or mismatched k") {
+    val toks = split(lower(col("text")), "\\s+")
+    val wrongSep = Tables(spark, sfDir, "documents")
+      .select(when(size(toks) < 3, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(toks) - lit(2)),
+          i => concat_ws("|", slice(toks, i, lit(3))))).as("sh"))
+    assert(shingleExprs(wrongSep.queryExecution.optimizedPlan).isEmpty,
+      "rewrite must not fire for a non-shingle separator")
+    val wrongK = Tables(spark, sfDir, "documents")
+      .select(when(size(toks) < 4, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(toks) - lit(2)),
+          i => concat_ws(" ", slice(toks, i, lit(3))))).as("sh"))
+    assert(shingleExprs(wrongK.queryExecution.optimizedPlan).isEmpty,
+      "rewrite must not fire when the guard k disagrees with the slice k")
+  }
 }
