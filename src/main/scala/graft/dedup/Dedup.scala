@@ -41,11 +41,17 @@ object Dedup {
       explode(TextFunctions.shingles(TextFunctions.tokens(col(textCol)), k)).as("shingle"))
 
   /** doc_id + distinct shingle set (docs with no shingle are dropped —
-    * they cannot collide with anything). */
+    * they cannot collide with anything). The set materializes map-side
+    * through the fused-distinct [[graft.text.Shingles]] expression —
+    * no explode, no collect_set aggregate, NO shuffle (round ≤5 paid an
+    * Exchange + hash aggregate to rebuild a set the source row could
+    * emit directly). Set-consumers (Jaccard via array_intersect) are
+    * order-insensitive, so first-occurrence order == collect_set
+    * semantics. */
   def shingleSets(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    shingleRows(df, idCol, textCol, k)
-      .groupBy(col(idCol))
-      .agg(collect_set(col("shingle")).as("shingles"))
+    df.select(col(idCol),
+        TextFunctions.distinctShingles(TextFunctions.tokens(col(textCol)), k).as("shingles"))
+      .filter(size(col("shingles")) > 0)
 
   /** Mersenne prime 2^31-1: the minhash value domain. Affine products
     * stay below 2^61, so the arithmetic is exact in any engine's 64-bit

@@ -171,6 +171,16 @@ object PureToSql {
     case "toUpper" => call("upper", ps, rv)
     case "toLower" => call("lower", ps, rv)
     case "trim" => call("trim", ps, rv)
+    case "replace" => call("replace", ps, rv)
+    case "left" => call("left", ps, rv)
+    case "right" => call("right", ps, rv)
+    // PURE indexOf is 0-based; SQL instr is 1-based (and 0 for absent —
+    // PURE returns -1 there, which (instr - 1) preserves)
+    case "indexOf" =>
+      require(ps.size == 2, "indexOf(str, substring)")
+      s"(instr(${scalar(ps(0), rv)}, ${scalar(ps(1), rv)}) - 1)"
+    case "pow" => call("power", ps, rv)
+    case "log" => call("ln", ps, rv) // PURE log is the natural log
     case "joinStrings" => call("concat_ws", ps.tail :+ ps.head, rv) // PURE: joinStrings(col, sep)
     case "toString" => s"CAST(${scalar(ps.head, rv)} AS STRING)"
     // PURE substring(str, start, len) maps 1:1 onto SQL substring —
@@ -201,6 +211,13 @@ object PureToSql {
     case "year" => call("year", ps, rv)
     case "monthNumber" => call("month", ps, rv)
     case "dayOfMonth" => call("day", ps, rv)
+    case "hour" => call("hour", ps, rv)
+    case "minute" => call("minute", ps, rv)
+    case "second" => call("second", ps, rv)
+    // PURE dayOfWeekNumber is ISO (Mon=1..Sun=7); SQL dayofweek is
+    // Sun=1..Sat=7 — shift accordingly
+    case "dayOfWeekNumber" =>
+      s"(((dayofweek(${scalar(ps.head, rv)}) + 5) % 7) + 1)"
     case "dateDiff" =>
       require(ps.size == 3, "dateDiff(from, to, unit)")
       val a = scalar(ps(0), rv); val b = scalar(ps(1), rv)

@@ -211,7 +211,21 @@ class LegendSpec extends SparkTestBase {
       PFunc("adjust", Seq(p("d"), PLit("3"), unit("MONTHS"))) -> "add_months(d, 3)",
       PFunc("adjust", Seq(p("d"), PLit("2"), unit("YEARS"))) -> "add_months(d, (2) * 12)",
       PFunc("if", Seq(PFunc("isEmpty", Seq(p("a"))), PLambda(Nil, PLit("0")),
-        PLambda(Nil, p("a")))) -> "(CASE WHEN (a IS NULL) THEN 0 ELSE a END)")
+        PLambda(Nil, p("a")))) -> "(CASE WHEN (a IS NULL) THEN 0 ELSE a END)",
+      PFunc("replace", Seq(p("s"), PLit("'a'"), PLit("'b'"))) -> "replace(s, 'a', 'b')",
+      PFunc("left", Seq(p("s"), PLit("3"))) -> "left(s, 3)",
+      PFunc("right", Seq(p("s"), PLit("3"))) -> "right(s, 3)",
+      PFunc("indexOf", Seq(p("s"), PLit("'x'"))) -> "(instr(s, 'x') - 1)",
+      PFunc("pow", Seq(p("x"), PLit("2"))) -> "power(x, 2)",
+      PFunc("log", Seq(p("x"))) -> "ln(x)",
+      PFunc("hour", Seq(p("ts"))) -> "hour(ts)",
+      PFunc("minute", Seq(p("ts"))) -> "minute(ts)",
+      PFunc("second", Seq(p("ts"))) -> "second(ts)",
+      PFunc("dayOfWeekNumber", Seq(p("d"))) -> "(((dayofweek(d) + 5) % 7) + 1)",
+      // string plus resolves to concat; numeric plus stays arithmetic
+      PFunc("plus", Seq(PCollection(Seq(PFunc("toUpper", Seq(p("a"))), PLit("'-'"), p("b")))))
+        -> "concat(upper(a), '-', b)",
+      PFunc("plus", Seq(PCollection(Seq(p("a"), p("b"))))) -> "(a + b)")
     for ((ast, expected) <- cases) {
       val sql = PureToSql.scalar(ast, Set("this"))
       assert(sql == expected, s"for $ast")
