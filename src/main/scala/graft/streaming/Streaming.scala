@@ -117,6 +117,37 @@ object Streaming {
         col(s"r_$tsCol") <= col(s"l_$tsCol"))
   }
 
+  /** ST8: governed streaming ingest — the reference's batch governance
+    * contract (validate rows against the model's expectations, land
+    * clean rows in the governed table, quarantine violators with their
+    * rule names) run continuously. `foreachBatch` applies the SAME
+    * batch Validator to every micro-batch — batch/stream unification
+    * means the rule logic exists once — and fans one validation pass
+    * out to both destinations (the micro-batch is cached for the two
+    * writes, then released). Violation rules ride along in the
+    * quarantine table so reprocessing knows WHY each row was held.
+    * Append-only writes: each micro-batch lands atomically per sink,
+    * and a replayed batch appends duplicates rather than corrupting —
+    * pair with ST4 dedup upstream for exactly-once-per-content. */
+  def governedIngest(stream: DataFrame,
+                     rules: Seq[(String, String)],
+                     cleanTable: String,
+                     quarantineTable: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.model.Validator
+    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val validated = Validator.validate(batch, rules).cache()
+      try {
+        validated
+          .filter(size(col(Validator.ViolationColumn)) === 0)
+          .drop(Validator.ViolationColumn)
+          .write.mode("append").format("parquet").saveAsTable(cleanTable)
+        validated
+          .filter(size(col(Validator.ViolationColumn)) > 0)
+          .write.mode("append").format("parquet").saveAsTable(quarantineTable)
+      } finally { validated.unpersist(); () }
+    }
+  }
+
   /** ST7: stream-static enrichment join — every streamed row picks up
     * its dimension attributes. The static side is broadcast (explicit
     * hint: dims are fixed-cardinality, never SF-scaled) and re-planned

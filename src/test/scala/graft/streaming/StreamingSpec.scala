@@ -178,6 +178,38 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.nonEmpty)
   }
 
+  test("ST8: governed ingest splits each micro-batch into clean and quarantine tables") {
+    def resetTable(name: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir") + s"/$name")
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+      ()
+    }
+    resetTable("st8_clean"); resetTable("st8_quarantine")
+    val rules = Seq(
+      "[name] is mandatory" -> "name IS NOT NULL",
+      "positive balance" -> "bal >= 0.0")
+    val input = MemoryStream[(Long, String, Double)](spark)
+    val q = Streaming.governedIngest(
+        input.toDF().toDF("id", "name", "bal"), rules, "st8_clean", "st8_quarantine")
+      .start()
+    input.addData(Seq((1L, "ok", 5.0), (2L, null, 3.0)))
+    q.processAllAvailable()
+    input.addData(Seq((3L, "fine", 1.0), (4L, "neg", -2.0)))
+    q.processAllAvailable(); q.stop()
+    val clean = spark.table("st8_clean").select("id").as[Long].collect().toSet
+    assert(clean == Set(1L, 3L))
+    val quarantined = spark.table("st8_quarantine")
+      .select(col("id"), col(graft.model.Validator.ViolationColumn))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(quarantined.keySet == Set(2L, 4L))
+    assert(quarantined(2L) == Seq("[name] is mandatory"))
+    assert(quarantined(4L) == Seq("positive balance"))
+    spark.sql("DROP TABLE IF EXISTS st8_clean")
+    spark.sql("DROP TABLE IF EXISTS st8_quarantine")
+  }
+
   test("ST7: stream-static enrichment matches the batch join; unmatched rows survive") {
     val input = MemoryStream[(Long, String)](spark)
     val events = input.toDF().toDF("event_id", "nation_key")
