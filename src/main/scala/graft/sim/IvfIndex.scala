@@ -34,10 +34,11 @@ import org.apache.spark.sql.functions._
 object IvfIndex {
 
   /** Handle to a built index: the catalog table holding the bucketed
-    * assignment and the centroid matrix (tiny — nlist × dim doubles;
-    * at cluster scale it would persist beside the table, here the handle
-    * carries it). */
-  final case class Handle(table: String, centroids: Array[Array[Double]])
+    * assignment, the centroid matrix (tiny — nlist × dim doubles; at
+    * cluster scale it would persist beside the table, here the handle
+    * carries it), and the bucket count appends must reproduce. */
+  final case class Handle(table: String, centroids: Array[Array[Double]],
+                          numBuckets: Int)
 
   /** Build the inverted file: assign all vectors, write bucketed by
     * list_id. One scan + one write; no shuffle beyond the write's
@@ -54,8 +55,34 @@ object IvfIndex {
       .withColumn("list_id",
         element_at(nearestCentroids(col("c_vec"), centroids, 1), 1))
     Bucketed.writeBucketed(assigned, table, "list_id", numBuckets)
-    Handle(table, centroids)
+    Handle(table, centroids, numBuckets)
   }
+
+  /** Incrementally add vectors to a built index: assign with the STORED
+    * centroids — the assignment function is frozen at build time, so
+    * new rows land in the same lists probes already search — and append
+    * in the same bucket layout (Spark applies the table's bucket spec
+    * to appended files, so pruning keeps working). One scan of the new
+    * vectors; existing data is untouched. Centroids drifting from the
+    * corpus distribution shows up as list-size skew — watch
+    * [[listSizes]] and rebuild when unbalanced. */
+  def append(index: Handle, vectors: DataFrame, idCol: String, vecCol: String): Unit = {
+    import graft.functions.VectorFunctions.nearestCentroids
+    val assigned = vectors
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .withColumn("list_id",
+        element_at(nearestCentroids(col("c_vec"), index.centroids, 1), 1))
+    Bucketed.writeBucketed(assigned, index.table, "list_id", index.numBuckets,
+      mode = org.apache.spark.sql.SaveMode.Append)
+  }
+
+  /** Per-list cardinalities — the index-health metric (rebuild when the
+    * largest lists dominate probes). */
+  def listSizes(index: Handle): DataFrame =
+    index match { case Handle(table, _, _) =>
+      org.apache.spark.sql.SparkSession.active.table(table)
+        .groupBy(col("list_id")).agg(count(lit(1)).as("n_vectors"))
+    }
 
   /** Probe the persisted index: top-k by exact cosine within the probed
     * lists. Corpus side = bucket-pruned scan of `index.table`, no

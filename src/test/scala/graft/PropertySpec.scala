@@ -92,6 +92,28 @@ class PropertySpec extends AnyFunSuite {
     }, "PureToSql parseability")
   }
 
+  test("native Shingles == sliding-window reference (and fused distinct == .distinct)") {
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import org.apache.spark.unsafe.types.UTF8String
+    val token = Gen.oneOf(Gen.alphaNumStr.map(_.take(6)), Gen.const(""), Gen.const("the"))
+    val gen = for {
+      toks <- Gen.listOf(token)
+      k <- Gen.choose(1, 5)
+    } yield (toks, k)
+    def run(toks: Seq[String], k: Int, distinct: Boolean): Seq[String] = {
+      val in: ArrayData = new GenericArrayData(toks.map(UTF8String.fromString).toArray[Any])
+      val out = graft.text.TextOps.shingles(in, k, distinct)
+      (0 until out.numElements()).map(i => out.getUTF8String(i).toString)
+    }
+    check(Prop.forAll(gen) { case (toks, k) =>
+      val reference =
+        if (toks.size < k) Seq.empty[String]
+        else toks.sliding(k).map(_.mkString(" ")).toSeq
+      run(toks, k, distinct = false) == reference &&
+        run(toks, k, distinct = true) == reference.distinct
+    }, "native shingles semantics")
+  }
+
   test("Multiplicity: parse/toString round-trips") {
     import graft.model.Multiplicity
     val gen = for {

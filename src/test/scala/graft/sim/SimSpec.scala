@@ -131,6 +131,58 @@ class SimSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", old)
   }
 
+  test("S4: incremental append lands in the frozen assignment; probe sees new vectors") {
+    import graft.functions.VectorFunctions.nearestCentroids
+    val vecs = graft.Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    spark.sql("DROP TABLE IF EXISTS ivf_append_index")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), "ivf_append_index"))
+    // build on part of the corpus, append the rest with the stored centroids
+    val base = vecs.filter(col("vec_id") % 5 =!= 0)
+    val late = vecs.filter(col("vec_id") % 5 === 0)
+    val idx = IvfIndex.build(base, "vec_id", "embedding",
+      nlist = 16, numBuckets = 16, table = "ivf_append_index")
+    IvfIndex.append(idx, late, "vec_id", "embedding")
+    assert(spark.table(idx.table).count() == vecs.count())
+    assert(IvfIndex.listSizes(idx).agg(org.apache.spark.sql.functions.sum("n_vectors"))
+      .head().getLong(0) == vecs.count())
+    // appended rows carry exactly the assignment the frozen centroids give
+    val expectedLate = late
+      .select(col("vec_id").as("neighbor_id"),
+        element_at(nearestCentroids(col("embedding"), idx.centroids, 1), 1).as("list_id"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val storedLate = spark.table(idx.table)
+      .filter(col("neighbor_id") % 5 === 0)
+      .select(col("neighbor_id"), col("list_id"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(storedLate == expectedLate)
+    // probing the appended index == probing a fresh in-memory assignment
+    // of the FULL corpus with the same centroids (the probe must see the
+    // appended vectors as first-class neighbors)
+    val queries = vecs.filter(col("vec_id") < 2)
+    val probed = IvfIndex.probe(idx, queries, "vec_id", "embedding", nprobe = 2, k = 5)
+      .collect().toSet
+    val freshIdx = IvfIndex.Handle("ivf_append_fresh", idx.centroids, 16)
+    spark.sql("DROP TABLE IF EXISTS ivf_append_fresh")
+    rm(new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), "ivf_append_fresh"))
+    graft.sources.Bucketed.writeBucketed(
+      vecs.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_vec"))
+        .withColumn("list_id",
+          element_at(nearestCentroids(col("c_vec"), idx.centroids, 1), 1)),
+      "ivf_append_fresh", "list_id", 16)
+    val reference = IvfIndex.probe(freshIdx, queries, "vec_id", "embedding", nprobe = 2, k = 5)
+      .collect().toSet
+    assert(probed == reference)
+    spark.sql("DROP TABLE IF EXISTS ivf_append_index")
+    spark.sql("DROP TABLE IF EXISTS ivf_append_fresh")
+  }
+
   test("S5: k-means separates the planted clusters and is deterministic") {
     val vecs = clustered.toDF("vec_id", "embedding")
     val (cents, assigned) = Similarity.kmeans(vecs, "vec_id", "embedding",
