@@ -262,6 +262,23 @@ object Relational {
       .pivot("l_returnflag", Seq("A", "N", "R"))
       .agg(sum(col("l_quantity")))
 
+  /** R24: set operations — INTERSECT / EXCEPT with their distinct-set
+    * semantics (UNION is R14). Cohort arithmetic over order years:
+    * customers active in both 1997 and 1998, and churned (1997 only).
+    * Spark plans both as left-semi/anti joins over distinct keys —
+    * shuffles on the key like any fact join, no row-multiset pitfalls.
+    * The two scalar counts cross-join (1×1) into one result row. */
+  def q24SetOps(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    def activeIn(y: Int) =
+      o.filter(year(col("o_orderdate")) === y).select(col("o_custkey"))
+    activeIn(1997).intersect(activeIn(1998))
+      .agg(count(lit(1)).as("active_both"))
+      .crossJoin(
+        activeIn(1997).except(activeIn(1998))
+          .agg(count(lit(1)).as("churned")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_filter_project" -> (q2FilterProject _),
@@ -285,7 +302,8 @@ object Relational {
     "q20_hotkey_salted_join" -> (SkewJoin.q20HotKeySaltedJoin _),
     "q21_moving_window" -> (q21MovingWindow _),
     "q22_exact_median" -> (q22ExactMedian _),
-    "q23_pivot" -> (q23Pivot _))
+    "q23_pivot" -> (q23Pivot _),
+    "q24_set_ops" -> (q24SetOps _))
 
   val oracles: Map[String, String] = Map(
     "q22_exact_median" ->
@@ -300,6 +318,16 @@ object Relational {
         |   min(CASE WHEN cum >= (n + 2) // 2 THEN l_quantity END)) / 2 AS median_qty,
         |  CAST(max(n) AS BIGINT) AS n_rows
         |FROM s GROUP BY 1""".stripMargin,
+    "q24_set_ops" ->
+      """SELECT
+        |  (SELECT count(*) FROM (
+        |     SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+        |     INTERSECT
+        |     SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998)) AS active_both,
+        |  (SELECT count(*) FROM (
+        |     SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+        |     EXCEPT
+        |     SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998)) AS churned""".stripMargin,
     "q23_pivot" ->
       """SELECT l_linestatus,
         |  sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END) AS A,
