@@ -279,6 +279,25 @@ object Relational {
           .agg(count(lit(1)).as("churned")))
   }
 
+  /** R25: binned range join — events matched to every maintenance-style
+    * window containing them, with NO equi key (the join Spark would
+    * plan as a nested-loop cartesian + filter). Windows derive
+    * deterministically from the data (every 50th event opens a 2-hour
+    * window); [[RangeJoin.pointInInterval]] grids both sides (bin =
+    * window length → each window lands in ≤ 2 cells) and equi-joins on
+    * the cell, shuffled like any fact join. Timestamps stay raw long
+    * nanos end to end — exact arithmetic on both engines. */
+  def q25RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val TwoHoursMicros = 7200L * 1000000L
+    val e = t(s, dir, "events")
+      .select(col("event_id"), unix_micros(col("ts")).as("tsu"))
+    val windows = e.filter(col("event_id") % 50 === 0)
+      .select(col("event_id").as("window_id"), col("tsu").as("w_start"),
+        (col("tsu") + TwoHoursMicros).as("w_end"))
+    RangeJoin.pointInInterval(e, "tsu", windows, "w_start", "w_end", TwoHoursMicros)
+      .select(col("window_id"), col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_filter_project" -> (q2FilterProject _),
@@ -303,7 +322,8 @@ object Relational {
     "q21_moving_window" -> (q21MovingWindow _),
     "q22_exact_median" -> (q22ExactMedian _),
     "q23_pivot" -> (q23Pivot _),
-    "q24_set_ops" -> (q24SetOps _))
+    "q24_set_ops" -> (q24SetOps _),
+    "q25_range_join" -> (q25RangeJoin _))
 
   val oracles: Map[String, String] = Map(
     "q22_exact_median" ->
@@ -318,6 +338,16 @@ object Relational {
         |   min(CASE WHEN cum >= (n + 2) // 2 THEN l_quantity END)) / 2 AS median_qty,
         |  CAST(max(n) AS BIGINT) AS n_rows
         |FROM s GROUP BY 1""".stripMargin,
+    "q25_range_join" ->
+      // ts is TIMESTAMP(NANOS) parquet; graft's reader truncates to
+      // micros (ts div 1000) — epoch_us on DuckDB's TIMESTAMP_NS read
+      // yields the same long micros
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS tsu FROM events),
+        |w AS (SELECT event_id AS window_id, tsu AS w_start,
+        |         tsu + 7200000000 AS w_end
+        |       FROM e WHERE event_id % 50 = 0)
+        |SELECT w.window_id, e.event_id
+        |FROM e JOIN w ON e.tsu >= w.w_start AND e.tsu <= w.w_end""".stripMargin,
     "q24_set_ops" ->
       """SELECT
         |  (SELECT count(*) FROM (

@@ -92,4 +92,33 @@ class OpsSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("R25: binned range join equals the naive point-in-interval join") {
+    import spark.implicits._
+    // points on a messy grid, intervals of varied lengths (some longer
+    // than the bin -- correctness must not depend on the bin size),
+    // negative values included (floor-division sign semantics)
+    val points = Seq(-2500L, -1L, 0L, 1L, 999L, 1000L, 1500L, 7999L, 8000L, 12345L)
+      .zipWithIndex.map { case (ts, i) => (i.toLong, ts) }.toDF("pid", "pt")
+    val intervals = Seq(
+      (100L, -3000L, -2000L), (101L, -10L, 10L), (102L, 0L, 999L),
+      (103L, 500L, 9000L),    (104L, 8000L, 8000L), (105L, 20000L, 30000L))
+      .toDF("iid", "lo", "hi")
+    val binned = RangeJoin.pointInInterval(points, "pt", intervals, "lo", "hi", binWidth = 1000L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    val naive = points.join(intervals, col("pt") >= col("lo") && col("pt") <= col("hi"))
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(binned == naive && naive.nonEmpty)
+    // inclusive boundaries and the point-sized interval both matched
+    assert(naive.contains((8L, 104L)) && naive.contains((2L, 102L)))
+  }
+
+  test("R25: the binned plan is an equi join on the cell, never a nested loop") {
+    val plan = graft.SparkEntry.queries("q25_range_join")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join must not plan as a nested loop:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"), s"expected an equi join on the cell:\n$plan")
+  }
 }
