@@ -158,6 +158,37 @@ object TextQueries {
         .as("n_redacted"))
   }
 
+  /** Count-min sketch geometry: depth rows (independent hashes) ×
+    * width counters. Error bound: overestimate ≤ N·e/width with
+    * probability 1 - e^-depth. */
+  val CmsDepth = 4
+  val CmsWidth = 256
+
+  /** The d-th CMS hash of a term: md5 with a row-salt suffix, reduced
+    * mod width — the same portable-hash family as MinHash, so any
+    * engine reproduces the sketch bit-for-bit. */
+  def cmsHash(term: Column, d: Int, width: Int = CmsWidth): Column =
+    (conv(substring(md5(concat(term, lit("#cms" + d))), 1, 15), 16, 10)
+      .cast("long") % width).cast("int")
+
+  /** T10: count-min sketch over the corpus's token stream — the
+    * bounded-size frequency summary behind streaming heavy-hitter
+    * detection (the sketch is CmsDepth×CmsWidth cells REGARDLESS of
+    * vocabulary size; merging shards is cell-wise addition, so
+    * map-side partials ARE sketch merges). One explode + one hash
+    * aggregate: each token contributes to CmsDepth cells via
+    * posexplode of its hash array; the Exchange carries at most
+    * depth×width partial cells per map partition. The full sketch is
+    * the gate row set (1024 cells) — deterministic md5 hashing makes
+    * it exactly reproducible in DuckDB. */
+  def t10Cms(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(explode(tokens(col("text"))).as("term"))
+      .select(posexplode(array((0 until CmsDepth).map(d => cmsHash(col("term"), d)): _*))
+        .as(Seq("d", "w")))
+      .groupBy(col("d"), col("w"))
+      .agg(count(lit(1)).as("cell_count"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_tokens" -> (t1Tokens _),
     "t2_quality" -> (t2Quality _),
@@ -166,7 +197,8 @@ object TextQueries {
     "t5_top_terms" -> (t5TopTerms _),
     "t6_tfidf" -> (t6Tfidf _),
     "t7_repetition" -> (t7Repetition _),
-    "t8_pii_scrub" -> (t8PiiScrub _))
+    "t8_pii_scrub" -> (t8PiiScrub _),
+    "t10_cms" -> (t10Cms _))
 
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -242,6 +274,15 @@ object TextQueries {
         |  1.0 - count(*) * 1.0 / CAST(sum(c) AS BIGINT) AS rep_ratio,
         |  max(c) * 1.0 / CAST(sum(c) AS BIGINT) AS top_word_frac
         |FROM wc GROUP BY doc_id""".stripMargin,
+    "t10_cms" -> {
+      val hashes = (0 until CmsDepth).map(d =>
+        s"SELECT $d AS d, CAST(('0x' || substr(md5(term || '#cms$d'), 1, 15))::BIGINT % $CmsWidth AS INT) AS w FROM toks")
+        .mkString("\nUNION ALL\n")
+      s"""WITH toks AS (SELECT
+         |  unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term FROM documents),
+         |cells AS ($hashes)
+         |SELECT d, w, count(*) AS cell_count FROM cells GROUP BY d, w""".stripMargin
+    },
     "t8_pii_scrub" ->
       """WITH i AS (SELECT doc_id, text
         |  || ' reach user' || doc_id || '@example.com via https://ex.invalid/u/'

@@ -59,6 +59,35 @@ class TextSpec extends SparkTestBase {
     assert(fp(0).size == 4 && fp(0) == fp(0).sorted)
   }
 
+  test("T10: count-min sketch never underestimates, and is exact for distinct-hashing terms") {
+    import spark.implicits._
+    // a corpus with known exact counts
+    val df = Seq((1L, "apple apple apple banana"), (2L, "apple cherry banana banana"))
+      .toDF("doc_id", "text")
+    val sketch = df
+      .select(explode(TextFunctions.tokens(col("text"))).as("term"))
+      .select(posexplode(array((0 until TextQueries.CmsDepth)
+        .map(d => TextQueries.cmsHash(col("term"), d)): _*)).as(Seq("d", "w")))
+      .groupBy(col("d"), col("w")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val truth = Map("apple" -> 4L, "banana" -> 3L, "cherry" -> 1L)
+    // CMS point estimate: min over depth rows of the hashed cell
+    def estimate(term: String): Long = (0 until TextQueries.CmsDepth).map { d =>
+      val w = df.sparkSession.range(1)
+        .select(TextQueries.cmsHash(lit(term), d)).head().getInt(0)
+      sketch.getOrElse((d, w), 0L)
+    }.min
+    truth.foreach { case (term, n) =>
+      val est = estimate(term)
+      assert(est >= n, s"CMS underestimated $term: $est < $n")
+    }
+    // 3 terms in a 4x256 sketch: no collisions, estimates are exact
+    assert(truth.forall { case (term, n) => estimate(term) == n })
+    // total mass per depth row equals the token count
+    val perRow = sketch.groupBy(_._1._1).map { case (_, cells) => cells.values.sum }
+    assert(perRow.toSet == Set(8L))
+  }
+
   test("T8: PII scrub redacts planted emails, URLs, and number runs; clean text unchanged") {
     // spec-checked (no gate row): the synthetic corpus contains no PII,
     // so an oracle row would compare all-identity — planted cases here
