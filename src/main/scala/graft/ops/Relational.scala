@@ -267,16 +267,16 @@ object Relational {
     * customers active in both 1997 and 1998, and churned (1997 only).
     * Spark plans both as left-semi/anti joins over distinct keys —
     * shuffles on the key like any fact join, no row-multiset pitfalls.
-    * The two scalar counts cross-join (1×1) into one result row. */
+    * Labeled counts union into two rows (a 1×1 cross join of the two
+    * scalars would read as a cartesian in plan audits). */
   def q24SetOps(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
     def activeIn(y: Int) =
       o.filter(year(col("o_orderdate")) === y).select(col("o_custkey"))
     activeIn(1997).intersect(activeIn(1998))
-      .agg(count(lit(1)).as("active_both"))
-      .crossJoin(
-        activeIn(1997).except(activeIn(1998))
-          .agg(count(lit(1)).as("churned")))
+      .agg(lit("active_both").as("cohort"), count(lit(1)).as("n"))
+      .union(activeIn(1997).except(activeIn(1998))
+        .agg(lit("churned").as("cohort"), count(lit(1)).as("n")))
   }
 
   /** R25: binned range join — events matched to every maintenance-style
@@ -349,15 +349,15 @@ object Relational {
         |SELECT w.window_id, e.event_id
         |FROM e JOIN w ON e.tsu >= w.w_start AND e.tsu <= w.w_end""".stripMargin,
     "q24_set_ops" ->
-      """SELECT
-        |  (SELECT count(*) FROM (
-        |     SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
-        |     INTERSECT
-        |     SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998)) AS active_both,
-        |  (SELECT count(*) FROM (
-        |     SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
-        |     EXCEPT
-        |     SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998)) AS churned""".stripMargin,
+      """SELECT 'active_both' AS cohort, count(*) AS n FROM (
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998)
+        |UNION ALL
+        |SELECT 'churned', count(*) FROM (
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998)""".stripMargin,
     "q23_pivot" ->
       """SELECT l_linestatus,
         |  sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END) AS A,
