@@ -117,6 +117,31 @@ object Streaming {
         col(s"r_$tsCol") <= col(s"l_$tsCol"))
   }
 
+  /** ST9: streaming count-min sketch — the t10 batch sketch maintained
+    * continuously. CMS's merge algebra (cell-wise addition) makes the
+    * streaming form a plain streaming aggregation in Update mode: each
+    * micro-batch's partial cells fold into the stored cells, state is
+    * EXACTLY depth×width rows forever (no watermark needed — the state
+    * cannot grow), and the stored sketch at any point equals the batch
+    * sketch over everything ingested so far. This is the bounded-memory
+    * heavy-hitter monitor a 100 TB/day token firehose needs: frequency
+    * estimates without per-term state. */
+  def cmsStream(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    import graft.text.TextQueries.{cmsHash, CmsDepth}
+    import graft.text.TextFunctions.tokens
+    // ONE stateful aggregate (chained streaming aggregations are
+    // unsupported; the batch t10's vocab-level tf pre-aggregate would
+    // also carry per-term state — exactly what a sketch avoids).
+    // Map-side partial aggregation still combines each micro-batch's
+    // token stream down to ≤ depth×width partial cells per partition.
+    docs
+      .select(explode(tokens(col(textCol))).as("term"))
+      .select(posexplode(array((0 until CmsDepth).map(d => cmsHash(col("term"), d)): _*))
+        .as(Seq("d", "w")))
+      .groupBy(col("d"), col("w"))
+      .agg(count(lit(1)).as("cell_count"))
+  }
+
   /** ST8: governed streaming ingest — the reference's batch governance
     * contract (validate rows against the model's expectations, land
     * clean rows in the governed table, quarantine violators with their

@@ -114,6 +114,37 @@ class PropertySpec extends AnyFunSuite {
     }, "native shingles semantics")
   }
 
+  test("binned range-join cell math: a point is in an interval iff they share the point's cell") {
+    // the correctness core of RangeJoin.pointInInterval: for any bin
+    // width, a contained point's cell ALWAYS appears in the interval's
+    // exploded cell range (no false negatives); the residual filter
+    // removes false positives, so containment alone decides membership
+    val gen = for {
+      pt <- Gen.choose(-1000000L, 1000000L)
+      lo <- Gen.choose(-1000000L, 1000000L)
+      len <- Gen.choose(0L, 500000L)
+      bin <- Gen.choose(1L, 100000L)
+    } yield (pt, lo, lo + len, bin)
+    // RangeJoin's SQL formula `(x - pmod(x, d)) div d` in pure Scala:
+    // pmod is the always-non-negative remainder, div truncates
+    def sqlFloorDiv(x: Long, d: Long): Long = {
+      val p = ((x % d) + d) % d
+      (x - p) / d
+    }
+    check(Prop.forAll(gen) { case (pt, lo, hi, bin) =>
+      // the SQL formula IS floor division (negatives included)
+      sqlFloorDiv(pt, bin) == Math.floorDiv(pt, bin) &&
+        sqlFloorDiv(lo, bin) == Math.floorDiv(lo, bin) && {
+          // and a contained point's cell is always in the interval's
+          // exploded range — no false negatives for any bin width
+          val inInterval = pt >= lo && pt <= hi
+          val cellCovered = sqlFloorDiv(pt, bin) >= sqlFloorDiv(lo, bin) &&
+            sqlFloorDiv(pt, bin) <= sqlFloorDiv(hi, bin)
+          !inInterval || cellCovered
+        }
+    }, "range-join cell coverage")
+  }
+
   test("Multiplicity: parse/toString round-trips") {
     import graft.model.Multiplicity
     val gen = for {

@@ -178,6 +178,26 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.nonEmpty)
   }
 
+  test("ST9: streaming CMS equals the batch sketch over everything ingested") {
+    val input = MemoryStream[(Long, String)](spark)
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = Streaming.cmsStream(docs)
+      .writeStream.format("memory").queryName("st9_out")
+      .outputMode(OutputMode.Update()).start()
+    val b1 = Seq((1L, "apple apple banana"), (2L, "cherry apple"))
+    val b2 = Seq((3L, "banana banana date apple"))
+    runBatches(q, input, Seq(b1, b2))
+    // Update-mode memory sink appends each update; latest per cell wins
+    val streamed = spark.table("st9_out").as[(Int, Int, Long)].collect()
+      .groupBy(r => (r._1, r._2)).map { case (k, vs) => k -> vs.map(_._3).max }
+    val batch = (b1 ++ b2).toDF("doc_id", "text")
+      .transform(d => Streaming.cmsStream(d))
+      .as[(Int, Int, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(streamed == batch)
+    // state is the fixed sketch geometry, never per-term
+    assert(batch.size <= graft.text.TextQueries.CmsDepth * graft.text.TextQueries.CmsWidth)
+  }
+
   test("ST8: governed ingest splits each micro-batch into clean and quarantine tables") {
     def resetTable(name: String): Unit = {
       spark.sql(s"DROP TABLE IF EXISTS $name")
