@@ -46,8 +46,11 @@ object Expectations {
 
   def compiledForMapping(model: GraftModel, mappingName: String): Map[String, scala.util.Try[String]] = {
     val m = model.mapping(mappingName)
+    // substitutions compile once; a bad derivation poisons every rule's
+    // Try uniformly (it would poison every rule's compile anyway)
+    val subs = scala.util.Try(model.tableSubstitutions(mappingName))
     forClass(model, m.entity).map { case (name, sql) =>
-      name -> scala.util.Try(SqlRewrite.substitute(sql, model.tableSubstitutions(mappingName)))
+      name -> subs.flatMap(s => scala.util.Try(SqlRewrite.substitute(sql, s)))
     }.toMap
   }
 

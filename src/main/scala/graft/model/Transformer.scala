@@ -48,7 +48,8 @@ object Transformer {
   def derivationsForMapping(model: GraftModel, mappingName: String): Seq[(String, String)] = {
     val subs = model.tableSubstitutions(mappingName)
     val m = model.mapping(mappingName)
-    val compiled = model.allDerivations(m.entity).map(d => d.name -> subs(d.name))
-    compiled.map(_._1).distinct.map(n => n -> compiled.filter(_._1 == n).last._2)
+    // tableSubstitutions' fold already keeps the LAST definition per
+    // name — distinct names looked up there give the deduped set
+    model.allDerivations(m.entity).map(_.name).distinct.map(n => n -> subs(n))
   }
 }

@@ -246,7 +246,7 @@ object PureToSql {
     case PLit(sql) => sql.startsWith("'")
     case PEnum(_, _) => true
     case PFunc(f, _) if Set("substring", "toUpper", "toLower", "trim",
-      "joinStrings", "toString")(f) => true
+      "joinStrings", "toString", "replace", "left", "right")(f) => true
     case PFunc("plus", ps) =>
       val args = ps match { case Seq(PCollection(vs)) => vs; case other => other }
       args.exists(looksString)

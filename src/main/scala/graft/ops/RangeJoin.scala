@@ -33,12 +33,20 @@ object RangeJoin {
                       intervals: DataFrame, startCol: String, endCol: String,
                       binWidth: Long): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
-    val p = points.withColumn("graft_cell", floorDiv(ptCol, binWidth))
-    val iv = intervals.withColumn("graft_cell",
+    val cell = "graft_cell"
+    require(!points.columns.contains(cell) && !intervals.columns.contains(cell),
+      s"inputs must not already carry a [$cell] column")
+    val shared = points.columns.toSet
+      .intersect(intervals.columns.toSet)
+    require(shared.isEmpty,
+      s"points and intervals share column names ${shared.mkString(", ")} — " +
+        "alias one side first (the residual filter would be ambiguous)")
+    val p = points.withColumn(cell, floorDiv(ptCol, binWidth))
+    val iv = intervals.withColumn(cell,
       explode(sequence(floorDiv(startCol, binWidth), floorDiv(endCol, binWidth))))
-    p.join(iv, "graft_cell")
+    p.join(iv, cell)
       .filter(col(ptCol) >= col(startCol) && col(ptCol) <= col(endCol))
-      .drop("graft_cell")
+      .drop(cell)
   }
 
   /** Floor division in exact LONG arithmetic. Float paths are out: a
@@ -46,6 +54,8 @@ object RangeJoin {
     * `div` alone truncates toward zero (wrong for negatives); shifting
     * by the always-non-negative pmod first makes the numerator an exact
     * multiple, so `div` is exact floor division for any sign. */
-  private def floorDiv(name: String, d: Long): Column =
-    expr(s"(($name - pmod($name, ${d}L)) div ${d}L)")
+  private def floorDiv(name: String, d: Long): Column = {
+    val q = "`" + name.replace("`", "``") + "`"
+    expr(s"(($q - pmod($q, ${d}L)) div ${d}L)")
+  }
 }

@@ -74,16 +74,22 @@ object CurationQueries {
   def contamination(d: DataFrame, evalK: Int = EvalK): DataFrame = {
     // per-doc distinct shingles fused into the map-side native
     // expression: no shuffle anywhere before the probe's final agg
-    val sh = d.select(col("doc_id"),
-      explode(TextFunctions.distinctShingles(
-        TextFunctions.tokens(col("text")), ShingleK)).as("shingle"))
+    def distinctShingleRows(docs: DataFrame): DataFrame =
+      docs.select(col("doc_id"),
+        explode(TextFunctions.distinctShingles(
+          TextFunctions.tokens(col("text")), ShingleK)).as("shingle"))
+    val sh = distinctShingleRows(d)
     val evalIds = d
       .select(col("doc_id").as("eval_id"),
         Sampling.hashBucket(col("doc_id"), Int.MaxValue).as("h"))
       .orderBy(col("h").asc, col("eval_id").asc)
       .limit(evalK)
       .select(col("eval_id"))
-    val evalShingles = sh.join(broadcast(evalIds), col("doc_id") === col("eval_id"))
+    // filter to the evalK docs BEFORE shingling: the broadcast build
+    // side costs one bounded-doc-set pass, not a second corpus pass
+    val evalShingles = distinctShingleRows(
+        d.join(broadcast(evalIds), col("doc_id") === col("eval_id"))
+          .select(col("doc_id"), col("text")))
       .select(col("shingle")).distinct()
       .withColumn("hit", lit(1))
     sh.join(broadcast(evalShingles), Seq("shingle"), "left")

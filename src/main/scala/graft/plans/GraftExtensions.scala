@@ -146,8 +146,13 @@ object RewriteShingles extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
-      case cw @ CaseWhen(Seq((LessThan(Size(t0, _), kGuard), emptyBranch)), Some(body))
-          if isEmptyStringArray(emptyBranch) =>
+      // legacy size(NULL) = -1 would take the empty-array branch where
+      // Shingles(NULL) is NULL — only rewrite when the input can't be
+      // null or size-of-null semantics agree (same guard as
+      // RewriteCountInSet)
+      case cw @ CaseWhen(Seq((LessThan(s0 @ Size(t0, _), kGuard), emptyBranch)), Some(body))
+          if isEmptyStringArray(emptyBranch) &&
+            (!t0.nullable || !s0.legacySizeOfNull) =>
         shingleTransform(body) match {
           case Some((t, k))
               if t.semanticEquals(t0) && intLit(kGuard).contains(k) =>

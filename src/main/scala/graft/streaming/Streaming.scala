@@ -74,10 +74,18 @@ object Streaming {
     * keyed on different bands for higher recall, exactly as batch LSH
     * uses B bands. Docs too short to shingle fall back to exact
     * content-hash dedup (prefixed key — never collides with band
-    * keys). State: one entry per distinct key within the horizon. */
+    * keys). State: one entry per distinct key within the horizon.
+    *
+    * PRECISION caveat — this is SUPPRESSION, not verified dedup: a
+    * band collision between genuinely distinct documents drops the
+    * later one without a Jaccard check (a pair at similarity J
+    * collides with probability ~J^numHashes; the default 8 puts a
+    * J=0.6 pair at ~1.7%). Where false drops are unacceptable, use
+    * this stage to TAG (join the key back) and verify downstream with
+    * the batch D4 Jaccard pass instead of dropping in-stream. */
   def nearDupStream(docs: DataFrame, tsCol: String = "ts",
                     watermark: String = "1 hour",
-                    numHashes: Int = 4): DataFrame = {
+                    numHashes: Int = 8): DataFrame = {
     docs
       .withColumn("band_key", nearDupKey(col("text"), numHashes))
       .withWatermark(tsCol, watermark)
@@ -86,7 +94,7 @@ object Streaming {
 
   /** The ST6 key as a plain column expression (shared by the batch
     * mirror in specs). */
-  def nearDupKey(text: org.apache.spark.sql.Column, numHashes: Int = 4): org.apache.spark.sql.Column = {
+  def nearDupKey(text: org.apache.spark.sql.Column, numHashes: Int = 8): org.apache.spark.sql.Column = {
     val sh = graft.text.TextFunctions.shingles(graft.text.TextFunctions.tokens(text), 3)
     val sig = graft.dedup.Dedup.minhashFromBase(graft.dedup.Dedup.shingleBaseHashes(sh), numHashes)
     when(size(sh) === 0, concat(lit("x:"), md5(text)))
@@ -203,10 +211,13 @@ object Streaming {
     * re-run at any processing speed expires exactly the same users at
     * exactly the same stream positions, where a processing-time timer
     * would expire whoever the wall clock happened to catch. Bounded
-    * state either way: O(users active within the horizon). */
+    * state either way: O(users active within the horizon). The
+    * watermark delay is the out-of-order tolerance: events later than
+    * it are dropped (the price of the expiry guarantee) — size it to
+    * the source's real disorder. */
   def sessionize(events: Dataset[StreamEvent],
                  idleStateTimeout: Boolean = true,
-                 watermark: String = "0 seconds"): Dataset[SessionSummary] = {
+                 watermark: String = "10 minutes"): Dataset[SessionSummary] = {
     import events.sparkSession.implicits._
     val timeoutConf =
       if (idleStateTimeout) GroupStateTimeout.EventTimeTimeout()

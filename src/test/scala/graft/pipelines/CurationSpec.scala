@@ -80,20 +80,24 @@ class CurationSpec extends SparkTestBase {
     assert(!out.contains(evalId), "eval docs must be excluded")
   }
 
+  // sf0.01 (500 docs): the k=100 draw needs a corpus larger than k,
+  // which sfDir's sf0.001 (50 docs) is not
+  private val p4Dir = "/root/testdata/sf0.01"
+
   test("p4: weighted sampling over-represents heavy (long) documents") {
-    val d = graft.Tables(spark, "/root/testdata/sf0.01", "documents")
+    val d = graft.Tables(spark, p4Dir, "documents")
     val corpusMean = d.select(avg(size(graft.text.TextFunctions.tokens(col("text")))))
       .as[Double].head()
-    val sampled = graft.ops.Sampling.p4WeightedSample(spark, "/root/testdata/sf0.01")
+    val sampled = graft.ops.Sampling.p4WeightedSample(spark, p4Dir)
       .join(d, "doc_id")
       .select(avg(size(graft.text.TextFunctions.tokens(col("text")))))
       .as[Double].head()
     assert(sampled > corpusMean,
       s"weighted sample mean tokens $sampled should exceed corpus mean $corpusMean")
     // deterministic: same sample on re-run
-    val ids1 = graft.ops.Sampling.p4WeightedSample(spark, "/root/testdata/sf0.01")
+    val ids1 = graft.ops.Sampling.p4WeightedSample(spark, p4Dir)
       .select("doc_id").as[Long].collect().toSeq
-    val ids2 = graft.ops.Sampling.p4WeightedSample(spark, "/root/testdata/sf0.01")
+    val ids2 = graft.ops.Sampling.p4WeightedSample(spark, p4Dir)
       .select("doc_id").as[Long].collect().toSeq
     assert(ids1 == ids2 && ids1.size == graft.ops.Sampling.WeightedK)
   }

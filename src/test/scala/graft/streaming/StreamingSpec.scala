@@ -285,9 +285,8 @@ class StreamingSpec extends SparkTestBase {
       .writeStream.format("memory").queryName("st3_expiry_out")
       .outputMode(OutputMode.Update()).start()
     runBatches(q, input, Seq(
-      // user 1: 2 events, one session; watermark -> 10 min at batch end
-      // (start at ts(1): an epoch-0 event sits ON the initial watermark
-      // and is dropped as late)
+      // user 1: 2 events, one session (ts(1) start keeps clear of the
+      // epoch-0 initial watermark boundary)
       Seq(StreamEvent(1L, 1L, ts(1)), StreamEvent(1L, 2L, ts(10))),
       // user 2 far in the future; watermark -> 300 min at batch end
       Seq(StreamEvent(2L, 3L, ts(300))),
