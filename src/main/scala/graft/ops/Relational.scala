@@ -298,6 +298,32 @@ object Relational {
       .select(col("window_id"), col("event_id"))
   }
 
+  /** R26: the TPC-H Q21 pattern — EXISTS + NOT EXISTS correlated
+    * subqueries against the SAME fact table, the hardest relational
+    * decorrelation shape (the optimizer must turn both into fact⨝fact
+    * semi/anti joins with a non-equi residual on the supplier key).
+    * Here: suppliers who returned a line on a multi-supplier order
+    * where NO other supplier returned one — "sole blame" counts.
+    * Both probes shuffle once on l_orderkey; the top-20 is
+    * TakeOrdered with a deterministic (count, suppkey) tiebreak. */
+  def q26ExistsNotExists(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val l1 = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val others = li.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+    val otherReturns = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+    l1
+      .join(others, col("l_orderkey") === col("o2") && col("l_suppkey") =!= col("s2"),
+        "left_semi")
+      .join(otherReturns, col("l_orderkey") === col("o3") && col("l_suppkey") =!= col("s3"),
+        "left_anti")
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("l_suppkey").asc)
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_filter_project" -> (q2FilterProject _),
@@ -323,7 +349,8 @@ object Relational {
     "q22_exact_median" -> (q22ExactMedian _),
     "q23_pivot" -> (q23Pivot _),
     "q24_set_ops" -> (q24SetOps _),
-    "q25_range_join" -> (q25RangeJoin _))
+    "q25_range_join" -> (q25RangeJoin _),
+    "q26_exists_not_exists" -> (q26ExistsNotExists _))
 
   val oracles: Map[String, String] = Map(
     "q22_exact_median" ->
@@ -338,6 +365,16 @@ object Relational {
         |   min(CASE WHEN cum >= (n + 2) // 2 THEN l_quantity END)) / 2 AS median_qty,
         |  CAST(max(n) AS BIGINT) AS n_rows
         |FROM s GROUP BY 1""".stripMargin,
+    "q26_exists_not_exists" ->
+      """SELECT l_suppkey, count(*) AS numwait FROM lineitem l1
+        |WHERE l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        |GROUP BY l_suppkey
+        |ORDER BY numwait DESC, l_suppkey ASC LIMIT 20""".stripMargin,
     "q25_range_join" ->
       // ts is TIMESTAMP(NANOS) parquet; graft's reader truncates to
       // micros (ts div 1000) — epoch_us on DuckDB's TIMESTAMP_NS read
