@@ -73,11 +73,32 @@ object SimQueries {
     update(assign(cents1))
   }
 
+  /** S6: per-group embedding centroids — the data-mixing primitive
+    * (domain balancing, diversity scoring, cluster drift monitoring
+    * all start from "the mean vector of each slice"). Groups derive
+    * deterministically from the id (4 hash buckets standing in for
+    * domain labels the synthetic corpus lacks). Same exact-arithmetic
+    * trick as s5: scaled-integer component sums + two IEEE divisions —
+    * bit-identical cross-engine, no rounding tolerance; one shuffle of
+    * (group, dim, integer partial) rows. */
+  val CentroidGroups = 4
+
+  def s6GroupCentroids(s: SparkSession, dir: String): DataFrame =
+    vectors(s, dir)
+      .select((col("vec_id") % CentroidGroups).cast("int").as("grp"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("grp"), col("dim"))
+      .agg(sum(floor(col("x") * 1e6 + 0.5)).as("sm"), count(lit(1)).as("n"))
+      .select(col("grp"), col("dim"),
+        (col("sm").cast("double") / col("n").cast("double") / 1e6).as("val"),
+        col("n").as("n_vectors"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_cosine_topk" -> (s1CosineTopK _),
     "s2_ann_lsh" -> (s2AnnLsh _),
     "s3_ann_ivf" -> (s3AnnIvf _),
-    "s5_kmeans" -> (s5Kmeans _))
+    "s5_kmeans" -> (s5Kmeans _),
+    "s6_group_centroids" -> (s6GroupCentroids _))
 
   /** Literal DuckDB array for one hyperplane (the planes are
     * deterministic md5-derived constants — inlining them makes the LSH
@@ -96,6 +117,15 @@ object SimQueries {
     "round(list_dot_product(x.v, y.v) / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6)"
 
   val oracles: Map[String, String] = Map(
+    "s6_group_centroids" ->
+      s"""SELECT CAST(vec_id % $CentroidGroups AS INT) AS grp, dim,
+         |  CAST(sum(CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+         |    / count(*) / 1000000.0 AS val,
+         |  count(*) AS n_vectors
+         |FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+         |        unnest(range(len(embedding))) AS dim
+         |      FROM embeddings)
+         |GROUP BY 1, 2""".stripMargin,
     "s5_kmeans" ->
       // unrolled 2-round Lloyd's mirror: same bottom-8-by-md5 init as
       // the ivf oracle, cosine argmax assignment (ties -> smaller
