@@ -5,7 +5,6 @@ import graft.dedup.Dedup
 import graft.ops.Sampling
 import graft.text.TextFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** End-to-end corpus-curation operators (SURVEY §2.10) — the composed
@@ -36,21 +35,24 @@ object CurationQueries {
   val MaxPunct = 0.2
 
   /** C1 core, df-level (spec-testable): quality gate, exact-dedup
-    * keep-first (window, not groupBy: the SURVIVING ROW flows on, no
-    * join-back), PII scrub, deterministic train/val/test tag.
+    * keep-first (min_by aggregate — the surviving ROW flows on with no
+    * join-back, and unlike a row_number window there is no sort: the
+    * hash aggregate combines duplicate groups map-side BEFORE the one
+    * shuffle), PII scrub, deterministic train/val/test tag.
     * `clean_len` proves the scrub ran without carrying full text
     * through the gate compare. */
   def curate(d: DataFrame,
              minTokens: Int = MinTokens,
              maxPunct: Double = MaxPunct): DataFrame = {
-    val dedupW = Window.partitionBy(col("content_hash")).orderBy(col("doc_id").asc)
     d
       .withColumn("n_tokens", size(TextFunctions.tokens(col("text"))))
       .withColumn("punct_ratio", TextFunctions.charRatio(lower(col("text")), "[^a-z0-9\\s]"))
       .filter(col("n_tokens") >= minTokens && col("punct_ratio") <= maxPunct)
-      .withColumn("content_hash", md5(col("text")))
-      .withColumn("rn", row_number().over(dedupW))
-      .filter(col("rn") === 1)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min_by(
+        struct(col("doc_id"), col("lang"), col("n_tokens"), col("text")),
+        col("doc_id")).as("keep"))
+      .select(col("keep.doc_id"), col("keep.lang"), col("keep.n_tokens"), col("keep.text"))
       .withColumn("split",
         when(Sampling.hashBucket(col("doc_id"), 10) < 8, lit("train"))
           .when(Sampling.hashBucket(col("doc_id"), 10) < 9, lit("val"))
