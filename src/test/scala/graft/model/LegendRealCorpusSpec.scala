@@ -145,6 +145,23 @@ class LegendRealCorpusSpec extends SparkTestBase {
       ("Gina", 69, thisYear - 1979, 42, "SQL", "GC")))
   }
 
+  test("real corpus: governed mapping read (generateSql parity) filters to clean rows") {
+    writeEmployeeTable()
+    // the reference's generateSql shape: every mapped column projected
+    // under its entity name, derivations appended, expectations in
+    // WHERE (LegendEntityTest.scala:200-227)
+    val sql = ServiceGen.mappingSql(model, Mapping)
+    assert(sql.contains("first_name AS firstName") && sql.contains("WHERE"))
+    assert(sql.contains("AS hiringAge") && sql.contains("AS initials"))
+    val out = ServiceGen.runMapping(spark, model, Mapping)
+    // planted violations ([id] null, sme 'C', hiringAge 17) are
+    // filtered: 8 raw rows -> 5 clean (the null-GENDER row survives —
+    // gender is [0..1], nullable by multiplicity)
+    assert(out.select("id").as[Int].collect().toSet == Set(1, 2, 3, 7, 8))
+    // derivations ride along in entity space
+    assert(out.filter(col("id") === 1).select("initials").as[String].head() == "GJ")
+  }
+
   test("real corpus: skills service (groupBy/agg) runs end-to-end") {
     writeEmployeeTable()
 
