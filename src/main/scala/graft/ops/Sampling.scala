@@ -95,11 +95,53 @@ object Sampling {
       .limit(WeightedK)
   }
 
+  /** P5: token-budget corpus selection — take documents in a
+    * deterministic pseudo-random order until the cumulative token
+    * count reaches the budget ("fill a 10B-token training budget from
+    * a moving corpus"). The cumulative sum is GLOBAL but never
+    * globally sorted: docs range-partition into [[BudgetBuckets]]
+    * ordered hash slices, per-slice token totals (one tiny aggregate)
+    * prefix-sum on the driver (64 scalars — bounded), and each slice
+    * adds its offset to a LOCAL cumulative window. Exactly the
+    * two-phase scan a 1000-executor cumulative sum uses; the only
+    * driver-side data is one number per slice. */
+  val TokenBudget = 20000L
+  val BudgetBuckets = 64
+
+  def p5TokenBudget(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // slice = range partition of the order key (h div ceil(max/64)), so
+    // (slice, h, doc_id) ordering == global (h, doc_id) ordering
+    val sliceWidth = (Int.MaxValue.toLong + BudgetBuckets - 1) / BudgetBuckets
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        size(graft.text.TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"),
+        hashBucket(col("doc_id"), Int.MaxValue).as("h"))
+      .withColumn("slice", (col("h") / sliceWidth).cast("int"))
+    val sliceTotals = docs.groupBy(col("slice"))
+      .agg(sum(col("n_tokens")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until BudgetBuckets).scanLeft(0L) {
+      (acc, b) => acc + sliceTotals.getOrElse(b, 0L)
+    } // offsets(b) = tokens in all earlier slices
+    val offsetCol = (0 until BudgetBuckets).foldLeft(lit(0L)) {
+      (acc, b) => when(col("slice") === b, lit(offsets(b))).otherwise(acc)
+    }
+    val w = Window.partitionBy(col("slice"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("cum", sum(col("n_tokens")).over(w) + offsetCol)
+      .filter(col("cum") <= TokenBudget)
+      .select(col("doc_id"), col("n_tokens"), col("cum"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_split_sample" -> (p1SplitSample _),
     "p2_stratified_sample" -> (p2StratifiedSample _),
     "p3_uniform_sample" -> (p3UniformSample _),
-    "p4_weighted_sample" -> (p4WeightedSample _))
+    "p4_weighted_sample" -> (p4WeightedSample _),
+    "p5_token_budget" -> (p5TokenBudget _))
 
   private val hashSql = "('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT"
 
@@ -127,5 +169,17 @@ object Sampling {
          |    round(-ln((($hashSql % 2147483647) + 1.0) / 2147483648.0)
          |      / len(string_split_regex(trim(lower(text)), '\\s+')), 9) AS key
          |  FROM documents)
-         |ORDER BY key ASC, doc_id ASC LIMIT $WeightedK""".stripMargin)
+         |ORDER BY key ASC, doc_id ASC LIMIT $WeightedK""".stripMargin,
+    "p5_token_budget" ->
+      // the oracle may cumsum globally — single node; graft's two-phase
+      // slice/offset form computes the identical integer prefix sums
+      s"""SELECT doc_id, n_tokens, cum FROM (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(sum(n_tokens) OVER (ORDER BY h ASC, doc_id ASC
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM (SELECT doc_id,
+         |          CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS n_tokens,
+         |          $hashSql % 2147483647 AS h
+         |        FROM documents))
+         |WHERE cum <= $TokenBudget""".stripMargin)
 }
