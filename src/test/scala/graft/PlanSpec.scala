@@ -175,6 +175,16 @@ class PlanSpec extends SparkTestBase {
       "df must come from a window, not a shuffled join-back")
   }
 
+  test("p5: the global cumulative sum never range-sorts globally") {
+    // the two-phase cumsum must window WITHIN hash slices; a global
+    // window would show up as a range-partitioning Exchange (single
+    // ordered partition — the scale-killer the slicing exists to avoid)
+    val plan = executedPlanOf("p5_token_budget")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"p5 must not globally sort:\n$plan")
+    assert(plan.contains("Window"), "p5 still needs its per-slice window")
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
