@@ -43,6 +43,30 @@ object LegendLoader {
   def fromFile(path: String): GraftModel =
     fromJsonStrings(Seq(Files.readString(Paths.get(path))))
 
+  /** Load every .json entity under a CLASSPATH directory (recursive) —
+    * the deployment shape where the entity corpus ships inside the
+    * application jar (reference: LegendClasspathLoader.loadResources).
+    * Works for both exploded-directory and jar classpath entries: the
+    * resource URI is walked through NIO, mounting the jar filesystem
+    * when needed. */
+  def fromResources(base: String): GraftModel = {
+    val normalized = if (base.startsWith("/")) base else "/" + base
+    val url = getClass.getResource(normalized)
+    require(url != null, s"classpath resource directory not found: [$normalized]")
+    val uri = url.toURI
+    def walk(root: java.nio.file.Path): GraftModel = {
+      val files = Files.walk(root).iterator().asScala
+        .filter(p => p.toString.endsWith(".json") && Files.isRegularFile(p))
+        .toSeq.sortBy(_.toString)
+      require(files.nonEmpty, s"no .json entity files under classpath [$normalized]")
+      fromJsonStrings(files.map(Files.readString(_)))
+    }
+    if (uri.getScheme == "jar") {
+      val fs = java.nio.file.FileSystems.newFileSystem(uri, java.util.Map.of[String, String]())
+      try walk(fs.getPath(normalized)) finally fs.close()
+    } else walk(Paths.get(uri))
+  }
+
   def fromJsonStrings(jsons: Seq[String]): GraftModel =
     jsons.map(j => parseEntity(mapper.readTree(j))).reduce(_ merge _)
 

@@ -54,6 +54,16 @@ class LegendRealCorpusSpec extends SparkTestBase {
     .withColumn("birth_date", to_date(col("birth_date")))
     .withColumn("joined_date", to_date(col("joined_date")))
 
+  test("real corpus: classpath loader yields the same model as the file loader") {
+    // the vendored corpus is on the test classpath — the deployment
+    // shape where entities ship inside the application jar
+    val cp = LegendLoader.fromResources("/entities/databricks")
+    assert(cp.entityNames == model.entityNames)
+    assert(cp.mapping(Mapping).fields == model.mapping(Mapping).fields)
+    assert(cp.clazz("databricks::entity::employee").constraints ==
+      model.clazz("databricks::entity::employee").constraints)
+  }
+
   test("real corpus: loads all model entities, skips runtime/table definitions") {
     assert(model.classes.keySet ==
       Set("databricks::entity::person", "databricks::entity::employee"))
