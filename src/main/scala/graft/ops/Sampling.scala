@@ -108,23 +108,26 @@ object Sampling {
   val TokenBudget = 20000L
   val BudgetBuckets = 64
 
-  def p5TokenBudget(s: SparkSession, dir: String): DataFrame = {
+  /** P5 core, df-level (spec-testable): expects (doc_id, n_tokens)
+    * rows; returns the budget-filling prefix in deterministic hash
+    * order with the global cumulative token count. */
+  def tokenBudgetFill(d: DataFrame, budget: Long,
+                      buckets: Int = BudgetBuckets): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // slice = range partition of the order key (h div ceil(max/64)), so
+    // slice = range partition of the order key (h div ceil(max/n)), so
     // (slice, h, doc_id) ordering == global (h, doc_id) ordering
-    val sliceWidth = (Int.MaxValue.toLong + BudgetBuckets - 1) / BudgetBuckets
-    val docs = Tables(s, dir, "documents")
-      .select(col("doc_id"),
-        size(graft.text.TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"),
+    val sliceWidth = (Int.MaxValue.toLong + buckets - 1) / buckets
+    val docs = d
+      .select(col("doc_id"), col("n_tokens"),
         hashBucket(col("doc_id"), Int.MaxValue).as("h"))
       .withColumn("slice", (col("h") / sliceWidth).cast("int"))
     val sliceTotals = docs.groupBy(col("slice"))
       .agg(sum(col("n_tokens")).as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val offsets = (0 until BudgetBuckets).scanLeft(0L) {
+    val offsets = (0 until buckets).scanLeft(0L) {
       (acc, b) => acc + sliceTotals.getOrElse(b, 0L)
     } // offsets(b) = tokens in all earlier slices
-    val offsetCol = (0 until BudgetBuckets).foldLeft(lit(0L)) {
+    val offsetCol = (0 until buckets).foldLeft(lit(0L)) {
       (acc, b) => when(col("slice") === b, lit(offsets(b))).otherwise(acc)
     }
     val w = Window.partitionBy(col("slice"))
@@ -132,9 +135,15 @@ object Sampling {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
       .withColumn("cum", sum(col("n_tokens")).over(w) + offsetCol)
-      .filter(col("cum") <= TokenBudget)
+      .filter(col("cum") <= budget)
       .select(col("doc_id"), col("n_tokens"), col("cum"))
   }
+
+  def p5TokenBudget(s: SparkSession, dir: String): DataFrame =
+    tokenBudgetFill(
+      Tables(s, dir, "documents").select(col("doc_id"),
+        size(graft.text.TextFunctions.tokens(col("text"))).cast("long").as("n_tokens")),
+      TokenBudget)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_split_sample" -> (p1SplitSample _),

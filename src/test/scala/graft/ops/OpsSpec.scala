@@ -93,6 +93,29 @@ class OpsSpec extends SparkTestBase {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("P5: token-budget fill equals a driver-side global prefix scan (any bucket count)") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i => (i, (i % 17) + 1)).toDF("doc_id", "n_tokens")
+    // driver-side reference: sort by the SAME deterministic hash, scan
+    val ordered = docs
+      .withColumn("h", graft.ops.Sampling.hashBucket(col("doc_id"), Int.MaxValue))
+      .orderBy(col("h").asc, col("doc_id").asc)
+      .select("doc_id", "n_tokens").as[(Long, Long)].collect()
+    def reference(budget: Long): Seq[(Long, Long, Long)] = {
+      var cum = 0L
+      ordered.iterator.map { case (id, n) => cum += n; (id, n, cum) }
+        .takeWhile(_._3 <= budget).toSeq
+    }
+    for (budget <- Seq(0L, 37L, 500L, 100000L); buckets <- Seq(1, 7, 64)) {
+      val got = graft.ops.Sampling.tokenBudgetFill(docs, budget, buckets)
+        .as[(Long, Long, Long)].collect().sortBy(_._3).toSeq
+      assert(got == reference(budget), s"budget=$budget buckets=$buckets")
+    }
+    // budget >= total selects everything; budget 0 selects nothing
+    assert(graft.ops.Sampling.tokenBudgetFill(docs, 100000L).count() == 200)
+    assert(graft.ops.Sampling.tokenBudgetFill(docs, 0L).count() == 0)
+  }
+
   test("R25: binned range join equals the naive point-in-interval join") {
     import spark.implicits._
     // points on a messy grid, intervals of varied lengths (some longer
