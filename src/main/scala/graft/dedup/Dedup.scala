@@ -177,15 +177,25 @@ object Dedup {
         .join(labels, edges("b") === labels("id"))
         .groupBy(edges("a").as("nid"))
         .agg(min(col("label")).as("nlabel"))
+      // The convergence count rides the SAME job that materializes the
+      // new labels: observe() attaches a zero-shuffle aggregate to the
+      // plan, and the eager localCheckpoint inside `checkpointed` is the
+      // action that populates it — one job per round, not two (round ≤6
+      // re-joined updated⋈labels and ran a second isEmpty action).
+      val obs = org.apache.spark.sql.Observation(s"cc_round_$iter")
       val (updated, updatedBlocks) = checkpointed(
         labels
           .join(neighborMin, labels("id") === col("nid"), "left")
           .select(col("id"),
-            least(col("label"), coalesce(col("nlabel"), col("label"))).as("label")))
-      converged = updated.join(labels.withColumnsRenamed(Map("label" -> "old")), "id")
-        .filter(col("label") =!= col("old")).isEmpty
-      // `updated` is materialized (eager checkpoint) and the convergence
-      // check above was the last read of the previous round — free it
+            least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
+            (coalesce(col("nlabel"), col("label")) < col("label")).as("changed"))
+          .observe(obs, sum(col("changed").cast("long")).as("n_changed"))
+          .select(col("id"), col("label")))
+      // sum over zero rows is SQL NULL → converged (empty graph)
+      val nChanged = obs.get.getOrElse("n_changed", null)
+      converged = nChanged == null || nChanged == 0L
+      // `updated` is materialized (eager checkpoint) — the previous
+      // round's label blocks have no remaining readers; free them
       labelBlocks.foreach(_.unpersist(blocking = false))
       labels = updated
       labelBlocks = updatedBlocks

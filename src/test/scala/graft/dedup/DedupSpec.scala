@@ -106,6 +106,37 @@ class DedupSpec extends SparkTestBase {
     assert(groups(7L) == (2L, "7,9"))
   }
 
+  test("D6: one Spark job per propagation round (convergence rides the checkpoint)") {
+    // 1-2, 2-3: min-label propagation needs 2 improving rounds + 1
+    // confirming round. Actions = 2 setup checkpoints (edges, seed
+    // labels) + 1 checkpoint per round — the observe() convergence
+    // metric must NOT add a second action per round (AQE splits one
+    // action into many *jobs*, so the assert counts actions, not jobs).
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val actions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        actions.incrementAndGet()
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val out = Dedup.duplicateGroups(pairs) // lazy tail: groupBy runs at count() below
+      // listener events are async: wait until the count stops moving
+      var n = -1
+      var stable = 0
+      while (stable < 3) {
+        Thread.sleep(200)
+        val cur = actions.get()
+        if (cur == n) stable += 1 else { n = cur; stable = 0 }
+      }
+      assert(n <= 2 + 3, s"expected ≤5 actions (2 setup + 3 rounds), saw $n")
+      assert(out.count() == 1L)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("gate queries: no cartesian product in any dedup plan") {
     for (name <- Seq("d2_minhash_pairs", "d3_simhash", "d4_jaccard_pairs", "d5_embed_dedup")) {
       val plan = DedupQueries.queries(name)(spark, sfDir).queryExecution.sparkPlan.toString
