@@ -212,6 +212,58 @@ object Dedup {
           _.cast("string"))).as("members"))
   }
 
+  /** (doc_id, pos, chunk): one row per fixed-width non-overlapping token
+    * window, from the native [[graft.text.TokenChunks]] kernel — map-side
+    * only, no shuffle. `pos` is the chunk index within its document. */
+  def chunkRows(df: DataFrame, idCol: String, textCol: String, w: Int): DataFrame =
+    df.select(col(idCol),
+        posexplode(TextFunctions.chunks(TextFunctions.tokens(col(textCol)), w)))
+      .withColumnRenamed("col", "chunk")
+
+  /** Chunk hashes whose corpus occurrence count reaches `minFreq` — the
+    * boilerplate set. ONE groupBy on md5(chunk): map-side partial counts
+    * mean the Exchange carries (hash, count) partials, never chunk text.
+    * The post-filter output is small by construction (only text repeated
+    * ≥ minFreq times corpus-wide survives), which is what licenses the
+    * broadcast in [[passageDedup]]. */
+  def boilerplateHashes(chunks: DataFrame, minFreq: Long): DataFrame =
+    chunks.groupBy(md5(col("chunk")).as("h"))
+      .agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= minFreq)
+
+  /** Passage-level dedup (D7): strip chunks that recur across the corpus
+    * (headers, licenses, navbars — the duplication mode doc-level D1–D6
+    * provably miss: the containing documents are all distinct).
+    *
+    * Two passes over the corpus, matching the CCNet/RefinedWeb shape:
+    * pass 1 aggregates chunk-hash frequencies (small Exchange — hashes +
+    * count partials); pass 2 re-chunks, flags membership in the
+    * BROADCAST boilerplate set (map-side, no shuffle), and regroups by
+    * document to rebuild the cleaned text — the single full-text
+    * Exchange in the whole operator. No pair join at any point, so
+    * unlike D2–D5 the cost is linear in corpus size, not candidate
+    * count. */
+  def passageDedup(df: DataFrame, idCol: String, textCol: String,
+                   w: Int, minFreq: Long): DataFrame = {
+    val ch = chunkRows(df, idCol, textCol, w)
+    val boiler = boilerplateHashes(ch, minFreq).select(col("h"))
+    val flagged = ch
+      .join(broadcast(boiler), md5(col("chunk")) === col("h"), "left")
+      .select(col(idCol), col("pos"), col("chunk"), col("h").isNotNull.as("boiler"))
+    flagged.groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        count(when(col("boiler"), 1)).as("n_boilerplate"),
+        // collect_list drops the nulls `when` produces for boilerplate
+        // chunks; struct sort restores document order (pos is unique
+        // within a doc). All-boilerplate docs yield "" (concat_ws over
+        // an empty array), not NULL.
+        concat_ws(" ",
+          transform(array_sort(collect_list(when(!col("boiler"),
+            struct(col("pos"), col("chunk"))))),
+            _.getField("chunk"))).as("clean_text"))
+  }
+
   /** Exact Jaccard over two distinct-element shingle arrays. Integer
     * counts + one double division: bit-identical across engines. */
   def jaccard(a: Column, b: Column): Column = {

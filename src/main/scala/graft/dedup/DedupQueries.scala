@@ -74,13 +74,24 @@ object DedupQueries {
   def d6DupGroups(s: SparkSession, dir: String): DataFrame =
     Dedup.duplicateGroups(d2MinhashPairs(s, dir))
 
+  /** D7: passage-level boilerplate removal — chunks recurring ≥ ChunkMinFreq
+    * times corpus-wide are stripped from every document. Catches the
+    * cross-document repetition mode (headers/licenses/navbars) that
+    * doc-level D1–D6 miss when the containing documents are distinct. */
+  val ChunkWidth = 8
+  val ChunkMinFreq = 3L
+
+  def d7PassageDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.passageDedup(docs(s, dir), "doc_id", "text", ChunkWidth, ChunkMinFreq)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> (d1ExactDedup _),
     "d2_minhash_pairs" -> (d2MinhashPairs _),
     "d3_simhash" -> (d3Simhash _),
     "d4_jaccard_pairs" -> (d4JaccardPairs _),
     "d5_embed_dedup" -> (d5EmbedDedup _),
-    "d6_dup_groups" -> (d6DupGroups _))
+    "d6_dup_groups" -> (d6DupGroups _),
+    "d7_passage_dedup" -> (d7PassageDedup _))
 
   /** Shared DuckDB CTE chain reproducing the MinHash pipeline exactly:
     * one md5 per shingle → 60-bit int mod p, then the same affine mixes
@@ -182,7 +193,31 @@ object DedupQueries {
        |FROM (SELECT id, min(r) AS label FROM reach GROUP BY id)
        |GROUP BY 1""".stripMargin
 
+  /** d7 reproduced in SQL: same tokenizer as candCtes, non-overlapping
+    * W-token windows (range with stride; DuckDB slice clamps the tail
+    * like the native kernel), corpus chunk frequency, rebuild in chunk
+    * order. count(*) FILTER keeps n_boilerplate BIGINT on both sides;
+    * coalesce matches Spark's '' for all-boilerplate docs. */
+  private def d7Sql: String = {
+    val w = ChunkWidth
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents),
+       |ch AS (
+       |  SELECT doc_id, (i - 1) / $w AS pos, array_to_string(w[i:i+${w - 1}], ' ') AS chunk
+       |  FROM toks, LATERAL unnest(range(1, len(w) + 1, $w)) AS t(i)),
+       |freq AS (
+       |  SELECT chunk, count(*) AS freq FROM ch GROUP BY 1)
+       |SELECT c.doc_id, count(*) AS n_chunks,
+       |  count(*) FILTER (f.freq >= $ChunkMinFreq) AS n_boilerplate,
+       |  coalesce(array_to_string(
+       |    list(c.chunk ORDER BY c.pos) FILTER (f.freq < $ChunkMinFreq), ' '), '')
+       |    AS clean_text
+       |FROM ch c JOIN freq f ON c.chunk = f.chunk
+       |GROUP BY c.doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "d7_passage_dedup" -> d7Sql,
     "d6_dup_groups" -> d6Sql,
     "d3_simhash" -> d3Sql,
     "d5_embed_dedup" ->

@@ -52,6 +52,31 @@ object TextOps {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
+
+  /** Non-overlapping token windows of width `w`, space-joined, in
+    * position order; the final window may be partial (passage dedup must
+    * not silently drop tail text). Shared by [[TokenChunks]]'s
+    * interpreted and generated paths. */
+  def chunks(toks: ArrayData, w: Int): ArrayData = {
+    val n = toks.numElements()
+    if (n == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val out = new java.util.ArrayList[AnyRef]((n + w - 1) / w)
+    var i = 0
+    while (i < n) {
+      val end = math.min(i + w, n)
+      val parts = new Array[UTF8String](end - i)
+      var j = i
+      while (j < end) {
+        parts(j - i) = if (toks.isNullAt(j)) UTF8String.EMPTY_UTF8
+                       else toks.getUTF8String(j)
+        j += 1
+      }
+      out.add(UTF8String.concatWs(Space, parts: _*))
+      i += w
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
 }
 
 /** Count of tokens in an `array<string>` column that belong to a fixed
@@ -124,6 +149,39 @@ case class CountInSet(child: Expression, words: Seq[String])
   * (first occurrence kept), which drops yet another Exchange from
   * consumers that only need the shingle SET (Jaccard, contamination).
   */
+/** Fixed-width non-overlapping token chunks from an `array<string>`
+  * token column — the passage grain behind d7's boilerplate removal.
+  * Same native-kernel rationale as [[Shingles]] (the composable
+  * `transform(sequence(...), ...)` form is CodegenFallback); stride ==
+  * width distinguishes it from shingling, and the partial tail window is
+  * kept so no text escapes the frequency count. */
+case class TokenChunks(child: Expression, w: Int)
+  extends UnaryExpression {
+
+  require(w >= 1, s"chunk width must be >= 1, got $w")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an array<string> argument, got ${t.sql}")
+    }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def prettyName: String = "graft_token_chunks"
+
+  override def nullSafeEval(v: Any): Any =
+    TextOps.chunks(v.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.text.TextOps.chunks($v, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class Shingles(child: Expression, k: Int, distinct: Boolean)
   extends UnaryExpression {
 

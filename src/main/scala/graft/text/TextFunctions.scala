@@ -67,6 +67,13 @@ object TextFunctions {
     org.apache.spark.sql.graftbridge.Bridge.column(
       Shingles(org.apache.spark.sql.graftbridge.Bridge.expression(toks), k, distinct = true))
 
+  /** Fixed-width non-overlapping token chunks (partial tail kept) via
+    * the native [[TokenChunks]] codegen expression — the passage grain
+    * for boilerplate detection. */
+  def chunks(toks: Column, w: Int): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      TokenChunks(org.apache.spark.sql.graftbridge.Bridge.expression(toks), w))
+
   /** Portable per-shingle hash for seed `i`: md5 of the shingle with a
     * seed suffix. Identical in any engine with md5 — the basis for
     * MinHash signatures that a SQL oracle can reproduce exactly. */

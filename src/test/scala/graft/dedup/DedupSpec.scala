@@ -106,6 +106,36 @@ class DedupSpec extends SparkTestBase {
     assert(groups(7L) == (2L, "7,9"))
   }
 
+  test("D7: cross-doc boilerplate chunks stripped; doc-level exact dedup misses them") {
+    val header = (1 to 8).map(i => s"header$i").mkString(" ") // exactly one chunk wide
+    val docs = Seq(
+      (1L, s"$header alpha beta gamma delta"),
+      (2L, s"$header epsilon zeta eta theta"),
+      (3L, s"$header iota kappa lambda mu"),
+      (4L, "nu xi omicron pi"),
+      (5L, header)).toDF("doc_id", "text")
+    // All five texts are distinct: D1 (doc-level exact dedup) sees nothing
+    assert(docs.groupBy(md5(col("text"))).count().filter(col("count") > 1).isEmpty)
+    val out = Dedup.passageDedup(docs, "doc_id", "text", w = 8, minFreq = 3L)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect()
+    // docs 1-3: header chunk flagged (corpus freq 4 >= 3), body kept
+    assert(out(0) == ((1L, 2L, 1L, "alpha beta gamma delta")))
+    assert(out(1) == ((2L, 2L, 1L, "epsilon zeta eta theta")))
+    assert(out(2) == ((3L, 2L, 1L, "iota kappa lambda mu")))
+    // unique doc untouched; all-boilerplate doc empties to "" not NULL
+    assert(out(3) == ((4L, 1L, 0L, "nu xi omicron pi")))
+    assert(out(4) == ((5L, 1L, 1L, "")))
+  }
+
+  test("D7: partial tail chunk is counted, ordered after full chunks") {
+    // 10 tokens, w=4: chunks "t1..t4", "t5..t8", "t9 t10" (partial tail)
+    val doc = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val chunks = Dedup.chunkRows(doc, "doc_id", "text", 4)
+      .orderBy("pos").select("chunk").as[String].collect()
+    assert(chunks.toSeq == Seq("t1 t2 t3 t4", "t5 t6 t7 t8", "t9 t10"))
+  }
+
   test("D6: one Spark job per propagation round (convergence rides the checkpoint)") {
     // 1-2, 2-3: min-label propagation needs 2 improving rounds + 1
     // confirming round. Actions = 2 setup checkpoints (edges, seed
