@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+
+/** Exact discrete quantiles over an UNBOUNDED value domain (R27).
+  *
+  * q22's exact median exploits a bounded integer domain (value-frequency
+  * counting). This operator removes that precondition with the two-pass
+  * histogram shape: no global sort, no per-group sort of the fact table,
+  * and the driver only ever holds histogram counts — never data rows.
+  *
+  *  - Pass 1 (engine-side): per-group [min, max], broadcast back onto the
+  *    fact to assign each row a fixed-width bin index. The histogram
+  *    aggregate is the only fact-sized shuffle and it is map-side
+  *    combined — the Exchange carries (group, bin, count) partials,
+  *    bounded by |groups| × bins regardless of corpus size.
+  *  - Driver: walks the cumulative histogram (|groups| × bins scalars,
+  *    the operator's bounded-collect contract) and locates, for each
+  *    requested quantile, its candidate bin and the rank remaining
+  *    within that bin.
+  *  - Pass 2: rows of candidate bins ONLY (≈ 1/bins of each group) are
+  *    re-aggregated by exact value (q22-style value-frequency), and a
+  *    cumulative window per (group, quantile) selects the k-th smallest
+  *    element. Selection, not interpolation: the result is an element of
+  *    the input, so the answer is bit-exact across engines.
+  *
+  * Rank semantics match DuckDB's `quantile_disc` (inverse ECDF):
+  * k = max(1, ceil(q·n)). Callers should pass quantiles that are exactly
+  * representable doubles (0.25, 0.5, 0.75, …) so ceil(q·n) is the same
+  * integer in every engine; 0.95·n style products can straddle an
+  * integer boundary differently per engine.
+  *
+  * At 100 TB: pass 2's window partitions hold the distinct values of one
+  * histogram bin (≤ group_rows / bins — raise `bins` to tighten; 8192
+  * keeps a 10^12-row group's bin near 10^8 rows, and a second refinement
+  * round could be added for pathological single-bin pileups).
+  */
+object Quantile {
+
+  def exactQuantiles(df: DataFrame, groupCol: String, valCol: String,
+                     qs: Seq[Double], bins: Int = 8192): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must be in (0, 1], got $qs")
+    val spark = df.sparkSession
+
+    val base = df
+      .select(col(groupCol).as("g"), col(valCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    val ext = base.groupBy(col("g"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+    // degenerate all-equal groups (hi == lo) collapse to bin 0; the max
+    // value lands exactly on the upper fence, so clamp to bins-1
+    val width = (col("hi") - col("lo")) / bins
+    val binExpr = when(col("hi") === col("lo"), lit(0L))
+      .otherwise(least(floor((col("v") - col("lo")) / width).cast("long"), lit(bins - 1L)))
+    val withBin = base.join(broadcast(ext), "g")
+      .select(col("g"), col("v"), binExpr.as("bin"))
+
+    // the only fact-sized aggregate; bounded output, bounded collect
+    val hist = withBin.groupBy(col("g"), col("bin")).agg(count(lit(1)).as("c"))
+    val gField = hist.schema.head
+    val byGroup = hist.collect().groupBy(_.get(0))
+
+    // driver: candidate bin + rank-within-bin per (group, quantile)
+    val specRows = byGroup.iterator.flatMap { case (gVal, rows) =>
+      val sorted = rows.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+      val n = sorted.map(_._2).sum
+      qs.map { q =>
+        var k = math.max(1L, math.ceil(q * n).toLong) // inverse ECDF rank
+        val (bin, kIn) = {
+          var i = 0
+          while (k > sorted(i)._2) { k -= sorted(i)._2; i += 1 }
+          (sorted(i)._1, k)
+        }
+        Row(gVal, q, bin, kIn)
+      }
+    }.toSeq
+    val spec = spark.createDataFrame(
+      spark.sparkContext.parallelize(specRows, 1),
+      StructType(Seq(gField.copy(name = "g"), StructField("q", DoubleType),
+        StructField("bin", LongType), StructField("k_in", LongType))))
+
+    // pass 2: candidate-bin rows only → value-frequency → rank select
+    val wCum = Window.partitionBy(col("g"), col("q")).orderBy(col("v").asc)
+    withBin
+      .join(broadcast(spec), Seq("g", "bin"))
+      .groupBy(col("g"), col("q"), col("k_in"), col("v"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .groupBy(col("g"), col("q"))
+      .agg(min(when(col("cum") >= col("k_in"), col("v"))).as("qval"))
+  }
+}

@@ -324,6 +324,16 @@ object Relational {
       .limit(20)
   }
 
+  /** R27: exact quantiles of a CONTINUOUS (unbounded-domain) measure —
+    * q22's value-frequency trick needs a bounded domain; this is the
+    * two-pass histogram form that works on any domain. See [[Quantile]]
+    * for the scale contract (driver holds histogram counts only, no
+    * global sort, final selection is candidate-bin-bounded). */
+  def q27ExactQuantile(s: SparkSession, dir: String): DataFrame =
+    Quantile.exactQuantiles(t(s, dir, "lineitem"), "l_returnflag",
+        "l_extendedprice", qs = Seq(0.25, 0.5, 0.75))
+      .withColumnsRenamed(Map("g" -> "l_returnflag"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_filter_project" -> (q2FilterProject _),
@@ -350,9 +360,19 @@ object Relational {
     "q23_pivot" -> (q23Pivot _),
     "q24_set_ops" -> (q24SetOps _),
     "q25_range_join" -> (q25RangeJoin _),
-    "q26_exists_not_exists" -> (q26ExistsNotExists _))
+    "q26_exists_not_exists" -> (q26ExistsNotExists _),
+    "q27_exact_quantile" -> (q27ExactQuantile _))
 
   val oracles: Map[String, String] = Map(
+    "q27_exact_quantile" ->
+      // quantile_disc = inverse-ECDF element selection, DuckDB's exact
+      // discrete quantile — bit-identical to the histogram operator's
+      // k = ceil(q*n) pick (q literals cast to DOUBLE to match Spark)
+      (for (q <- Seq("0.25", "0.5", "0.75")) yield
+        s"""SELECT l_returnflag, ${q}::DOUBLE AS q,
+           |  quantile_disc(l_extendedprice, $q) AS qval
+           |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+        .mkString("\nUNION ALL\n"),
     "q22_exact_median" ->
       """WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS c
         |  FROM lineitem GROUP BY 1, 2),

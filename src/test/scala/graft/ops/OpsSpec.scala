@@ -144,4 +144,44 @@ class OpsSpec extends SparkTestBase {
     assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
       || plan.contains("BroadcastHashJoin"), s"expected an equi join on the cell:\n$plan")
   }
+
+  private def quantilesOf(vals: Seq[Double], qs: Seq[Double], bins: Int = 16): Map[Double, Double] = {
+    import spark.implicits._
+    Quantile.exactQuantiles(
+        vals.map(("g", _)).toDF("grp", "x"), "grp", "x", qs, bins)
+      .select("q", "qval").as[(Double, Double)].collect().toMap
+  }
+
+  /** inverse-ECDF reference: k-th smallest, k = max(1, ceil(q*n)) */
+  private def ref(vals: Seq[Double], q: Double): Double =
+    vals.sorted.apply((math.max(1L, math.ceil(q * vals.size).toLong) - 1L).toInt)
+
+  test("R27: exact quantile matches inverse ECDF on odd/even/duplicate-heavy/all-equal") {
+    val cases = Seq(
+      Seq(5.0, 1.0, 3.0, 2.0, 4.0),                    // odd n
+      Seq(8.0, 6.0, 7.0, 5.0),                          // even n
+      Seq(1.0, 1.0, 1.0, 1.0, 9.0, 9.0, 2.0, 1.0),      // duplicate-heavy
+      Seq(4.2, 4.2, 4.2),                               // all equal (zero-width)
+      Seq(42.0),                                        // single row
+      (1 to 100).map(_.toDouble))                       // value-per-bin pressure
+    for (vals <- cases; q <- Seq(0.25, 0.5, 0.75, 1.0)) {
+      val got = quantilesOf(vals, Seq(q))(q)
+      assert(got == ref(vals, q), s"vals=$vals q=$q: got $got, want ${ref(vals, q)}")
+    }
+  }
+
+  test("R27: quantile result is always an element of the input (selection, not interpolation)") {
+    val vals = Seq(1.5, 2.25, 100.125, -3.5, 0.0, 7.75)
+    val out = quantilesOf(vals, Seq(0.25, 0.5, 0.75))
+    out.values.foreach(v => assert(vals.contains(v)))
+  }
+
+  test("R27: no global sort in the plan; driver holds only histogram counts") {
+    val plan = graft.SparkEntry.queries("q27_exact_quantile")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the only Sorts allowed are the candidate-bin window's local sort
+    // (partition-by group,q) — a RangePartitioning exchange would mean a
+    // global sort of the fact slipped in
+    assert(!plan.contains("rangepartitioning"), s"global sort leaked into q27:\n$plan")
+  }
 }
