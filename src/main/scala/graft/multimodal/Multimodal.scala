@@ -28,11 +28,14 @@ final case class MediaFeatures(
   * (payload bytes stay columnar, metadata prunes/pushes down normally,
   * queries that don't touch `payload` never read those pages).
   *
-  * The decode step is a SEAM: real deployments plug an image/audio
-  * decoder into [[decodeStub]]; this container has no media libraries,
-  * so the stub computes a deterministic byte-histogram "embedding" —
-  * everything around it (schema, encoders, iterator-based partition
-  * processing, batch shape) is the real production plumbing.
+  * The decode step is a SEAM ([[MediaDecoder]]): the gate path uses the
+  * deterministic byte-histogram stub (reproducible in the SQL oracle);
+  * [[ImageIoDecoder]] plugs REAL JDK `javax.imageio` pixel decode into
+  * the same pipeline for PNG/JPEG (spec-verified on synthetic PNGs —
+  * pixel decode is not SQL-expressible, so it has no gate row). Video
+  * stays a stub — the JDK ships no video codec. Everything around the
+  * seam (schema, encoders, iterator-based partition processing, batch
+  * shape) is the real production plumbing either way.
   *
   * Feature extraction uses Dataset.mapPartitions over an iterator — the
   * Scala analogue of mapInPandas batches: per-partition setup (a real
@@ -67,12 +70,17 @@ object Multimodal {
   }
 
   /** Iterator-based feature extraction: one pass per partition, constant
-    * memory, decoder init amortized per partition (not per row). */
-  def extractFeatures(media: Dataset[MediaRecord], bins: Int = 16): Dataset[MediaFeatures] = {
+    * memory, decoder init amortized per partition (not per row). The
+    * decoder is the [[MediaDecoder]] seam — [[ByteHistogramDecoder]]
+    * (oracle-reproducible stub) by default, [[ImageIoDecoder]] for real
+    * PNG/JPEG pixel decode. */
+  def extractFeatures(media: Dataset[MediaRecord], bins: Int = 16,
+                      decoder: MediaDecoder = ByteHistogramDecoder): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       // per-partition decoder setup would go here
-      it.map(r => MediaFeatures(r.doc_id, r.format, r.n_bytes, decodeStub(r.payload, bins)))
+      it.map(r => MediaFeatures(r.doc_id, r.format, r.n_bytes,
+        decoder.features(r.format, r.payload, bins)))
     }
   }
 
@@ -81,12 +89,14 @@ object Multimodal {
     * BATCH, while `grouped` on the iterator keeps memory at
     * O(batchSize), never the partition. */
   def extractFeaturesBatched(media: Dataset[MediaRecord], batchSize: Int = 64,
-                             bins: Int = 16): Dataset[MediaFeatures] = {
+                             bins: Int = 16,
+                             decoder: MediaDecoder = ByteHistogramDecoder): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         // a real vectorized decoder would process `batch` in one call
-        batch.map(r => MediaFeatures(r.doc_id, r.format, r.n_bytes, decodeStub(r.payload, bins)))
+        batch.map(r => MediaFeatures(r.doc_id, r.format, r.n_bytes,
+          decoder.features(r.format, r.payload, bins)))
       }
     }
   }
