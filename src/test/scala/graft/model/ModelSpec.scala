@@ -174,6 +174,87 @@ class ModelSpec extends SparkTestBase {
       } finally spark.sql("DROP TABLE IF EXISTS graft_m9_tmp")
     }
 
+  // format-parameterized M14 like M9: parquet always executes; the delta
+  // branch delegates to real MERGE INTO and cancels without delta jars
+  for (format <- Seq("parquet", "delta"))
+    test(s"M14: SCD-1 merge round trip - insert, update, no-op rows [$format]") {
+      val fmt = TableFormat.forName(format)
+      assume(fmt.available(spark), s"$format jars not on this classpath")
+      val tmpModel = model.copy(mappings = model.mappings +
+        ("tmp" -> model.mapping("tpch::mapping::Customer").copy(table = "graft_m14_tmp")))
+      try {
+        TableGen.create(spark, tmpModel, "tmp", format)
+        val src = graft.Tables(spark, sfDir, "customer")
+          .orderBy("c_custkey").limit(5)
+        TableGen.write(src, tmpModel, "tmp")
+        val before = spark.table("graft_m14_tmp").collect()
+          .map(r => r.getAs[Long]("c_custkey") -> r).toMap
+        val keys = before.keySet.toSeq.sorted
+        // source: update rows for keys(0), keys(1); insert one new key;
+        // keys(2..4) untouched (no-op)
+        val updates = spark.table("graft_m14_tmp")
+          .filter(org.apache.spark.sql.functions.col("c_custkey").isin(keys(0), keys(1)))
+          .withColumn("c_acctbal", org.apache.spark.sql.functions.lit(9999.25))
+          .localCheckpoint() // detach from the table before it is rewritten
+        val insert = graft.Tables(spark, sfDir, "customer")
+          .orderBy(org.apache.spark.sql.functions.col("c_custkey").desc).limit(1)
+          .withColumn("c_custkey", org.apache.spark.sql.functions.lit(999999L))
+        TableGen.merge(spark, tmpModel, "tmp", updates.unionByName(insert), Seq("c_custkey"), format)
+        val after = spark.table("graft_m14_tmp").collect()
+          .map(r => r.getAs[Long]("c_custkey") -> r).toMap
+        assert(after.size == 6) // 5 originals + 1 insert
+        assert(after(keys(0)).getAs[Double]("c_acctbal") == 9999.25)
+        assert(after(keys(1)).getAs[Double]("c_acctbal") == 9999.25)
+        assert(after.contains(999999L))
+        // no-op rows byte-identical
+        for (k <- keys.drop(2)) assert(after(k) == before(k))
+      } finally spark.sql("DROP TABLE IF EXISTS graft_m14_tmp")
+    }
+
+  test("M14: partitioned merge rewrites ONLY touched partitions") {
+    val tmpModel = model.copy(mappings = model.mappings +
+      ("tmp" -> model.mapping("tpch::mapping::Customer").copy(table = "graft_m14_part")))
+    val warehouse = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), "graft_m14_part")
+    def rmDir(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmDir)
+      f.delete(); ()
+    }
+    rmDir(warehouse)
+    try {
+      TableGen.create(spark, tmpModel, "tmp", partitionBy = Seq("c_mktsegment"))
+      TableGen.write(graft.Tables(spark, sfDir, "customer").limit(40), tmpModel, "tmp")
+      def filesOf(segment: String): Set[String] = {
+        val dir = new java.io.File(warehouse, s"c_mktsegment=$segment")
+        Option(dir.listFiles()).fold(Set.empty[String])(
+          _.map(_.getName).filter(_.endsWith(".parquet")).toSet)
+      }
+      val segments = spark.table("graft_m14_part")
+        .select("c_mktsegment").distinct()
+        .collect().map(_.getString(0)).sorted
+      assert(segments.length >= 2, "test needs at least two partitions")
+      val (hot, cold) = (segments.head, segments.last)
+      val coldBefore = filesOf(cold)
+      assert(coldBefore.nonEmpty)
+      // merge one updated row inside `hot` only
+      val src = spark.table("graft_m14_part")
+        .filter(org.apache.spark.sql.functions.col("c_mktsegment") === hot)
+        .limit(1)
+        .withColumn("c_acctbal", org.apache.spark.sql.functions.lit(1234.5))
+        .localCheckpoint()
+      val nBefore = spark.table("graft_m14_part").count()
+      TableGen.merge(spark, tmpModel, "tmp", src, Seq("c_custkey"))
+      assert(spark.table("graft_m14_part").count() == nBefore)
+      // untouched partition's files were not rewritten (names unchanged —
+      // any rewrite produces fresh task UUID filenames)
+      assert(filesOf(cold) == coldBefore, "cold partition was rewritten")
+      assert(filesOf(hot).nonEmpty)
+      val updated = spark.table("graft_m14_part")
+        .filter(org.apache.spark.sql.functions.col("c_acctbal") === 1234.5).count()
+      assert(updated == 1)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_m14_part")
+  }
+
   test("M9: an unavailable format fails fast with its name, before any DDL") {
     assume(!TableFormat.Delta.available(spark), "delta IS available here")
     val e = intercept[IllegalArgumentException] {
