@@ -181,6 +181,26 @@ object Streaming {
     }
   }
 
+  /** ST10: streaming IVF index maintenance — the persisted ANN index
+    * ingests a vector stream. Same batch/stream unification as ST8:
+    * `foreachBatch` applies the SAME [[graft.sim.IvfIndex.append]] to
+    * every micro-batch, so assignment uses the FROZEN build-time
+    * centroids (new vectors land in lists existing probes already
+    * search — results stay consistent mid-stream) and every append
+    * writes under the table's bucket spec, so probe-side bucket pruning
+    * keeps firing as the corpus grows. The operator carries NO streaming
+    * state: the bucketed index table IS the state, and a replayed batch
+    * appends duplicate rows rather than corrupting the layout (pair
+    * with ST4 upstream for exactly-once-per-vector). Centroid drift
+    * under a shifting stream shows up in [[graft.sim.IvfIndex.listSizes]]
+    * skew — the rebuild trigger, exactly as in the batch world. */
+  def ivfMaintain(vectors: DataFrame, index: graft.sim.IvfIndex.Handle,
+                  idCol: String, vecCol: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vectors.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      graft.sim.IvfIndex.append(index, batch, idCol, vecCol)
+    }
+
   /** ST7: stream-static enrichment join — every streamed row picks up
     * its dimension attributes. The static side is broadcast (explicit
     * hint: dims are fixed-cardinality, never SF-scaled) and re-planned

