@@ -107,8 +107,23 @@ object CurationQueries {
   def t9Contamination(s: SparkSession, dir: String): DataFrame =
     contamination(docs(s, dir))
 
+  /** C2 model-score gate threshold (the stub scorer's range on this
+    * corpus is ~[0.06, 0.31]; 0.25 keeps a bit over half). Exactly
+    * representable, so the >= boundary decides identically in every
+    * engine. */
+  val MinModelScore = 0.25
+
+  /** C2: c1 with the model-quality seam gating in front — the full
+    * scorer path (iterator mapPartitions batches) runs INSIDE this gate
+    * query, oracle-checked because the stub's arithmetic is
+    * SQL-reproducible. A real LM scorer swaps in via [[QualityScorer]]
+    * without touching anything else. */
+  def c2ScoredCuration(s: SparkSession, dir: String): DataFrame =
+    Quality.curateScored(docs(s, dir), LexicalDiversityScorer, MinModelScore)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_curation" -> (c1Curation _),
+    "c2_scored_curation" -> (c2ScoredCuration _),
     "t9_contamination" -> (t9Contamination _))
 
   private val hashSql = "('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT"
@@ -119,7 +134,31 @@ object CurationQueries {
       |  'https?://[^\s]+', '<URL>', 'g'),
       |  '[0-9][0-9 ()+.-]{8,}[0-9]', '<NUMBER>', 'g')""".stripMargin
 
+  /** The stub scorer in SQL: same tokenizer, same operation order
+    * ((distinct/n) * least(1, n/100)) — correctly-rounded IEEE division
+    * makes the boundary compare identical to the Scala seam path. */
+  private val scoreSql =
+    """(len(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) * 1.0
+      |   / len(string_split_regex(trim(lower(text)), '\s+')))
+      | * least(1.0, len(string_split_regex(trim(lower(text)), '\s+')) / 100.0)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "c2_scored_curation" ->
+      s"""WITH gated AS (
+         |  SELECT doc_id, lang, text FROM documents WHERE $scoreSql >= $MinModelScore),
+         |q AS (SELECT doc_id, lang, text,
+         |    len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tokens,
+         |    (length(lower(text)) - length(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g')))
+         |      * 1.0 / length(lower(text)) AS punct_ratio
+         |  FROM gated),
+         |f AS (SELECT * FROM q WHERE n_tokens >= $MinTokens AND punct_ratio <= $MaxPunct),
+         |d AS (SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM f)
+         |SELECT doc_id, lang,
+         |  CASE WHEN $hashSql % 10 < 8 THEN 'train'
+         |       WHEN $hashSql % 10 < 9 THEN 'val' ELSE 'test' END AS split,
+         |  n_tokens,
+         |  length($scrubSql) AS clean_len
+         |FROM d WHERE rn = 1""".stripMargin,
     "c1_curation" ->
       s"""WITH q AS (SELECT doc_id, lang, text,
          |    len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tokens,

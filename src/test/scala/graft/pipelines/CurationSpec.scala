@@ -102,6 +102,54 @@ class CurationSpec extends SparkTestBase {
     assert(ids1 == ids2 && ids1.size == graft.ops.Sampling.WeightedK)
   }
 
+  test("c2: stub scorer is deterministic, in [0,1], and rewards diversity and length") {
+    val texts = Seq(
+      (1 to 50).map(i => s"w$i").mkString(" "),        // diverse, 50 tokens
+      Seq.fill(50)("same").mkString(" "),               // repetitive, 50 tokens
+      (1 to 150).map(i => s"w${i % 150}").mkString(" ")) // diverse, saturated length
+    val s1 = LexicalDiversityScorer.scoreBatch(texts)
+    assert(s1 == LexicalDiversityScorer.scoreBatch(texts))
+    assert(s1.forall(s => s >= 0.0 && s <= 1.0))
+    assert(s1(0) > s1(1), "diverse text must outscore repetitive text")
+    assert(s1(2) == 1.0, "fully diverse saturated-length text scores 1")
+  }
+
+  test("c2: withScore passes any schema through; batch size never changes results") {
+    val df = Seq((1L, "en", longText, 42), (2L, "fr", "tiny text", 7))
+      .toDF("doc_id", "lang", "text", "extra")
+    val scored = Quality.withScore(df, "text", LexicalDiversityScorer)
+    assert(scored.columns.toSeq ==
+      Seq("doc_id", "lang", "text", "extra", "quality_score"))
+    assert(scored.filter(col("extra").isin(42, 7)).count() == 2)
+    val perRow = Quality.withScore(df, "text", LexicalDiversityScorer, batchSize = 1)
+      .select("doc_id", "quality_score").as[(Long, Double)].collect().toMap
+    val batched = scored.select("doc_id", "quality_score")
+      .as[(Long, Double)].collect().toMap
+    assert(perRow == batched)
+  }
+
+  test("c2: a swapped scorer gates the pipeline without touching anything else") {
+    val df = Seq(
+      (1L, "en", longText),
+      (2L, "en", longText.replace("word", "term")),
+      (3L, "en", longText.replace("word", "item")))
+      .toDF("doc_id", "lang", "text")
+    // custom scorer dropping exactly the "term" doc — proves the seam is
+    // what decides, not the stub heuristics. SAM lambda over a local val:
+    // no outer-class capture, so the closure serializes clean.
+    val termText = longText.replace("word", "term")
+    val dropTerm: QualityScorer = texts =>
+      texts.map(t => if (t == termText) 0.0 else 1.0)
+    val kept = Quality.curateScored(df, dropTerm, minScore = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+    // and with the always-pass scorer, c2 == c1 exactly
+    val passAll: QualityScorer = texts => texts.map(_ => 1.0)
+    val c2 = Quality.curateScored(df, passAll, minScore = 0.5).collect().toSet
+    val c1 = CurationQueries.curate(df).collect().toSet
+    assert(c2 == c1)
+  }
+
   test("c1/p4 plans: one Exchange for curate; TakeOrdered for the weighted draw") {
     val c1 = CurationQueries.c1Curation(spark, sfDir).queryExecution.executedPlan.toString
     assert(c1.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
