@@ -97,7 +97,10 @@ final case class GraftMapping(
     entity: String,
     table: String,
     fields: Map[String, String],
-    enumFields: Map[String, Seq[(String, String)]] = Map.empty) {
+    enumFields: Map[String, Seq[(String, String)]] = Map.empty,
+    /** association property → store join name (from the mapping file's
+      * associationMappings); shared by every class mapping of the file */
+    assocJoins: Map[String, String] = Map.empty) {
   /** table column → entity field (for lifting raw tables into entity space). */
   lazy val inverse: Map[String, String] = fields.map(_.swap)
 
@@ -114,6 +117,38 @@ final case class GraftMapping(
       val whens = pairs.map { case (s, e) => s"WHEN ${q(s)} THEN ${q(e)}" }.mkString(" ")
       s"CASE $col $whens ELSE $col END"
     }
+  }
+}
+
+/** A PURE association: a named pair of navigable properties, each typed
+  * by a class — `order.customer` / `customer.orders`. Associations ADD
+  * properties to both classes (they are not declared on the class
+  * itself), which is why navigation resolution searches the model's
+  * associations rather than the class's property list. */
+final case class GraftAssociation(name: String, properties: Seq[(String, String)]) {
+  require(properties.size == 2,
+    s"association [$name] must have exactly 2 properties, got ${properties.size}")
+  /** The class reached by navigating `property` FROM `fromClass`, if this
+    * association defines that navigation. */
+  def target(fromClass: String, property: String): Option[String] =
+    properties.collectFirst {
+      case (p, target) if p == property &&
+        properties.exists { case (o, t) => o != p && t == fromClass } => target
+    }
+}
+
+/** A store join definition (reference protocol: the `joins` array of a
+  * relational Database entity): a named FK equality between two table
+  * columns. Only the simple single-equality form is in scope — compound
+  * and filtered joins reject at load. */
+final case class GraftJoinDef(name: String, leftTable: String, leftCol: String,
+                              rightTable: String, rightCol: String) {
+  /** (myCol, otherCol) oriented so `myCol` belongs to `table`. */
+  def orient(table: String): Option[(String, String)] = {
+    def bare(t: String) = t.split('.').last
+    if (bare(leftTable) == bare(table)) Some((leftCol, rightCol))
+    else if (bare(rightTable) == bare(table)) Some((rightCol, leftCol))
+    else None
   }
 }
 
@@ -135,7 +170,9 @@ final case class GraftModel(
     classes: Map[String, GraftClass],
     enums: Map[String, GraftEnum],
     mappings: Map[String, GraftMapping],
-    services: Map[String, GraftService]) {
+    services: Map[String, GraftService],
+    associations: Map[String, GraftAssociation] = Map.empty,
+    joins: Map[String, GraftJoinDef] = Map.empty) {
 
   def clazz(name: String): GraftClass =
     classes.getOrElse(name, throw new IllegalArgumentException(s"unknown class [$name]"))
@@ -190,9 +227,15 @@ final case class GraftModel(
   def entityNames: Set[String] =
     classes.keySet ++ enums.keySet ++ mappings.keySet ++ services.keySet
 
+  /** The class reached by navigating association property `prop` from
+    * `fromClass`, if any association defines it. */
+  def navigationTarget(fromClass: String, prop: String): Option[String] =
+    associations.values.flatMap(_.target(fromClass, prop)).headOption
+
   def merge(other: GraftModel): GraftModel = GraftModel(
     classes ++ other.classes, enums ++ other.enums,
-    mappings ++ other.mappings, services ++ other.services)
+    mappings ++ other.mappings, services ++ other.services,
+    associations ++ other.associations, joins ++ other.joins)
 }
 
 object GraftModel {

@@ -45,18 +45,44 @@ object ServiceGen {
     * Fields compile through enum CASEs and derivations inline (so a
     * service may project derived properties like `age`); aliases are
     * backtick-quoted when needed (the reference corpus has aliases with
-    * spaces, e.g. "Hiring Age" in service/employee.json). */
+    * spaces, e.g. "Hiring Age" in service/employee.json).
+    *
+    * Association navigation (`$x.customer.name` → `customer.name` in
+    * entity space) compiles to a JOIN-generating query for the
+    * SINGLE-HOP case: each navigated association property becomes one
+    * inner equi-join on the store join's FK columns, and the navigated
+    * field resolves through the TARGET class's mapping. Deeper
+    * navigation chains, unknown target fields, and unmapped joins all
+    * reject loudly at compile time — never silently misread. The join is
+    * a plain FK equi-join in the emitted SQL: Spark shuffles it like any
+    * fact join (or broadcasts the dim side), and service filters still
+    * land in WHERE as scan-pushable conjuncts. */
   def serviceSql(model: GraftModel, serviceName: String): String = {
     val svc = model.service(serviceName)
     val m = model.mapping(svc.mapping)
-    val subs = model.tableSubstitutions(svc.mapping)
-    def compile(e: String): String = SqlRewrite.substitute(e, subs)
     import org.apache.spark.sql.catalyst.util.quoteIfNeeded
+
+    val allExprs = svc.select.map(_._2) ++ svc.where.toSeq ++ svc.groupBy ++
+      svc.orderBy.map(o => splitDirection(o)._1)
+    val navs = resolveNavigations(model, svc, m, allExprs)
+
+    def compile(e: String): String =
+      if (navs.isEmpty) SqlRewrite.substitute(e, model.tableSubstitutions(svc.mapping))
+      else compileJoined(model, svc, m, navs, e)
 
     val select = svc.select
       .map { case (alias, e) => s"${compile(e)} AS ${quoteIfNeeded(alias)}" }
       .mkString(", ")
-    val sb = new StringBuilder(s"SELECT $select FROM ${m.table}")
+    val from =
+      if (navs.isEmpty) m.table
+      else {
+        val joins = navs.values.map { n =>
+          s"JOIN ${n.mapping.table} AS ${n.alias} ON " +
+            s"$MainAlias.${quoteIfNeeded(n.myCol)} = ${n.alias}.${quoteIfNeeded(n.otherCol)}"
+        }.mkString(" ")
+        s"${m.table} AS $MainAlias $joins"
+      }
+    val sb = new StringBuilder(s"SELECT $select FROM $from")
     svc.where.foreach(w => sb.append(s" WHERE ${compile(w)}"))
     if (svc.groupBy.nonEmpty)
       sb.append(s" GROUP BY ${svc.groupBy.map(compile).mkString(", ")}")
@@ -70,6 +96,94 @@ object ServiceGen {
     }
     svc.limit.foreach(n => sb.append(s" LIMIT $n"))
     sb.toString
+  }
+
+  private val MainAlias = "t0"
+
+  /** A resolved single-hop navigation: SQL alias, target class mapping,
+    * oriented FK columns, and the target's field→expression substitutions
+    * (already alias-prefixed). */
+  private final case class Nav(alias: String, mapping: GraftMapping,
+      myCol: String, otherCol: String,
+      subs: Map[String, org.apache.spark.sql.catalyst.expressions.Expression])
+
+  /** Find every association property the service's expressions navigate,
+    * and resolve each to its join + target mapping. Loud failures: a
+    * navigated property with no associationMapping join, a join name
+    * missing from the store, join columns matching neither table, or no
+    * mapping for the target class. */
+  private def resolveNavigations(model: GraftModel, svc: GraftService,
+      m: GraftMapping, exprs: Seq[String]): Map[String, Nav] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+    val heads = exprs.flatMap { e =>
+      CatalystSqlParser.parseExpression(e).collect {
+        case a: UnresolvedAttribute if a.nameParts.size > 1 &&
+          model.navigationTarget(m.entity, a.nameParts.head).isDefined => a.nameParts.head
+      }
+    }.distinct.sorted
+    heads.zipWithIndex.map { case (prop, i) =>
+      val target = model.navigationTarget(m.entity, prop).get
+      val joinName = m.assocJoins.getOrElse(prop, throw new IllegalArgumentException(
+        s"service [${svc.name}]: association property [$prop] has no join in mapping [${m.name}] " +
+          "(missing associationMappings entry)"))
+      val jd = model.joins.getOrElse(joinName, throw new IllegalArgumentException(
+        s"service [${svc.name}]: join [$joinName] is not defined in any loaded store"))
+      val tm = model.mappings.get(s"${svc.mapping}::$target")
+        .orElse(model.mappings.values.find(_.entity == target))
+        .getOrElse(throw new IllegalArgumentException(
+          s"service [${svc.name}]: no mapping found for navigated class [$target]"))
+      val (myCol, otherCol) = jd.orient(m.table).getOrElse(
+        throw new IllegalArgumentException(
+          s"service [${svc.name}]: join [$joinName] does not touch table [${m.table}]"))
+      require(jd.orient(tm.table).isDefined,
+        s"service [${svc.name}]: join [$joinName] does not touch target table [${tm.table}]")
+      val alias = s"t${i + 1}"
+      val targetSubs = model.tableSubstitutions(tm.name)
+        .map { case (f, sql) => f -> prefixAttrs(CatalystSqlParser.parseExpression(sql), alias) }
+      prop -> Nav(alias, tm, myCol, otherCol, targetSubs)
+    }.toMap
+  }
+
+  /** Entity-space expression → table-space SQL over the aliased join.
+    * Main-entity fields resolve through the main mapping under t0;
+    * `assoc.field` resolves through the target mapping under its alias;
+    * anything deeper than one hop rejects. */
+  private def compileJoined(model: GraftModel, svc: GraftService, m: GraftMapping,
+      navs: Map[String, Nav], e: String): String = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.Expression
+    import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+    lazy val mainSubs: Map[String, Expression] = model.tableSubstitutions(svc.mapping)
+      .map { case (f, sql) => f -> prefixAttrs(CatalystSqlParser.parseExpression(sql), MainAlias) }
+    def walk(ex: Expression): Expression = ex match {
+      case a: UnresolvedAttribute if navs.contains(a.nameParts.head) =>
+        require(a.nameParts.size == 2,
+          s"service [${svc.name}]: navigation [${a.name}] is deeper than one hop — " +
+            "only single-join association navigation is supported")
+        val n = navs(a.nameParts.head)
+        n.subs.getOrElse(a.nameParts(1), throw new IllegalArgumentException(
+          s"service [${svc.name}]: [${a.name}] — class [${n.mapping.entity}] has no mapped " +
+            s"field [${a.nameParts(1)}]"))
+      case a: UnresolvedAttribute if mainSubs.contains(a.nameParts.head) =>
+        mainSubs(a.nameParts.head) match {
+          case ua: UnresolvedAttribute => UnresolvedAttribute(ua.nameParts ++ a.nameParts.tail)
+          case replacement =>
+            require(a.nameParts.size == 1,
+              s"cannot substitute expression under dotted path [${a.name}]")
+            replacement
+        }
+      case other => other.mapChildren(walk)
+    }
+    walk(CatalystSqlParser.parseExpression(e)).sql
+  }
+
+  /** Prefix every attribute head in `e` with a table alias (the
+    * substitution values are raw-column expressions of ONE table). */
+  private def prefixAttrs(e: org.apache.spark.sql.catalyst.expressions.Expression,
+      alias: String): org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    e.transform { case a: UnresolvedAttribute => UnresolvedAttribute(alias +: a.nameParts) }
   }
 
   /** Run a service against a session whose catalog resolves the mapping's

@@ -23,9 +23,13 @@ import scala.jdk.CollectionConverters._
   *
   * Scope (documented, load-time-checked): the PURE subset in
   * [[PureToSql]]; relational class mappings with column property
-  * mappings (no embedded/otherwise mappings); services whose execution
-  * is a single getAll → filter? → (project | groupBy) → sort? → take?
-  * pipeline — the relational service shape the reference executes.
+  * mappings (no embedded/otherwise mappings); SINGLE-HOP association
+  * navigation — association entities + mapping associationMappings +
+  * store FK joins compile `$x.assoc.field` to one SQL join (deeper
+  * chains, compound join operations, and unmapped joins reject loudly);
+  * services whose execution is a single getAll → filter? → (project |
+  * groupBy) → sort? → take? pipeline — the relational service shape the
+  * reference executes.
   */
 object LegendLoader {
 
@@ -81,6 +85,11 @@ object LegendLoader {
       case "Enumeration" => GraftModel(Map.empty, Map(parseEnum(content)), Map.empty, Map.empty)
       case "mapping"     => GraftModel(Map.empty, Map.empty, parseMapping(content), Map.empty)
       case "service"     => GraftModel(Map.empty, Map.empty, Map.empty, Map(parseService(content)))
+      case "association" => GraftModel.empty.copy(associations = Map(parseAssociation(content)))
+      // a relational Database (store) entity: the model only needs its
+      // named FK joins (association navigation); schemas/DDL stay with
+      // the execution environment
+      case "relational"  => GraftModel.empty.copy(joins = parseStoreJoins(content))
       case _             => GraftModel.empty
     }
   }
@@ -127,6 +136,40 @@ object LegendLoader {
       constraints = constraints,
       derivations = derivations,
       doc = docTag(c))
+  }
+
+  /** A PURE association: exactly two class-typed properties that become
+    * navigable from each other's class. */
+  private def parseAssociation(c: JsonNode): (String, GraftAssociation) = {
+    val name = fullPath(c)
+    val props = elems(c, "properties").map { p =>
+      p.get("name").asText() -> p.get("type").asText()
+    }
+    name -> GraftAssociation(name, props)
+  }
+
+  /** Named FK joins from a relational Database (store) entity. Scope:
+    * the single-equality form `equal(tableA.colX, tableB.colY)` — the
+    * FK shape association navigation compiles to one SQL join. Compound
+    * (and/or) and filtered join operations reject loudly. */
+  private def parseStoreJoins(c: JsonNode): Map[String, GraftJoinDef] = {
+    val path = fullPath(c)
+    elems(c, "joins").map { j =>
+      val name = j.get("name").asText()
+      val op = j.get("operation")
+      require(op.path("_type").asText() == "dynaFunc" &&
+        op.path("funcName").asText() == "equal",
+        s"store [$path] join [$name]: only single-equality FK joins are supported, " +
+          s"got [${op.path("funcName").asText(op.path("_type").asText())}]")
+      val params = elems(op, "parameters")
+      require(params.size == 2 && params.forall(_.path("_type").asText() == "column"),
+        s"store [$path] join [$name]: expected equal(column, column)")
+      def side(p: JsonNode): (String, String) =
+        (p.path("table").path("table").asText(), p.get("column").asText())
+      val (lt, lc) = side(params(0))
+      val (rt, rc) = side(params(1))
+      name -> GraftJoinDef(name, lt, lc, rt, rc)
+    }.toMap
   }
 
   /** The doc profile tagged value, if present. */
@@ -177,6 +220,24 @@ object LegendLoader {
         id -> pairs
       }.toMap
 
+    // association property → store join name. One join per navigation
+    // (the single-hop scope); elementWithJoins chains reject loudly.
+    val assocJoins: Map[String, String] =
+      elems(c, "associationMappings").flatMap { am =>
+        val assoc = am.path("association").asText()
+        elems(am, "propertyMappings").map { pm =>
+          val prop = pm.path("property").path("property").asText()
+          val op = pm.get("relationalOperation")
+          require(op != null && op.path("_type").asText() == "elementWithJoins",
+            s"mapping [$path] association [$assoc] property [$prop]: expected elementWithJoins")
+          val joins = elems(op, "joins")
+          require(joins.size == 1,
+            s"mapping [$path] association [$assoc] property [$prop]: " +
+              s"only single-join navigation is supported, got ${joins.size} joins")
+          prop -> joins.head.path("name").asText()
+        }
+      }.toMap
+
     rel.zipWithIndex.map { case (cm, i) =>
       val entity = cm.get("class").asText()
       val mt = cm.get("mainTable")
@@ -203,7 +264,7 @@ object LegendLoader {
         field -> op.get("column").asText()
       }.toMap
       val key = if (i == 0) path else s"$path::$entity"
-      key -> GraftMapping(key, entity, qualified, fields, enumFields)
+      key -> GraftMapping(key, entity, qualified, fields, enumFields, assocJoins)
     }.toMap
   }
 

@@ -94,10 +94,97 @@ object LegendQueries {
               coll(func("desc", str("OrderId")))),
             plit("integer", "50")))}}}}""".stripMargin
 
+  // --- two-class corpus: customer class + association + store joins +
+  // --- a navigating service (the m9 single-join association path) ---
+
+  private val customerClassJson =
+    s"""{"classifierPath":"meta::pure::metamodel::type::Class","content":{
+       |"_type":"class","name":"customer","package":"gate::entity","superTypes":[],
+       |"properties":[
+       |  ${prop("custId", "Integer", mult1)},
+       |  ${prop("name", "String", mult1)},
+       |  ${prop("segment", "String", mult1)},
+       |  ${prop("balance", "Float", mult1)}],
+       |"constraints":[],"qualifiedProperties":[]}}""".stripMargin
+
+  private val associationJson =
+    s"""{"classifierPath":"meta::pure::metamodel::relationship::Association","content":{
+       |"_type":"association","name":"Order_Customer","package":"gate::entity",
+       |"properties":[
+       |  {"name":"customer","type":"gate::entity::customer","multiplicity":$mult1},
+       |  {"name":"orders","type":"gate::entity::order","multiplicity":{"lowerBound":0}}]}}""".stripMargin
+
+  /** Relational Database (store) entity carrying the FK join the
+    * association navigates through. */
+  private val storeJson =
+    s"""{"classifierPath":"meta::relational::metamodel::Database","content":{
+       |"_type":"relational","name":"gateDb","package":"gate::store",
+       |"schemas":[],"filters":[],
+       |"joins":[{"name":"OrderCustomer","operation":{
+       |  "_type":"dynaFunc","funcName":"equal","parameters":[
+       |    {"_type":"column","column":"o_custkey","table":{"_type":"Table","table":"orders","schema":"default"}},
+       |    {"_type":"column","column":"c_custkey","table":{"_type":"Table","table":"customer","schema":"default"}}]}}]}}""".stripMargin
+
+  private def pmc(field: String, column: String) =
+    s"""{"_type":"relationalPropertyMapping",
+       |"property":{"class":"gate::entity::customer","property":"$field"},
+       |"relationalOperation":{"_type":"column","column":"$column","table":{"_type":"Table"}}}""".stripMargin
+
+  /** Mapping with BOTH class mappings and the association mapping tying
+    * property `customer` to the store join. */
+  private val joinMappingJson =
+    s"""{"classifierPath":"meta::pure::mapping::Mapping","content":{
+       |"_type":"mapping","name":"order_customer_rel","package":"gate::mapping",
+       |"classMappings":[
+       |  {"_type":"relational","class":"gate::entity::order",
+       |   "mainTable":{"_type":"Table","schema":"default","table":"orders"},
+       |   "propertyMappings":[${Seq(
+            pm("orderId", "o_orderkey"), pm("status", "o_orderstatus"),
+            pm("price", "o_totalprice"), pm("priority", "o_orderpriority")).mkString(",")}]},
+       |  {"_type":"relational","class":"gate::entity::customer",
+       |   "mainTable":{"_type":"Table","schema":"default","table":"customer"},
+       |   "propertyMappings":[${Seq(
+            pmc("custId", "c_custkey"), pmc("name", "c_name"),
+            pmc("segment", "c_mktsegment"), pmc("balance", "c_acctbal")).mkString(",")}]}],
+       |"associationMappings":[{"_type":"relational",
+       |  "association":"gate::entity::Order_Customer",
+       |  "propertyMappings":[{"_type":"relationalPropertyMapping",
+       |    "property":{"class":"gate::entity::Order_Customer","property":"customer"},
+       |    "relationalOperation":{"_type":"elementWithJoins",
+       |      "joins":[{"db":"gate::store::gateDb","name":"OrderCustomer"}]}}]}]}}""".stripMargin
+
+  // getAll(order) → filter($x.customer.segment == 'BUILDING' AND price >= 50000)
+  //   → project([orderId, customer.name, customer.balance, price])
+  //   → sort(desc OrderId) → take(50): one association hop in filter AND projection
+  private val joinServiceJson =
+    s"""{"classifierPath":"meta::legend::service::metamodel::Service","content":{
+       |"_type":"service","name":"orderWithCustomer","package":"gate::service","pattern":"/oc",
+       |"execution":{"_type":"pureSingleExecution","mapping":"gate::mapping::order_customer_rel",
+       |"func":${lambda(
+          func("take",
+            func("sort",
+              func("project",
+                func("filter",
+                  func("getAll", ptr("gate::entity::order")),
+                  lambda(func("and",
+                    func("equal",
+                      s"""{"_type":"property","property":"segment","parameters":[${xProp("customer")}]}""",
+                      str("BUILDING")),
+                    func("greaterThanEqual", xProp("price"),
+                      plit("float", "50000.0"))), "x")),
+                coll(lambda(xProp("orderId"), "x"),
+                     lambda(s"""{"_type":"property","property":"name","parameters":[${xProp("customer")}]}""", "x"),
+                     lambda(s"""{"_type":"property","property":"balance","parameters":[${xProp("customer")}]}""", "x"),
+                     lambda(xProp("price"), "x")),
+                coll(str("OrderId"), str("CustomerName"), str("CustomerBalance"), str("Price"))),
+              coll(func("desc", str("OrderId")))),
+            plit("integer", "50")))}}}}""".stripMargin
+
   /** The loaded model — parsed once per JVM; load-time translation means
     * a bad fixture fails here, not inside a query. */
   lazy val model: GraftModel =
-    LegendLoader.fromJsonStrings(Seq(orderClassJson, mappingJson, serviceJson))
+    LegendLoader.fromJsonStrings(Seq(orderClassJson, mappingJson, serviceJson,
+      customerClassJson, associationJson, storeJson, joinMappingJson, joinServiceJson))
 
   val OrderMapping = "gate::mapping::order_rel"
 
@@ -125,13 +212,32 @@ object LegendQueries {
       .agg(sum(col("v")).as("violations"))
   }
 
+  /** M13 gate (association path): a Legend service navigating an
+    * association — protocol JSON (class pair + association + store FK
+    * join + associationMappings) compiles to ONE SQL join; the navigated
+    * fields resolve through the TARGET class's mapping. The emitted join
+    * is a plain FK equi-join Spark plans like any fact⨝dim (broadcast
+    * here — customer is the small side at every SF). */
+  def m9LegendJoin(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "orders").createOrReplaceTempView("orders")
+    Tables(s, dir, "customer").createOrReplaceTempView("customer")
+    ServiceGen.runService(s, model, "gate::service::orderWithCustomer")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m7_legend_service" -> (m7LegendService _),
-    "m8_legend_validate" -> (m8LegendValidate _))
+    "m8_legend_validate" -> (m8LegendValidate _),
+    "m9_legend_join" -> (m9LegendJoin _))
 
   /** Violated = NOT coalesce(rule, FALSE), as in the m2 oracle; DuckDB's
     * integer sum casts back to BIGINT for the gate's pandas hasher. */
   val oracles: Map[String, String] = Map(
+    "m9_legend_join" ->
+      """SELECT o_orderkey AS OrderId, c_name AS CustomerName,
+        |  c_acctbal AS CustomerBalance, o_totalprice AS Price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_totalprice >= 50000.0
+        |ORDER BY o_orderkey DESC LIMIT 50""".stripMargin,
     "m7_legend_service" ->
       """SELECT o_orderkey AS OrderId, o_orderstatus AS Status,
         |  o_totalprice AS Price

@@ -268,4 +268,91 @@ class LegendSpec extends SparkTestBase {
     assert(rows.keySet == Set("BUILDING", "MACHINERY", null))
     assert(math.abs(rows("BUILDING") - 210.25) < 1e-9) // avg(120.5, 300.0)
   }
+
+  // --- association navigation (two-class corpus, single FK join) ---
+
+  import graft.model.legend.LegendQueries
+
+  test("M13: association service compiles to ONE join; fields resolve through the target mapping") {
+    val sql = ServiceGen.serviceSql(LegendQueries.model, "gate::service::orderWithCustomer")
+    assert(sql.contains("JOIN customer AS t1 ON t0.o_custkey = t1.c_custkey"), sql)
+    assert(sql.contains("t1.c_name"), sql)        // navigated field, target mapping
+    assert(sql.contains("t0.o_totalprice"), sql)  // main field, main mapping
+    assert("JOIN".r.findAllIn(sql).size == 1, s"exactly one join expected:\n$sql")
+  }
+
+  test("M13: association service executes and matches a manual join") {
+    import spark.implicits._
+    val orders = Seq((1L, 10L, 60000.0), (2L, 20L, 70000.0), (3L, 10L, 1000.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .withColumn("o_orderstatus", org.apache.spark.sql.functions.lit("O"))
+      .withColumn("o_orderpriority", org.apache.spark.sql.functions.lit("1-URGENT"))
+    val cust = Seq((10L, "Alice", "BUILDING", 5.0), (20L, "Bob", "MACHINERY", 7.0))
+      .toDF("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+    orders.createOrReplaceTempView("orders")
+    cust.createOrReplaceTempView("customer")
+    val rows = ServiceGen.runService(spark, LegendQueries.model,
+        "gate::service::orderWithCustomer")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(3)))
+    // only order 1 passes: BUILDING segment AND price >= 50000
+    assert(rows.toSeq == Seq((1L, "Alice", 60000.0)))
+  }
+
+  test("M13: deeper-than-one-hop navigation rejects loudly at compile") {
+    // hand-build a service navigating customer.nation.name (two hops)
+    val svc = GraftService("deep", "gate::mapping::order_customer_rel",
+      select = Seq("X" -> "customer.nation.name"))
+    val m = LegendQueries.model.copy(
+      services = LegendQueries.model.services + ("deep" -> svc))
+    val e = intercept[IllegalArgumentException] {
+      ServiceGen.serviceSql(m, "deep")
+    }
+    assert(e.getMessage.contains("deeper than one hop"), e.getMessage)
+  }
+
+  test("M13: unknown navigated field and unmapped join reject loudly") {
+    val badField = GraftService("bad_field", "gate::mapping::order_customer_rel",
+      select = Seq("X" -> "customer.nope"))
+    val m1 = LegendQueries.model.copy(
+      services = LegendQueries.model.services + ("bad_field" -> badField))
+    val e1 = intercept[IllegalArgumentException] { ServiceGen.serviceSql(m1, "bad_field") }
+    assert(e1.getMessage.contains("no mapped") && e1.getMessage.contains("nope"), e1.getMessage)
+
+    // drop the store's join: compile must name the missing join
+    val m2 = m1.copy(joins = Map.empty,
+      services = LegendQueries.model.services)
+    val e2 = intercept[IllegalArgumentException] {
+      ServiceGen.serviceSql(m2, "gate::service::orderWithCustomer")
+    }
+    assert(e2.getMessage.contains("OrderCustomer"), e2.getMessage)
+  }
+
+  test("M13: multi-join elementWithJoins and compound join operations reject at load") {
+    val multiJoinMapping =
+      s"""{"classifierPath":"meta::pure::mapping::Mapping","content":{
+         |"_type":"mapping","name":"mj","package":"demo::mapping",
+         |"classMappings":[{"_type":"relational","class":"demo::entity::customer",
+         |"mainTable":{"_type":"Table","schema":"default","table":"t"},
+         |"propertyMappings":[{"_type":"relationalPropertyMapping",
+         |"property":{"class":"demo::entity::customer","property":"name"},
+         |"relationalOperation":{"_type":"column","column":"c","table":{"_type":"Table"}}}]}],
+         |"associationMappings":[{"_type":"relational","association":"demo::A",
+         |"propertyMappings":[{"_type":"relationalPropertyMapping",
+         |"property":{"class":"demo::A","property":"p"},
+         |"relationalOperation":{"_type":"elementWithJoins",
+         |"joins":[{"db":"d","name":"j1"},{"db":"d","name":"j2"}]}}]}]}}""".stripMargin
+    val e1 = intercept[IllegalArgumentException] {
+      LegendLoader.fromJsonStrings(Seq(multiJoinMapping))
+    }
+    assert(e1.getMessage.contains("single-join"), e1.getMessage)
+
+    val compoundStore =
+      s"""{"classifierPath":"meta::relational::metamodel::Database","content":{
+         |"_type":"relational","name":"d","package":"demo::store","schemas":[],"filters":[],
+         |"joins":[{"name":"j","operation":{"_type":"dynaFunc","funcName":"and","parameters":[]}}]}}""".stripMargin
+    val e2 = intercept[IllegalArgumentException] {
+      LegendLoader.fromJsonStrings(Seq(compoundStore))
+    }
+    assert(e2.getMessage.contains("single-equality"), e2.getMessage)
+  }
 }
