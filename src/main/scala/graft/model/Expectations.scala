@@ -57,7 +57,17 @@ object Expectations {
   private def classRules(model: GraftModel, c: GraftClass, parent: String): Seq[(String, String)] = {
     val inherited = c.superTypes.flatMap(st => classRules(model, model.clazz(st), parent))
     val fromProps = c.properties.flatMap(propertyRules(model, _, parent))
-    val business = c.constraints.map(k => k.name -> k.expr)
+    // a nested class's own constraints reference its fields BARE; under a
+    // parent path they must resolve against the dotted field ("zip > 0"
+    // inside address → "address.zip > 0")
+    val business = c.constraints.map { k =>
+      if (parent.isEmpty) k.name -> k.expr
+      else {
+        val prefixed = model.allProperties(c.name)
+          .map(p => p.name -> s"$parent.${p.name}").toMap
+        k.name -> SqlRewrite.substitute(k.expr, prefixed)
+      }
+    }
     inherited ++ fromProps ++ business
   }
 

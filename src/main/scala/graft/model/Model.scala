@@ -217,10 +217,43 @@ final case class GraftModel(
     val m = mapping(mappingName)
     val fieldSubs: Map[String, String] =
       m.fields.map { case (field, col) => field -> m.enumExpr(field).getOrElse(col) }
-    allDerivations(m.entity).foldLeft(fieldSubs) { (acc, d) =>
+    // EMBEDDED heads: every dotted prefix rebuilds its entity shape as a
+    // struct(...) of its (recursively resolved) leaves, so expressions
+    // over the whole embedded value — including the generated mandatory
+    // rule — compile. struct() of same-row columns is never NULL, which
+    // is exactly Legend's embedded semantics (the nested value always
+    // exists; only its leaves can be null).
+    def structExpr(className: String, prefix: String): String =
+      allProperties(className).map { p =>
+        val path = s"$prefix.${p.name}"
+        val sql = m.fields.get(path).map(c => m.enumExpr(path).getOrElse(c))
+          .getOrElse(classes.get(p.dataType) match {
+            case Some(nc) if m.fields.keys.exists(_.startsWith(path + ".")) =>
+              structExpr(nc.name, path)
+            case _ => throw new IllegalArgumentException(
+              s"mapping [${m.name}] has no column for field [$path]")
+          })
+        s"$sql AS ${p.name}"
+      }.mkString("struct(", ", ", ")")
+    val embeddedHeads: Map[String, String] = m.fields.keys
+      .filter(_.contains("."))
+      .flatMap { k =>
+        val parts = k.split('.')
+        (1 until parts.length).map(i => parts.take(i).mkString("."))
+      }.toSet[String]
+      .map(pre => pre -> structExpr(classAtPath(m.entity, pre), pre))
+      .toMap
+    allDerivations(m.entity).foldLeft(fieldSubs ++ embeddedHeads) { (acc, d) =>
       acc + (d.name -> SqlRewrite.substitute(d.expr, acc))
     }
   }
+
+  /** The class reached by walking property segments from `className`. */
+  private def classAtPath(className: String, path: String): String =
+    path.split('.').foldLeft(className) { (cn, seg) =>
+      allProperties(cn).find(_.name == seg).map(_.dataType).getOrElse(
+        throw new IllegalArgumentException(s"class [$cn] has no property [$seg]"))
+    }
 
   /** Every addressable name in the model (reference: getEntityNames,
     * Legend.scala:191 — classes, enums, mappings, services). */

@@ -38,14 +38,34 @@ object SchemaGen {
     StructType(model.allProperties(className).map(field(model, _)))
 
   /** Spark schema for a mapping: the entity schema with fields renamed to
-    * their table columns (reference: getMappingSchema, Legend.scala:272-279). */
+    * their table columns (reference: getMappingSchema, Legend.scala:272-279).
+    * EMBEDDED fields (a nested class mapped to dotted paths —
+    * "address.city" → addr_city) flatten to one column per leaf: the
+    * table physically holds flat columns, so the mapping schema does
+    * too. A leaf under a nullable embedded property is nullable even if
+    * the leaf itself is mandatory (absent parent ⇒ NULL leaf columns). */
   def schemaOfMapping(model: GraftModel, mappingName: String): StructType = {
     val m = model.mapping(mappingName)
-    val entitySchema = schemaOf(model, m.entity)
-    StructType(entitySchema.fields.map { f =>
-      f.copy(name = m.fields.getOrElse(f.name,
-        throw new IllegalArgumentException(s"mapping [${m.name}] has no column for field [${f.name}]")))
-    })
+    def flatten(props: Seq[GraftProperty], prefix: String,
+                forcedNullable: Boolean): Seq[StructField] =
+      props.flatMap { p =>
+        val path = if (prefix.isEmpty) p.name else s"$prefix.${p.name}"
+        m.fields.get(path) match {
+          case Some(col) =>
+            val f = field(model, p)
+            Seq(f.copy(name = col, nullable = f.nullable || forcedNullable))
+          case None =>
+            model.classes.get(p.dataType) match {
+              case Some(nc) if p.isReference && !p.multiplicity.isCollection &&
+                  m.fields.keys.exists(_.startsWith(path + ".")) =>
+                flatten(model.allProperties(nc.name), path,
+                  forcedNullable || p.multiplicity.isNullable)
+              case _ => throw new IllegalArgumentException(
+                s"mapping [${m.name}] has no column for field [$path]")
+            }
+        }
+      }
+    StructType(flatten(model.allProperties(m.entity), "", forcedNullable = false))
   }
 
   private def field(model: GraftModel, p: GraftProperty): StructField = {

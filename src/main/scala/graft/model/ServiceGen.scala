@@ -24,14 +24,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object ServiceGen {
 
-  /** SELECT col AS field..., derivations, FROM table WHERE <expectations>. */
+  /** SELECT col AS field..., derivations, FROM table WHERE <expectations>.
+    * EMBEDDED fields rebuild their entity shape: a nested class mapped to
+    * dotted flat columns projects back as `struct(col AS leaf, …) AS
+    * field` — the governed read returns the ENTITY schema even though
+    * the table stores the leaves flat. */
   def mappingSql(model: GraftModel, mappingName: String): String = {
     val m = model.mapping(mappingName)
+    // tableSubstitutions covers flat fields (through enum CASEs),
+    // embedded heads (struct rebuilds), and derivations — one builder
+    val subs = model.tableSubstitutions(mappingName)
     val fields = model.allProperties(m.entity).map { p =>
-      val colName = m.fields.getOrElse(p.name,
-        throw new IllegalArgumentException(s"mapping [${m.name}] has no column for field [${p.name}]"))
-      // enum-mapped fields read through their source→enum CASE
-      s"${m.enumExpr(p.name).getOrElse(colName)} AS ${p.name}"
+      val sql = subs.getOrElse(p.name,
+        throw new IllegalArgumentException(
+          s"mapping [${m.name}] has no column for field [${p.name}]"))
+      s"$sql AS ${p.name}"
     }
     val derivations = Transformer.derivationsForMapping(model, mappingName)
       .map { case (name, sql) => s"$sql AS $name" }
@@ -165,13 +172,22 @@ object ServiceGen {
         n.subs.getOrElse(a.nameParts(1), throw new IllegalArgumentException(
           s"service [${svc.name}]: [${a.name}] — class [${n.mapping.entity}] has no mapped " +
             s"field [${a.nameParts(1)}]"))
-      case a: UnresolvedAttribute if mainSubs.contains(a.nameParts.head) =>
-        mainSubs(a.nameParts.head) match {
-          case ua: UnresolvedAttribute => UnresolvedAttribute(ua.nameParts ++ a.nameParts.tail)
-          case replacement =>
-            require(a.nameParts.size == 1,
-              s"cannot substitute expression under dotted path [${a.name}]")
-            replacement
+      case a: UnresolvedAttribute =>
+        // longest dotted-prefix match (embedded fields are dotted keys)
+        val hit = (a.nameParts.size to 1 by -1).iterator
+          .map(k => (k, a.nameParts.take(k).mkString(".")))
+          .find { case (_, key) => mainSubs.contains(key) }
+        hit match {
+          case Some((k, key)) =>
+            val tail = a.nameParts.drop(k)
+            mainSubs(key) match {
+              case ua: UnresolvedAttribute => UnresolvedAttribute(ua.nameParts ++ tail)
+              case replacement =>
+                require(tail.isEmpty,
+                  s"cannot substitute expression under dotted path [${a.name}]")
+                replacement
+            }
+          case None => a
         }
       case other => other.mapChildren(walk)
     }

@@ -32,6 +32,11 @@ object SqlRewrite {
     * through the Legend engine's planner; graft substitutes at the
     * Catalyst AST level).
     *
+    * Substitution keys may be DOTTED paths ("address.city" → the flat
+    * column an embedded mapping assigns it): the LONGEST matching
+    * name-part prefix wins, so a flattened leaf outranks a head-only
+    * rename and un-flattened struct access still works beside it.
+    *
     * Replacements are spliced as-is and NOT re-visited: they are already
     * in table space, and descending into them would loop when a column
     * shares its name with the entity field it backs (e.g. `sme` →
@@ -45,14 +50,22 @@ object SqlRewrite {
     lazy val parsedSubs: Map[String, Expression] =
       subs.map { case (k, v) => k -> CatalystSqlParser.parseExpression(v) }
     def walk(e: Expression): Expression = e match {
-      case a: UnresolvedAttribute if subs.contains(a.nameParts.head) =>
-        parsedSubs(a.nameParts.head) match {
-          case ua: UnresolvedAttribute =>
-            UnresolvedAttribute(ua.nameParts ++ a.nameParts.tail)
-          case replacement =>
-            require(a.nameParts.size == 1,
-              s"cannot substitute expression [${subs(a.nameParts.head)}] under dotted path [${a.name}]")
-            replacement
+      case a: UnresolvedAttribute =>
+        // longest dotted-prefix match over the name parts
+        val hit = (a.nameParts.size to 1 by -1).iterator
+          .map(k => (k, a.nameParts.take(k).mkString(".")))
+          .find { case (_, key) => subs.contains(key) }
+        hit match {
+          case Some((k, key)) =>
+            val tail = a.nameParts.drop(k)
+            parsedSubs(key) match {
+              case ua: UnresolvedAttribute => UnresolvedAttribute(ua.nameParts ++ tail)
+              case replacement =>
+                require(tail.isEmpty,
+                  s"cannot substitute expression [${subs(key)}] under dotted path [${a.name}]")
+                replacement
+            }
+          case None => a
         }
       case other => other.mapChildren(walk)
     }

@@ -246,23 +246,36 @@ object LegendLoader {
       val qualified =
         if (schema.isEmpty || schema == "default") table else s"$schema.$table"
       var enumFields = Map.empty[String, Seq[(String, String)]]
-      val fields = elems(cm, "propertyMappings").map { pm =>
-        val tpe = pm.path("_type").asText()
-        val field = pm.path("property").path("property").asText()
-        // only relational (column-backed) property mappings are in
-        // scope; anything else fails loudly at load, never silently
-        if (tpe != "relationalPropertyMapping") throw new IllegalArgumentException(
-          s"mapping [$path] property [$field]: unsupported property mapping type [$tpe]")
-        val op = pm.get("relationalOperation")
-        if (op.path("_type").asText() != "column") throw new IllegalArgumentException(
-          s"mapping [$path] property [$field]: only column property mappings are supported")
-        Option(pm.get("enumMappingId")).map(_.asText()).foreach { id =>
-          val pairs = enumMaps.getOrElse(id, throw new IllegalArgumentException(
-            s"mapping [$path] property [$field]: unknown enumMappingId [$id]"))
-          enumFields += field -> pairs
+      // column-backed property mappings, plus EMBEDDED mappings flattened
+      // recursively to dotted field paths ("address.city" → addr_city —
+      // the nested class's fields live as flat columns of the same
+      // table); anything else fails loudly at load, never silently
+      def parseProps(pms: Seq[JsonNode], prefix: String): Seq[(String, String)] =
+        pms.flatMap { pm =>
+          val tpe = pm.path("_type").asText()
+          val field0 = pm.path("property").path("property").asText()
+          val field = if (prefix.isEmpty) field0 else s"$prefix.$field0"
+          tpe match {
+            case "relationalPropertyMapping" =>
+              val op = pm.get("relationalOperation")
+              if (op.path("_type").asText() != "column") throw new IllegalArgumentException(
+                s"mapping [$path] property [$field]: only column property mappings are supported")
+              Option(pm.get("enumMappingId")).map(_.asText()).foreach { id =>
+                val pairs = enumMaps.getOrElse(id, throw new IllegalArgumentException(
+                  s"mapping [$path] property [$field]: unknown enumMappingId [$id]"))
+                enumFields += field -> pairs
+              }
+              Seq(field -> op.get("column").asText())
+            case "embeddedPropertyMapping" =>
+              val nested = elems(pm.path("classMapping"), "propertyMappings")
+              require(nested.nonEmpty,
+                s"mapping [$path] embedded property [$field]: empty classMapping")
+              parseProps(nested, field)
+            case other => throw new IllegalArgumentException(
+              s"mapping [$path] property [$field]: unsupported property mapping type [$other]")
+          }
         }
-        field -> op.get("column").asText()
-      }.toMap
+      val fields = parseProps(elems(cm, "propertyMappings"), "").toMap
       val key = if (i == 0) path else s"$path::$entity"
       key -> GraftMapping(key, entity, qualified, fields, enumFields, assocJoins)
     }.toMap

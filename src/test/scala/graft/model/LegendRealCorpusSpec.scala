@@ -223,12 +223,23 @@ class LegendRealCorpusSpec extends SparkTestBase {
     }
     assert(e1.getMessage.contains("no_such_enum_mapping"))
 
+    // embedded mappings are supported since round 7 — but a malformed one
+    // (no nested classMapping) still fails loudly, naming the property
     val embedded = mappingJson.replaceFirst(
       "\"_type\" : \"relationalPropertyMapping\"",
       "\"_type\" : \"embeddedPropertyMapping\"")
     val e2 = intercept[IllegalArgumentException] {
       LegendLoader.fromJsonStrings(Seq(embedded))
     }
-    assert(e2.getMessage.contains("embeddedPropertyMapping"))
+    assert(e2.getMessage.contains("empty classMapping"))
+
+    // genuinely unsupported property-mapping types still reject by name
+    val otherwise = mappingJson.replaceFirst(
+      "\"_type\" : \"relationalPropertyMapping\"",
+      "\"_type\" : \"otherwisePropertyMapping\"")
+    val e3 = intercept[IllegalArgumentException] {
+      LegendLoader.fromJsonStrings(Seq(otherwise))
+    }
+    assert(e3.getMessage.contains("otherwisePropertyMapping"))
   }
 }

@@ -327,6 +327,92 @@ class LegendSpec extends SparkTestBase {
     assert(e2.getMessage.contains("OrderCustomer"), e2.getMessage)
   }
 
+  test("M13: embedded property mappings flatten to columns; everything downstream works") {
+    import spark.implicits._
+    // person { name: String[1], address: Address[1] };
+    // Address { city: String[1], zip: Integer[1], constraint zip > 0 }
+    val addressClass =
+      s"""{"classifierPath":"meta::pure::metamodel::type::Class","content":{
+         |"_type":"class","name":"Address","package":"emb::entity","superTypes":[],
+         |"properties":[${prop("city", "String")}, ${prop("zip", "Integer")}],
+         |"constraints":[{"name":"positive zip","functionDefinition":${lambda(
+              func("greaterThan", thisProp("zip"), lit("integer", "0")))}}],
+         |"qualifiedProperties":[]}}""".stripMargin
+    val personClass =
+      s"""{"classifierPath":"meta::pure::metamodel::type::Class","content":{
+         |"_type":"class","name":"person","package":"emb::entity","superTypes":[],
+         |"properties":[${prop("name", "String")},
+         |  {"name":"address","type":"emb::entity::Address","multiplicity":${mult(1)}}],
+         |"constraints":[],"qualifiedProperties":[]}}""".stripMargin
+    val mappingJson =
+      s"""{"classifierPath":"meta::pure::mapping::Mapping","content":{
+         |"_type":"mapping","name":"person_rel","package":"emb::mapping",
+         |"classMappings":[{"_type":"relational","class":"emb::entity::person",
+         |"mainTable":{"_type":"Table","schema":"default","table":"emb_person"},
+         |"propertyMappings":[
+         |  {"_type":"relationalPropertyMapping",
+         |   "property":{"class":"emb::entity::person","property":"name"},
+         |   "relationalOperation":{"_type":"column","column":"p_name","table":{"_type":"Table"}}},
+         |  {"_type":"embeddedPropertyMapping",
+         |   "property":{"class":"emb::entity::person","property":"address"},
+         |   "classMapping":{"_type":"embedded","propertyMappings":[
+         |     {"_type":"relationalPropertyMapping",
+         |      "property":{"class":"emb::entity::Address","property":"city"},
+         |      "relationalOperation":{"_type":"column","column":"addr_city","table":{"_type":"Table"}}},
+         |     {"_type":"relationalPropertyMapping",
+         |      "property":{"class":"emb::entity::Address","property":"zip"},
+         |      "relationalOperation":{"_type":"column","column":"addr_zip","table":{"_type":"Table"}}}]}}]}]}}""".stripMargin
+    val serviceJson =
+      s"""{"classifierPath":"meta::legend::service::metamodel::Service","content":{
+         |"_type":"service","name":"byCity","package":"emb::service","pattern":"/c",
+         |"execution":{"_type":"pureSingleExecution","mapping":"emb::mapping::person_rel",
+         |"func":${lambda(
+            func("project",
+              func("filter",
+                func("getAll", ptr("emb::entity::person")),
+                lambda(func("equal",
+                  pprop(pprop(pvar("x"), "address"), "city"),
+                  lit("string", "\"PARIS\"")), "x")),
+              coll(lambda(pprop(pvar("x"), "name"), "x"),
+                   lambda(pprop(pprop(pvar("x"), "address"), "zip"), "x")),
+              coll(lit("string", "\"Name\""), lit("string", "\"Zip\""))))}}}}""".stripMargin
+    val m = LegendLoader.fromJsonStrings(
+      Seq(addressClass, personClass, mappingJson, serviceJson))
+
+    // dotted flattening in the mapping
+    val mp = m.mapping("emb::mapping::person_rel")
+    assert(mp.fields == Map("name" -> "p_name",
+      "address.city" -> "addr_city", "address.zip" -> "addr_zip"))
+    // mapping schema is the FLAT table shape
+    assert(SchemaGen.schemaOfMapping(m, "emb::mapping::person_rel").fieldNames.toSeq ==
+      Seq("p_name", "addr_city", "addr_zip"))
+
+    Seq(("ann", "PARIS", 75001L), ("bob", "OSLO", 150L), ("cid", "PARIS", -4L))
+      .toDF("p_name", "addr_city", "addr_zip")
+      .createOrReplaceTempView("emb_person")
+
+    // service navigating the embedded field runs (filter + projection)
+    val rows = ServiceGen.runService(spark, m, "emb::service::byCity")
+      .as[(String, Long)].collect().toSet
+    assert(rows == Set(("ann", 75001L), ("cid", -4L)))
+
+    // validation: the NESTED class's constraint resolves through the
+    // dotted path to the flat column; embedded mandatory is vacuous
+    val rules = Expectations.forMapping(m, "emb::mapping::person_rel").toMap
+    assert(rules("positive zip").contains("addr_zip"))
+    val bad = spark.table("emb_person")
+      .filter(!org.apache.spark.sql.functions.expr(rules("positive zip")))
+      .select("p_name").as[String].collect().toSeq
+    assert(bad == Seq("cid"))
+
+    // governed read rebuilds the ENTITY shape: struct(city, zip) AS address
+    val lifted = ServiceGen.runMapping(spark, m, "emb::mapping::person_rel")
+    assert(lifted.schema("address").dataType.isInstanceOf[StructType])
+    val ann = lifted.filter(col("name") === "ann").select("address.city", "address.zip")
+      .as[(String, Long)].head()
+    assert(ann == (("PARIS", 75001L)))
+  }
+
   test("M13: multi-join elementWithJoins and compound join operations reject at load") {
     val multiJoinMapping =
       s"""{"classifierPath":"meta::pure::mapping::Mapping","content":{
