@@ -127,9 +127,10 @@ object Sampling {
     val offsets = (0 until buckets).scanLeft(0L) {
       (acc, b) => acc + sliceTotals.getOrElse(b, 0L)
     } // offsets(b) = tokens in all earlier slices
-    val offsetCol = (0 until buckets).foldLeft(lit(0L)) {
-      (acc, b) => when(col("slice") === b, lit(offsets(b))).otherwise(acc)
-    }
+    // O(1) literal-map lookup (a when-chain would grow the expression
+    // tree linearly in the bucket count)
+    val offsetMap = typedLit((0 until buckets).map(b => b -> offsets(b)).toMap)
+    val offsetCol = element_at(offsetMap, col("slice"))
     val w = Window.partitionBy(col("slice"))
       .orderBy(col("h").asc, col("doc_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
