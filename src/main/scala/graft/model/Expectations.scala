@@ -92,8 +92,16 @@ object Expectations {
       if (p.isReference) {
         model.classes.get(p.dataType) match {
           case Some(nestedClass) if !p.multiplicity.isCollection =>
-            // recurse into non-collection nested classes with a dotted path
-            classRules(model, nestedClass, field)
+            // recurse into non-collection nested classes with a dotted
+            // path. Under an OPTIONAL parent the nested rules only apply
+            // when the value is present — without the guard, an absent
+            // [0..1] nested value (NULL struct / all-NULL embedded
+            // leaves) would violate every mandatory leaf rule and the
+            // governed read would silently drop the row.
+            val rules = classRules(model, nestedClass, field)
+            if (p.multiplicity.isNullable)
+              rules.map { case (name, sql) => name -> s"$field IS NULL OR ($sql)" }
+            else rules
           case Some(_) => Nil
           case None =>
             val e = model.enum(p.dataType)

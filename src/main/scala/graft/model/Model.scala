@@ -124,16 +124,18 @@ final case class GraftMapping(
   * by a class — `order.customer` / `customer.orders`. Associations ADD
   * properties to both classes (they are not declared on the class
   * itself), which is why navigation resolution searches the model's
-  * associations rather than the class's property list. */
-final case class GraftAssociation(name: String, properties: Seq[(String, String)]) {
+  * associations rather than the class's property list. Property
+  * multiplicity is carried so navigation can honor optionality
+  * ([0..1] → outer join). */
+final case class GraftAssociation(name: String, properties: Seq[GraftProperty]) {
   require(properties.size == 2,
     s"association [$name] must have exactly 2 properties, got ${properties.size}")
-  /** The class reached by navigating `property` FROM `fromClass`, if this
+  /** The property navigated as `property` FROM `fromClass`, if this
     * association defines that navigation. */
-  def target(fromClass: String, property: String): Option[String] =
+  def navigation(fromClass: String, property: String): Option[GraftProperty] =
     properties.collectFirst {
-      case (p, target) if p == property &&
-        properties.exists { case (o, t) => o != p && t == fromClass } => target
+      case p if p.name == property &&
+        properties.exists(o => o.name != property && o.dataType == fromClass) => p
     }
 }
 
@@ -220,50 +222,78 @@ final case class GraftModel(
     // EMBEDDED heads: every dotted prefix rebuilds its entity shape as a
     // struct(...) of its (recursively resolved) leaves, so expressions
     // over the whole embedded value — including the generated mandatory
-    // rule — compile. struct() of same-row columns is never NULL, which
-    // is exactly Legend's embedded semantics (the nested value always
-    // exists; only its leaves can be null).
-    def structExpr(className: String, prefix: String): String =
-      allProperties(className).map { p =>
-        val path = s"$prefix.${p.name}"
+    // rule — compile. A MANDATORY embedded value is never NULL (the
+    // nested value always exists on the row — Legend's embedded
+    // semantics); an OPTIONAL ([0..1]) one reads back as SQL NULL when
+    // every one of its leaf columns is NULL — the only representation
+    // of absence a flattened table has — so `parent IS NULL` guards and
+    // governed reads behave correctly for absent values.
+    def structExpr(p: GraftProperty, prefix: String): String = {
+      val body = allProperties(p.dataType).map { np =>
+        val path = s"$prefix.${np.name}"
         val sql = m.fields.get(path).map(c => m.enumExpr(path).getOrElse(c))
-          .getOrElse(classes.get(p.dataType) match {
-            case Some(nc) if m.fields.keys.exists(_.startsWith(path + ".")) =>
-              structExpr(nc.name, path)
+          .getOrElse(classes.get(np.dataType) match {
+            case Some(_) if m.fields.keys.exists(_.startsWith(path + ".")) =>
+              structExpr(np, path)
             case _ => throw new IllegalArgumentException(
               s"mapping [${m.name}] has no column for field [$path]")
           })
-        s"$sql AS ${p.name}"
+        s"$sql AS ${np.name}"
       }.mkString("struct(", ", ", ")")
+      if (p.multiplicity.isNullable) {
+        val leaves = m.fields.collect {
+          case (path, c) if path.startsWith(prefix + ".") => c
+        }
+        s"(CASE WHEN ${leaves.map(c => s"$c IS NULL").mkString(" AND ")} THEN NULL ELSE $body END)"
+      } else body
+    }
     val embeddedHeads: Map[String, String] = m.fields.keys
       .filter(_.contains("."))
       .flatMap { k =>
         val parts = k.split('.')
         (1 until parts.length).map(i => parts.take(i).mkString("."))
       }.toSet[String]
-      .map(pre => pre -> structExpr(classAtPath(m.entity, pre), pre))
+      .map(pre => pre -> structExpr(propertyAtPath(m.entity, pre), pre))
       .toMap
     allDerivations(m.entity).foldLeft(fieldSubs ++ embeddedHeads) { (acc, d) =>
       acc + (d.name -> SqlRewrite.substitute(d.expr, acc))
     }
   }
 
-  /** The class reached by walking property segments from `className`. */
-  private def classAtPath(className: String, path: String): String =
-    path.split('.').foldLeft(className) { (cn, seg) =>
-      allProperties(cn).find(_.name == seg).map(_.dataType).getOrElse(
+  /** The property reached by walking dotted segments from `className`. */
+  private def propertyAtPath(className: String, path: String): GraftProperty = {
+    val segs = path.split('.')
+    var cn = className
+    var prop: GraftProperty = null
+    for (seg <- segs) {
+      prop = allProperties(cn).find(_.name == seg).getOrElse(
         throw new IllegalArgumentException(s"class [$cn] has no property [$seg]"))
+      cn = prop.dataType
     }
+    prop
+  }
 
   /** Every addressable name in the model (reference: getEntityNames,
     * Legend.scala:191 — classes, enums, mappings, services). */
   def entityNames: Set[String] =
     classes.keySet ++ enums.keySet ++ mappings.keySet ++ services.keySet
 
+  /** Every association property navigable as `prop` from `fromClass`.
+    * More than one candidate is an AMBIGUITY the caller must reject —
+    * picking one from unordered map iteration would compile the same
+    * service against different tables across JVMs. */
+  def navigations(fromClass: String, prop: String): Seq[GraftProperty] =
+    associations.values.flatMap(_.navigation(fromClass, prop)).toSeq
+
   /** The class reached by navigating association property `prop` from
-    * `fromClass`, if any association defines it. */
-  def navigationTarget(fromClass: String, prop: String): Option[String] =
-    associations.values.flatMap(_.target(fromClass, prop)).headOption
+    * `fromClass`, if UNAMBIGUOUSLY defined (loud on two candidates). */
+  def navigationTarget(fromClass: String, prop: String): Option[String] = {
+    val hits = navigations(fromClass, prop).map(_.dataType).distinct
+    require(hits.size <= 1,
+      s"association property [$prop] from [$fromClass] is ambiguous: " +
+        s"defined by multiple associations targeting ${hits.mkString(", ")}")
+    hits.headOption
+  }
 
   def merge(other: GraftModel): GraftModel = GraftModel(
     classes ++ other.classes, enums ++ other.enums,

@@ -73,9 +73,22 @@ object ServiceGen {
       svc.orderBy.map(o => splitDirection(o)._1)
     val navs = resolveNavigations(model, svc, m, allExprs)
 
-    def compile(e: String): String =
-      if (navs.isEmpty) SqlRewrite.substitute(e, model.tableSubstitutions(svc.mapping))
-      else compileJoined(model, svc, m, navs, e)
+    // substitution maps are hoisted: one build per SERVICE, not one per
+    // expression (tableSubstitutions parses every value through Catalyst)
+    val compile: String => String =
+      if (navs.isEmpty) {
+        val subs = model.tableSubstitutions(svc.mapping)
+        e => SqlRewrite.substitute(e, subs)
+      } else {
+        import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        val mainSubs = model.tableSubstitutions(svc.mapping).map { case (f, sql) =>
+          f -> prefixAttrs(CatalystSqlParser.parseExpression(sql), MainAlias)
+        }
+        val navSubs = navs.flatMap { case (prop, n) =>
+          n.subs.map { case (f, ex) => s"$prop.$f" -> ex }
+        }
+        e => compileJoined(svc, navs, mainSubs ++ navSubs, e)
+      }
 
     val select = svc.select
       .map { case (alias, e) => s"${compile(e)} AS ${quoteIfNeeded(alias)}" }
@@ -84,7 +97,7 @@ object ServiceGen {
       if (navs.isEmpty) m.table
       else {
         val joins = navs.values.map { n =>
-          s"JOIN ${n.mapping.table} AS ${n.alias} ON " +
+          s"${n.joinKeyword} ${n.mapping.table} AS ${n.alias} ON " +
             s"$MainAlias.${quoteIfNeeded(n.myCol)} = ${n.alias}.${quoteIfNeeded(n.otherCol)}"
         }.mkString(" ")
         s"${m.table} AS $MainAlias $joins"
@@ -107,18 +120,21 @@ object ServiceGen {
 
   private val MainAlias = "t0"
 
-  /** A resolved single-hop navigation: SQL alias, target class mapping,
-    * oriented FK columns, and the target's field→expression substitutions
-    * (already alias-prefixed). */
-  private final case class Nav(alias: String, mapping: GraftMapping,
-      myCol: String, otherCol: String,
+  /** A resolved single-hop navigation: SQL alias, join keyword (LEFT
+    * JOIN when the association property is optional — an orphan row
+    * must survive with NULLs, not silently vanish), target class
+    * mapping, oriented FK columns, and the target's field→expression
+    * substitutions (already alias-prefixed). */
+  private final case class Nav(alias: String, joinKeyword: String,
+      mapping: GraftMapping, myCol: String, otherCol: String,
       subs: Map[String, org.apache.spark.sql.catalyst.expressions.Expression])
 
   /** Find every association property the service's expressions navigate,
-    * and resolve each to its join + target mapping. Loud failures: a
-    * navigated property with no associationMapping join, a join name
-    * missing from the store, join columns matching neither table, or no
-    * mapping for the target class. */
+    * and resolve each to its join + target mapping. Loud failures: an
+    * AMBIGUOUS navigation (two associations or two target mappings —
+    * never resolved by map-iteration luck), a navigated property with no
+    * associationMapping join, a join name missing from the store, join
+    * columns matching neither table. */
   private def resolveNavigations(model: GraftModel, svc: GraftService,
       m: GraftMapping, exprs: Seq[String]): Map[String, Nav] = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
@@ -126,72 +142,73 @@ object ServiceGen {
     val heads = exprs.flatMap { e =>
       CatalystSqlParser.parseExpression(e).collect {
         case a: UnresolvedAttribute if a.nameParts.size > 1 &&
-          model.navigationTarget(m.entity, a.nameParts.head).isDefined => a.nameParts.head
+          model.navigations(m.entity, a.nameParts.head).nonEmpty => a.nameParts.head
       }
     }.distinct.sorted
     heads.zipWithIndex.map { case (prop, i) =>
-      val target = model.navigationTarget(m.entity, prop).get
-      val joinName = m.assocJoins.getOrElse(prop, throw new IllegalArgumentException(
+      val candidates = model.navigations(m.entity, prop)
+      require(candidates.map(_.dataType).distinct.size == 1,
+        s"service [${svc.name}]: association property [$prop] from [${m.entity}] is " +
+          s"ambiguous (targets ${candidates.map(_.dataType).distinct.mkString(", ")})")
+      val navProp = candidates.head
+      val target = navProp.dataType
+      val joinRef = m.assocJoins.getOrElse(prop, throw new IllegalArgumentException(
         s"service [${svc.name}]: association property [$prop] has no join in mapping [${m.name}] " +
           "(missing associationMappings entry)"))
-      val jd = model.joins.getOrElse(joinName, throw new IllegalArgumentException(
-        s"service [${svc.name}]: join [$joinName] is not defined in any loaded store"))
-      val tm = model.mappings.get(s"${svc.mapping}::$target")
-        .orElse(model.mappings.values.find(_.entity == target))
-        .getOrElse(throw new IllegalArgumentException(
+      // exact (store-qualified) key first; bare references resolve only
+      // when the name is unambiguous across loaded stores
+      val jd = model.joins.getOrElse(joinRef, {
+        val byName = model.joins.values.filter(_.name == joinRef).toSeq
+        require(byName.size <= 1,
+          s"service [${svc.name}]: join [$joinRef] is defined in multiple stores — " +
+            "qualify the reference with its store path")
+        byName.headOption.getOrElse(throw new IllegalArgumentException(
+          s"service [${svc.name}]: join [$joinRef] is not defined in any loaded store"))
+      })
+      val tm = model.mappings.get(s"${svc.mapping}::$target").getOrElse {
+        val byEntity = model.mappings.values.filter(_.entity == target).toSeq
+        require(byEntity.size <= 1,
+          s"service [${svc.name}]: class [$target] has multiple mappings " +
+            s"(${byEntity.map(_.name).mkString(", ")}) — none named [${svc.mapping}::$target]")
+        byEntity.headOption.getOrElse(throw new IllegalArgumentException(
           s"service [${svc.name}]: no mapping found for navigated class [$target]"))
+      }
       val (myCol, otherCol) = jd.orient(m.table).getOrElse(
         throw new IllegalArgumentException(
-          s"service [${svc.name}]: join [$joinName] does not touch table [${m.table}]"))
+          s"service [${svc.name}]: join [${jd.name}] does not touch table [${m.table}]"))
       require(jd.orient(tm.table).isDefined,
-        s"service [${svc.name}]: join [$joinName] does not touch target table [${tm.table}]")
+        s"service [${svc.name}]: join [${jd.name}] does not touch target table [${tm.table}]")
       val alias = s"t${i + 1}"
+      val joinKeyword = if (navProp.multiplicity.isNullable) "LEFT JOIN" else "JOIN"
       val targetSubs = model.tableSubstitutions(tm.name)
         .map { case (f, sql) => f -> prefixAttrs(CatalystSqlParser.parseExpression(sql), alias) }
-      prop -> Nav(alias, tm, myCol, otherCol, targetSubs)
+      prop -> Nav(alias, joinKeyword, tm, myCol, otherCol, targetSubs)
     }.toMap
   }
 
   /** Entity-space expression → table-space SQL over the aliased join.
-    * Main-entity fields resolve through the main mapping under t0;
-    * `assoc.field` resolves through the target mapping under its alias;
-    * anything deeper than one hop rejects. */
-  private def compileJoined(model: GraftModel, svc: GraftService, m: GraftMapping,
-      navs: Map[String, Nav], e: String): String = {
+    * Validation pass rejects multi-hop navigation and unknown navigated
+    * fields loudly; the substitution itself is the SAME longest-prefix
+    * walk the single-table path uses ([[SqlRewrite.substituteParsed]]) —
+    * nav fields ride the map as dotted "prop.field" keys. */
+  private def compileJoined(svc: GraftService, navs: Map[String, Nav],
+      subs: Map[String, org.apache.spark.sql.catalyst.expressions.Expression],
+      e: String): String = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-    import org.apache.spark.sql.catalyst.expressions.Expression
     import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
-    lazy val mainSubs: Map[String, Expression] = model.tableSubstitutions(svc.mapping)
-      .map { case (f, sql) => f -> prefixAttrs(CatalystSqlParser.parseExpression(sql), MainAlias) }
-    def walk(ex: Expression): Expression = ex match {
+    val parsed = CatalystSqlParser.parseExpression(e)
+    parsed.foreach {
       case a: UnresolvedAttribute if navs.contains(a.nameParts.head) =>
         require(a.nameParts.size == 2,
           s"service [${svc.name}]: navigation [${a.name}] is deeper than one hop — " +
             "only single-join association navigation is supported")
         val n = navs(a.nameParts.head)
-        n.subs.getOrElse(a.nameParts(1), throw new IllegalArgumentException(
+        if (!n.subs.contains(a.nameParts(1))) throw new IllegalArgumentException(
           s"service [${svc.name}]: [${a.name}] — class [${n.mapping.entity}] has no mapped " +
-            s"field [${a.nameParts(1)}]"))
-      case a: UnresolvedAttribute =>
-        // longest dotted-prefix match (embedded fields are dotted keys)
-        val hit = (a.nameParts.size to 1 by -1).iterator
-          .map(k => (k, a.nameParts.take(k).mkString(".")))
-          .find { case (_, key) => mainSubs.contains(key) }
-        hit match {
-          case Some((k, key)) =>
-            val tail = a.nameParts.drop(k)
-            mainSubs(key) match {
-              case ua: UnresolvedAttribute => UnresolvedAttribute(ua.nameParts ++ tail)
-              case replacement =>
-                require(tail.isEmpty,
-                  s"cannot substitute expression under dotted path [${a.name}]")
-                replacement
-            }
-          case None => a
-        }
-      case other => other.mapChildren(walk)
+            s"field [${a.nameParts(1)}]")
+      case _ => ()
     }
-    walk(CatalystSqlParser.parseExpression(e)).sql
+    SqlRewrite.substituteParsed(parsed, subs).sql
   }
 
   /** Prefix every attribute head in `e` with a table alias (the

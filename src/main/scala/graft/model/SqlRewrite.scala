@@ -45,10 +45,19 @@ object SqlRewrite {
     * non-attribute expression under a dotted tail is an error (loud
     * beats silent misreads). */
   def substitute(sqlExpr: String, subs: Map[String, String]): String = {
-    import org.apache.spark.sql.catalyst.expressions.Expression
     if (subs.isEmpty) return rename(sqlExpr, Map.empty)
-    lazy val parsedSubs: Map[String, Expression] =
-      subs.map { case (k, v) => k -> CatalystSqlParser.parseExpression(v) }
+    val parsedSubs = subs.map { case (k, v) => k -> CatalystSqlParser.parseExpression(v) }
+    substituteParsed(CatalystSqlParser.parseExpression(sqlExpr), parsedSubs).sql
+  }
+
+  /** Expression-level form of [[substitute]] — the single implementation
+    * of longest-dotted-prefix attribute replacement, shared with the
+    * service compiler's joined path (one walk, one set of semantics). */
+  private[model] def substituteParsed(
+      root: org.apache.spark.sql.catalyst.expressions.Expression,
+      subs: Map[String, org.apache.spark.sql.catalyst.expressions.Expression]):
+      org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions.Expression
     def walk(e: Expression): Expression = e match {
       case a: UnresolvedAttribute =>
         // longest dotted-prefix match over the name parts
@@ -58,18 +67,18 @@ object SqlRewrite {
         hit match {
           case Some((k, key)) =>
             val tail = a.nameParts.drop(k)
-            parsedSubs(key) match {
+            subs(key) match {
               case ua: UnresolvedAttribute => UnresolvedAttribute(ua.nameParts ++ tail)
               case replacement =>
                 require(tail.isEmpty,
-                  s"cannot substitute expression [${subs(key)}] under dotted path [${a.name}]")
+                  s"cannot substitute expression [${subs(key).sql}] under dotted path [${a.name}]")
                 replacement
             }
           case None => a
         }
       case other => other.mapChildren(walk)
     }
-    walk(CatalystSqlParser.parseExpression(sqlExpr)).sql
+    walk(root)
   }
 
   /** Syntax-check an expression (throws ParseException on bad input). */

@@ -139,17 +139,25 @@ object LegendLoader {
   }
 
   /** A PURE association: exactly two class-typed properties that become
-    * navigable from each other's class. */
+    * navigable from each other's class (multiplicity kept — [0..1]
+    * navigation compiles to an outer join). */
   private def parseAssociation(c: JsonNode): (String, GraftAssociation) = {
     val name = fullPath(c)
     val props = elems(c, "properties").map { p =>
-      p.get("name").asText() -> p.get("type").asText()
+      GraftProperty(
+        name = p.get("name").asText(),
+        dataType = p.get("type").asText(),
+        multiplicity = Option(p.get("multiplicity")).map(parseMultiplicity)
+          .getOrElse(Multiplicity.One))
     }
     name -> GraftAssociation(name, props)
   }
 
-  /** Named FK joins from a relational Database (store) entity. Scope:
-    * the single-equality form `equal(tableA.colX, tableB.colY)` — the
+  /** Named FK joins from a relational Database (store) entity, keyed
+    * `<storePath>::<joinName>` so same-named joins in two stores never
+    * collide (an associationMapping's join reference carries the store
+    * path and resolves against the qualified key). Scope: the
+    * single-equality form `equal(tableA.colX, tableB.colY)` — the
     * FK shape association navigation compiles to one SQL join. Compound
     * (and/or) and filtered join operations reject loudly. */
   private def parseStoreJoins(c: JsonNode): Map[String, GraftJoinDef] = {
@@ -168,7 +176,7 @@ object LegendLoader {
         (p.path("table").path("table").asText(), p.get("column").asText())
       val (lt, lc) = side(params(0))
       val (rt, rc) = side(params(1))
-      name -> GraftJoinDef(name, lt, lc, rt, rc)
+      s"$path::$name" -> GraftJoinDef(name, lt, lc, rt, rc)
     }.toMap
   }
 
@@ -234,7 +242,11 @@ object LegendLoader {
           require(joins.size == 1,
             s"mapping [$path] association [$assoc] property [$prop]: " +
               s"only single-join navigation is supported, got ${joins.size} joins")
-          prop -> joins.head.path("name").asText()
+          // qualify by the referenced store when present (two stores may
+          // both define a join of the same name)
+          val joinName = joins.head.path("name").asText()
+          val db = joins.head.path("db").asText("")
+          prop -> (if (db.isEmpty) joinName else s"$db::$joinName")
         }
       }.toMap
 

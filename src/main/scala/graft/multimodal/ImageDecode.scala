@@ -39,7 +39,7 @@ object ImageIoDecoder extends MediaDecoder {
   private val ImageFormats = Set("png", "jpeg", "jpg", "gif", "bmp")
 
   override def features(format: String, payload: Array[Byte], bins: Int): Array[Double] =
-    (if (ImageFormats(format)) decode(payload) else None) match {
+    (if (ImageFormats(format.toLowerCase)) decode(payload) else None) match {
       case Some(img) => luminanceHistogram(img, bins)
       case None      => Multimodal.decodeStub(payload, bins)
     }

@@ -40,8 +40,14 @@ trait QualityScorer extends Serializable {
 object LexicalDiversityScorer extends QualityScorer {
   val SaturationTokens = 100
 
+  /** SQL `trim` strips SPACES only; Java's String.trim also strips
+    * \t\n\r, which would make this tokenizer disagree with
+    * TextFunctions.tokens (and the oracle) on whitespace-edged text. */
+  private def sqlTrim(s: String): String =
+    s.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+
   override def scoreBatch(texts: Seq[String]): Seq[Double] = texts.map { t =>
-    val toks = t.trim.toLowerCase.split("\\s+")
+    val toks = sqlTrim(t.toLowerCase).split("\\s+", -1)
     val n = toks.length.toDouble // split never returns an empty array
     (toks.distinct.length / n) * math.min(1.0, n / SaturationTokens)
   }

@@ -413,6 +413,102 @@ class LegendSpec extends SparkTestBase {
     assert(ann == (("PARIS", 75001L)))
   }
 
+  test("M13: optional association navigation compiles to LEFT JOIN; orphans survive") {
+    import spark.implicits._
+    // same two-class corpus, but customer navigation relaxed to [0..1]
+    val base = LegendQueries.model
+    val relaxed = base.copy(associations = base.associations.map { case (k, a) =>
+      k -> a.copy(properties = a.properties.map(p =>
+        if (p.name == "customer") p.copy(multiplicity = Multiplicity.ZeroOrOne) else p))
+    })
+    val sql = ServiceGen.serviceSql(relaxed, "gate::service::orderWithCustomer")
+    assert(sql.contains("LEFT JOIN customer AS t1"), sql)
+    // an orphan order (no customer row) passes a filter that its NULL
+    // navigation can't satisfy — but a name-only projection keeps it
+    val orphanSvc = GraftService("orphans", "gate::mapping::order_customer_rel",
+      select = Seq("OrderId" -> "orderId", "CustomerName" -> "customer.name"))
+    val m2 = relaxed.copy(services = relaxed.services + ("orphans" -> orphanSvc))
+    Seq((1L, 10L, 60000.0, "O", "1-URGENT"), (2L, 99L, 70000.0, "O", "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus", "o_orderpriority")
+      .createOrReplaceTempView("orders")
+    Seq((10L, "Alice", "BUILDING", 5.0))
+      .toDF("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+      .createOrReplaceTempView("customer")
+    val rows = ServiceGen.runService(spark, m2, "orphans")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(rows == Set((1L, Some("Alice")), (2L, None)))
+  }
+
+  test("M13: ambiguous association property rejects loudly") {
+    val base = LegendQueries.model
+    // a second association also defining `customer` from order, to a
+    // different target class
+    val dup = GraftAssociation("gate::entity::Order_Customer2", Seq(
+      GraftProperty("customer", "gate::entity::party"),
+      GraftProperty("orders", "gate::entity::order", Multiplicity.ZeroMany)))
+    val m = base.copy(associations =
+      base.associations + ("gate::entity::Order_Customer2" -> dup))
+    val e = intercept[IllegalArgumentException] {
+      ServiceGen.serviceSql(m, "gate::service::orderWithCustomer")
+    }
+    assert(e.getMessage.contains("ambiguous"), e.getMessage)
+  }
+
+  test("M13: OPTIONAL embedded value - absent rows validate clean and read back NULL") {
+    import spark.implicits._
+    val addressClass =
+      s"""{"classifierPath":"meta::pure::metamodel::type::Class","content":{
+         |"_type":"class","name":"Address","package":"opt::entity","superTypes":[],
+         |"properties":[${prop("city", "String")}, ${prop("zip", "Integer")}],
+         |"constraints":[],"qualifiedProperties":[]}}""".stripMargin
+    val personClass =
+      s"""{"classifierPath":"meta::pure::metamodel::type::Class","content":{
+         |"_type":"class","name":"person","package":"opt::entity","superTypes":[],
+         |"properties":[${prop("name", "String")},
+         |  {"name":"address","type":"opt::entity::Address","multiplicity":${mult(0)}}],
+         |"constraints":[],"qualifiedProperties":[]}}""".stripMargin
+    val mappingJson =
+      s"""{"classifierPath":"meta::pure::mapping::Mapping","content":{
+         |"_type":"mapping","name":"person_rel","package":"opt::mapping",
+         |"classMappings":[{"_type":"relational","class":"opt::entity::person",
+         |"mainTable":{"_type":"Table","schema":"default","table":"opt_person"},
+         |"propertyMappings":[
+         |  {"_type":"relationalPropertyMapping",
+         |   "property":{"class":"opt::entity::person","property":"name"},
+         |   "relationalOperation":{"_type":"column","column":"p_name","table":{"_type":"Table"}}},
+         |  {"_type":"embeddedPropertyMapping",
+         |   "property":{"class":"opt::entity::person","property":"address"},
+         |   "classMapping":{"_type":"embedded","propertyMappings":[
+         |     {"_type":"relationalPropertyMapping",
+         |      "property":{"class":"opt::entity::Address","property":"city"},
+         |      "relationalOperation":{"_type":"column","column":"addr_city","table":{"_type":"Table"}}},
+         |     {"_type":"relationalPropertyMapping",
+         |      "property":{"class":"opt::entity::Address","property":"zip"},
+         |      "relationalOperation":{"_type":"column","column":"addr_zip","table":{"_type":"Table"}}}]}}]}]}}""".stripMargin
+    val m = LegendLoader.fromJsonStrings(Seq(addressClass, personClass, mappingJson))
+
+    Seq(("full", "PARIS", Some(75001L)), ("absent", null, None), ("partial", "OSLO", None))
+      .map { case (n, c, z) => (n, c, z.map(Long.box).orNull) }
+      .toDF("p_name", "addr_city", "addr_zip")
+      .createOrReplaceTempView("opt_person")
+
+    val rules = Expectations.forMapping(m, "opt::mapping::person_rel").toMap
+    // absent address (ALL leaves null) violates nothing; a partially
+    // present one still trips the mandatory-zip rule
+    val zipRule = rules("[address.zip] is mandatory")
+    val violators = spark.table("opt_person")
+      .filter(!org.apache.spark.sql.functions.expr(zipRule))
+      .select("p_name").as[String].collect().toSeq
+    assert(violators == Seq("partial"), s"rule was: $zipRule")
+
+    // governed read: absent value reads back as NULL, present as struct
+    val lifted = ServiceGen.runMapping(spark, m, "opt::mapping::person_rel")
+    val byName = lifted.collect()
+      .map(r => r.getAs[String]("name") -> r.getAs[org.apache.spark.sql.Row]("address")).toMap
+    assert(byName("absent") == null)
+    assert(byName("full") != null && byName("full").getAs[String]("city") == "PARIS")
+  }
+
   test("M13: multi-join elementWithJoins and compound join operations reject at load") {
     val multiJoinMapping =
       s"""{"classifierPath":"meta::pure::mapping::Mapping","content":{

@@ -255,6 +255,31 @@ class ModelSpec extends SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS graft_m14_part")
   }
 
+  test("M9: write aligns to the STORED schema when the partition column is not last") {
+    // partition by c_nationkey — a MIDDLE mapping column. Spark moves
+    // partition columns to the END of a datasource table's stored
+    // schema; positional insertInto against mapping-declaration order
+    // would silently swap columns.
+    val tmpModel = model.copy(mappings = model.mappings +
+      ("tmp" -> model.mapping("tpch::mapping::Customer").copy(table = "graft_m9_mid")))
+    def rmDir(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmDir)
+      f.delete(); ()
+    }
+    rmDir(new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), "graft_m9_mid"))
+    try {
+      TableGen.create(spark, tmpModel, "tmp", partitionBy = Seq("c_nationkey"))
+      val src = graft.Tables(spark, sfDir, "customer").limit(20).localCheckpoint()
+      TableGen.write(src, tmpModel, "tmp")
+      val names = spark.table("graft_m9_mid").columns.toSeq
+      def keyed(df: org.apache.spark.sql.DataFrame) = df
+        .select(names.map(org.apache.spark.sql.functions.col): _*)
+        .collect().map(r => r.getAs[Long]("c_custkey") -> r.getValuesMap[Any](names)).toMap
+      assert(keyed(spark.table("graft_m9_mid")) == keyed(src))
+    } finally spark.sql("DROP TABLE IF EXISTS graft_m9_mid")
+  }
+
   test("M9: an unavailable format fails fast with its name, before any DDL") {
     assume(!TableFormat.Delta.available(spark), "delta IS available here")
     val e = intercept[IllegalArgumentException] {
