@@ -334,6 +334,19 @@ object Relational {
         "l_extendedprice", qs = Seq(0.25, 0.5, 0.75))
       .withColumnsRenamed(Map("g" -> "l_returnflag"))
 
+  /** R28: unpivot / wide→long (the inverse of R23) — the pivoted
+    * quantity matrix melts back to (status, flag, sum) rows via the
+    * native `unpivot` (Spark plans it as an Expand over the aggregated
+    * relation — rows × 3, zero extra shuffles beyond q23's single
+    * aggregate). NULL cells are filtered explicitly on BOTH engines:
+    * Spark's unpivot keeps null measures where DuckDB's UNPIVOT drops
+    * them — pinning the filter removes the cross-engine divergence. */
+  def q28Unpivot(s: SparkSession, dir: String): DataFrame =
+    q23Pivot(s, dir)
+      .unpivot(Array(col("l_linestatus")), Array(col("A"), col("N"), col("R")),
+        "l_returnflag", "sum_qty")
+      .filter(col("sum_qty").isNotNull)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_filter_project" -> (q2FilterProject _),
@@ -361,7 +374,8 @@ object Relational {
     "q24_set_ops" -> (q24SetOps _),
     "q25_range_join" -> (q25RangeJoin _),
     "q26_exists_not_exists" -> (q26ExistsNotExists _),
-    "q27_exact_quantile" -> (q27ExactQuantile _))
+    "q27_exact_quantile" -> (q27ExactQuantile _),
+    "q28_unpivot" -> (q28Unpivot _))
 
   val oracles: Map[String, String] = Map(
     "q27_exact_quantile" ->
@@ -385,6 +399,15 @@ object Relational {
         |   min(CASE WHEN cum >= (n + 2) // 2 THEN l_quantity END)) / 2 AS median_qty,
         |  CAST(max(n) AS BIGINT) AS n_rows
         |FROM s GROUP BY 1""".stripMargin,
+    "q28_unpivot" ->
+      """WITH p AS (SELECT l_linestatus,
+        |  sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END) AS A,
+        |  sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END) AS N,
+        |  sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS R
+        |FROM lineitem GROUP BY 1)
+        |SELECT l_linestatus, rf AS l_returnflag, v AS sum_qty
+        |FROM p UNPIVOT (v FOR rf IN (A, N, R))
+        |WHERE v IS NOT NULL""".stripMargin,
     "q26_exists_not_exists" ->
       """SELECT l_suppkey, count(*) AS numwait FROM lineitem l1
         |WHERE l_returnflag = 'R'

@@ -135,15 +135,33 @@ object Streaming {
     * heavy-hitter monitor a 100 TB/day token firehose needs: frequency
     * estimates without per-term state. */
   def cmsStream(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    import graft.text.TextQueries.{cmsHash, CmsDepth}
     import graft.text.TextFunctions.tokens
-    // ONE stateful aggregate (chained streaming aggregations are
-    // unsupported; the batch t10's vocab-level tf pre-aggregate would
-    // also carry per-term state — exactly what a sketch avoids).
-    // Map-side partial aggregation still combines each micro-batch's
-    // token stream down to ≤ depth×width partial cells per partition.
-    docs
-      .select(explode(tokens(col(textCol))).as("term"))
+    cmsAggregate(docs.select(explode(tokens(col(textCol))).as("term")))
+  }
+
+  /** ST11: streaming passage-boilerplate monitor — D7's chunk grain
+    * through the SAME CMS algebra as ST9. Chunk hashes stream into the
+    * fixed depth×width sketch, so "which passages are recurring across
+    * the corpus RIGHT NOW" is answerable with bounded state at any
+    * scale — the online form of d7's exact corpus-frequency pass (the
+    * sketch never underestimates, so every true boilerplate chunk
+    * clears the threshold; rare false positives are re-checked exactly
+    * by the next batch d7 run). */
+  def chunkCmsStream(docs: DataFrame, textCol: String = "text",
+                     chunkWidth: Int = graft.dedup.DedupQueries.ChunkWidth): DataFrame = {
+    import graft.text.TextFunctions.{chunks, tokens}
+    cmsAggregate(docs.select(
+      explode(chunks(tokens(col(textCol)), chunkWidth)).as("term")))
+  }
+
+  /** ONE stateful aggregate over a `term` unit stream (chained streaming
+    * aggregations are unsupported; a vocab-level pre-aggregate would
+    * carry per-term state — exactly what a sketch avoids). Map-side
+    * partial aggregation combines each micro-batch's unit stream down
+    * to ≤ depth×width partial cells per partition. */
+  private def cmsAggregate(units: DataFrame): DataFrame = {
+    import graft.text.TextQueries.{cmsHash, CmsDepth}
+    units
       .select(posexplode(array((0 until CmsDepth).map(d => cmsHash(col("term"), d)): _*))
         .as(Seq("d", "w")))
       .groupBy(col("d"), col("w"))

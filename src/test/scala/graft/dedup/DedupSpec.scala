@@ -167,6 +167,14 @@ class DedupSpec extends SparkTestBase {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("D7: the boilerplate membership flag is a BROADCAST join (corpus never shuffles for it)") {
+    val plan = DedupQueries.queries("d7_passage_dedup")(spark, sfDir)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"boilerplate flag must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"d7 must not shuffle-join the chunk stream:\n$plan")
+  }
+
   test("gate queries: no cartesian product in any dedup plan") {
     for (name <- Seq("d2_minhash_pairs", "d3_simhash", "d4_jaccard_pairs", "d5_embed_dedup")) {
       val plan = DedupQueries.queries(name)(spark, sfDir).queryExecution.sparkPlan.toString

@@ -198,6 +198,36 @@ class StreamingSpec extends SparkTestBase {
     assert(batch.size <= graft.text.TextQueries.CmsDepth * graft.text.TextQueries.CmsWidth)
   }
 
+  test("ST11: streaming chunk CMS flags cross-batch boilerplate; equals the batch sketch") {
+    import graft.text.TextQueries.{cmsHash, CmsDepth}
+    val header = (1 to 8).map(i => s"hdr$i").mkString(" ") // one chunk wide
+    val input = MemoryStream[(Long, String)](spark)
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = Streaming.chunkCmsStream(docs)
+      .writeStream.format("memory").queryName("st11_out")
+      .outputMode(OutputMode.Update()).start()
+    val b1 = Seq((1L, s"$header alpha beta"), (2L, s"$header gamma delta"))
+    val b2 = Seq((3L, s"$header epsilon zeta"), (4L, "omega psi chi"))
+    runBatches(q, input, Seq(b1, b2))
+    q.stop()
+    val cells = spark.table("st11_out").as[(Int, Int, Long)].collect()
+      .groupBy(r => (r._1, r._2)).map { case (k, vs) => k -> vs.map(_._3).max }
+    // sketch estimate (min over depth rows) for the planted header chunk:
+    // CMS never underestimates, and here it should be exactly 3
+    val est = (0 until CmsDepth).map { d =>
+      val (dd, w) = spark.range(1)
+        .select(lit(d).as("d"), cmsHash(lit(header), d).as("w"))
+        .as[(Int, Int)].head()
+      cells.getOrElse((dd, w), 0L)
+    }.min
+    assert(est >= 3L, s"boilerplate chunk estimate $est must cover its true count 3")
+    // streamed state equals the batch sketch over everything ingested
+    val batch = (b1 ++ b2).toDF("doc_id", "text")
+      .transform(d => Streaming.chunkCmsStream(d))
+      .as[(Int, Int, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(cells == batch)
+  }
+
   test("ST8: governed ingest splits each micro-batch into clean and quarantine tables") {
     def resetTable(name: String): Unit = {
       spark.sql(s"DROP TABLE IF EXISTS $name")
