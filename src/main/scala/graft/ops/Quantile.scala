@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
 
@@ -83,14 +82,28 @@ object Quantile {
       StructType(Seq(gField.copy(name = "g"), StructField("q", DoubleType),
         StructField("bin", LongType), StructField("k_in", LongType))))
 
-    // pass 2: candidate-bin rows only → value-frequency → rank select
-    val wCum = Window.partitionBy(col("g"), col("q")).orderBy(col("v").asc)
+    // pass 2: candidate-bin rows only → value-frequency → rank select.
+    // The selection is a sorted-array fold per (group, quantile) rather
+    // than a cumulative window: the (value, count) list is bounded by
+    // one bin's distinct values (the operator contract), and the fold
+    // drops the window's extra Exchange + sort — two shuffle waves
+    // total, both map-side combined. The HOF runs post-aggregate on
+    // bounded data, so interpretation cost is nil.
+    val sel = aggregate(
+      array_sort(collect_list(struct(col("v"), col("c")))),
+      struct(lit(0L).as("cum"), lit(null).cast("double").as("ans")),
+      (acc, x) => struct(
+        (acc.getField("cum") + x.getField("c")).as("cum"),
+        when(acc.getField("ans").isNull &&
+            acc.getField("cum") + x.getField("c") >= col("k_in"), x.getField("v"))
+          .otherwise(acc.getField("ans")).as("ans")),
+      acc => acc.getField("ans"))
     withBin
       .join(broadcast(spec), Seq("g", "bin"))
       .groupBy(col("g"), col("q"), col("k_in"), col("v"))
       .agg(count(lit(1)).as("c"))
-      .withColumn("cum", sum(col("c")).over(wCum))
-      .groupBy(col("g"), col("q"))
-      .agg(min(when(col("cum") >= col("k_in"), col("v"))).as("qval"))
+      .groupBy(col("g"), col("q"), col("k_in"))
+      .agg(sel.as("qval"))
+      .select(col("g"), col("q"), col("qval"))
   }
 }
