@@ -146,16 +146,68 @@ object Sampling {
         size(graft.text.TextFunctions.tokens(col("text"))).cast("long").as("n_tokens")),
       TokenBudget)
 
+  /** P6 target mixture: exact per-language document counts (the
+    * data-mixing primitive — hit a target LANGUAGE MIX exactly, not a
+    * rate). fr's target exceeds its stratum at every SF, exercising the
+    * take-what-exists clamp. */
+  val MixtureTargets: Map[String, Int] =
+    Map("en" -> 120, "de" -> 40, "zh" -> 40, "es" -> 40, "fr" -> 200)
+  val MixtureSalts = 8
+
+  /** P6 core, df-level: deterministic exact-k PER GROUP in md5-hash
+    * order — p3's bottom-k generalized to one k per stratum. Scale
+    * shape: a single window per group would funnel each group through
+    * ONE task (the dominant language IS the corpus at 100 TB), so the
+    * draw is two-phase — a salted window keeps k per (group, salt)
+    * shard in parallel, then the final window ranks only the ≤ salts×k
+    * survivors per group. Groups without a target are dropped (a
+    * mixture spec IS the universe). Same conservative-prune argument as
+    * the q12/S1 two-stage top-k: every global top-k row is top-k within
+    * its shard. */
+  def mixtureSample(d: DataFrame, groupCol: String, targets: Map[String, Int],
+                    salts: Int = MixtureSalts): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = element_at(typedLit(targets), col(groupCol))
+    val shardW = Window.partitionBy(col(groupCol), col("salt"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+    val finalW = Window.partitionBy(col(groupCol))
+      .orderBy(col("h").asc, col("doc_id").asc)
+    d.select(col("doc_id"), col(groupCol),
+        hashBucket(col("doc_id"), Int.MaxValue).as("h"))
+      .filter(k.isNotNull)
+      .withColumn("salt", pmod(col("h"), lit(salts)))
+      .withColumn("shard_rank", row_number().over(shardW))
+      .filter(col("shard_rank") <= k)
+      .withColumn("rank", row_number().over(finalW))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col(groupCol), col("rank"))
+  }
+
+  def p6MixtureSample(s: SparkSession, dir: String): DataFrame =
+    mixtureSample(Tables(s, dir, "documents").select(col("doc_id"), col("lang")),
+      "lang", MixtureTargets)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_split_sample" -> (p1SplitSample _),
     "p2_stratified_sample" -> (p2StratifiedSample _),
     "p3_uniform_sample" -> (p3UniformSample _),
     "p4_weighted_sample" -> (p4WeightedSample _),
-    "p5_token_budget" -> (p5TokenBudget _))
+    "p5_token_budget" -> (p5TokenBudget _),
+    "p6_mixture_sample" -> (p6MixtureSample _))
 
   private val hashSql = "('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT"
 
+  private val mixtureCaseSql = MixtureTargets.toSeq.sortBy(_._1)
+    .map { case (l, k) => s"WHEN '$l' THEN $k" }.mkString(" ")
+
   val oracles: Map[String, String] = Map(
+    "p6_mixture_sample" ->
+      s"""SELECT doc_id, lang, rank FROM (
+         |  SELECT doc_id, lang,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY $hashSql % 2147483647 ASC, doc_id ASC) AS rank
+         |  FROM documents)
+         |WHERE rank <= (CASE lang $mixtureCaseSql ELSE 0 END)""".stripMargin,
     "p1_split_sample" ->
       s"""SELECT CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'val'
          |  ELSE 'test' END AS split,

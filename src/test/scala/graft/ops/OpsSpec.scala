@@ -145,6 +145,29 @@ class OpsSpec extends SparkTestBase {
       || plan.contains("BroadcastHashJoin"), s"expected an equi join on the cell:\n$plan")
   }
 
+  test("P6: mixture sampling hits targets exactly, clamps to stratum size, drops untargeted") {
+    import spark.implicits._
+    val docs = (1L to 300L).map(i => (i, if (i <= 200) "en" else if (i <= 280) "de" else "xx"))
+      .toDF("doc_id", "lang")
+    val targets = Map("en" -> 50, "de" -> 500) // de target exceeds its 80 rows
+    val out = Sampling.mixtureSample(docs, "lang", targets, salts = 4)
+    val counts = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(counts == Map("en" -> 50L, "de" -> 80L)) // exact-k; clamp; xx dropped
+    // two-phase salted draw equals the naive single-window draw
+    val naive = docs
+      .withColumn("h", Sampling.hashBucket(col("doc_id"), Int.MaxValue))
+      .withColumn("rank", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+          .orderBy(col("h").asc, col("doc_id").asc)))
+      .filter(col("rank") <= org.apache.spark.sql.functions.element_at(
+        org.apache.spark.sql.functions.typedLit(targets), col("lang")))
+      .select("doc_id", "lang", "rank")
+    assert(out.collect().toSet == naive.collect().toSet)
+    // deterministic across plans
+    assert(Sampling.mixtureSample(docs, "lang", targets, salts = 7).collect().toSet ==
+      out.collect().toSet)
+  }
+
   private def quantilesOf(vals: Seq[Double], qs: Seq[Double], bins: Int = 16): Map[Double, Double] = {
     import spark.implicits._
     Quantile.exactQuantiles(
