@@ -121,9 +121,33 @@ object CurationQueries {
   def c2ScoredCuration(s: SparkSession, dir: String): DataFrame =
     Quality.curateScored(docs(s, dir), LexicalDiversityScorer, MinModelScore)
 
+  /** C3: per-SOURCE corpus governance stats — the grain real curation
+    * decisions are made at (block a crawl source, re-weight a feed):
+    * volume, exact-dup rate (distinct content hashes vs docs), short-doc
+    * rate against the c1 floor, language spread, and token mass. ONE
+    * groupBy(source) with map-side partials; the distinct-hash count is
+    * the d1 shuffle keyed (source, hash) — at 100 TB this is one pass
+    * over the corpus and a bounded (|sources|-row) result. */
+  def sourceStats(d: DataFrame): DataFrame =
+    d
+      .withColumn("n_tokens", size(TextFunctions.tokens(col("text"))))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_distinct"),
+        count(when(col("n_tokens") < MinTokens, 1)).as("n_short"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_tokens").cast("long")).as("total_tokens"))
+      .withColumn("dup_rate",
+        lit(1.0) - col("n_distinct").cast("double") / col("n_docs"))
+
+  def c3SourceStats(s: SparkSession, dir: String): DataFrame =
+    sourceStats(docs(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_curation" -> (c1Curation _),
     "c2_scored_curation" -> (c2ScoredCuration _),
+    "c3_source_stats" -> (c3SourceStats _),
     "t9_contamination" -> (t9Contamination _))
 
   private val hashSql = "('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT"
@@ -143,6 +167,16 @@ object CurationQueries {
       | * least(1.0, len(string_split_regex(trim(lower(text)), '\s+')) / 100.0)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "c3_source_stats" ->
+      s"""SELECT source, count(*) AS n_docs,
+         |  count(DISTINCT md5(text)) AS n_distinct,
+         |  count(*) FILTER (len(string_split_regex(trim(lower(text)), '\\s+')) < $MinTokens)
+         |    AS n_short,
+         |  count(DISTINCT lang) AS n_langs,
+         |  CAST(sum(len(string_split_regex(trim(lower(text)), '\\s+'))) AS BIGINT)
+         |    AS total_tokens,
+         |  1.0 - count(DISTINCT md5(text)) * 1.0 / count(*) AS dup_rate
+         |FROM documents GROUP BY source""".stripMargin,
     "c2_scored_curation" ->
       s"""WITH gated AS (
          |  SELECT doc_id, lang, text FROM documents WHERE $scoreSql >= $MinModelScore),

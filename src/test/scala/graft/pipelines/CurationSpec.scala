@@ -150,6 +150,21 @@ class CurationSpec extends SparkTestBase {
     assert(c2 == c1)
   }
 
+  test("c3: per-source stats count dups, short docs, langs, and token mass") {
+    val docs = Seq(
+      (1L, "en", "crawlA", longText),
+      (2L, "en", "crawlA", longText),            // exact dup within crawlA
+      (3L, "de", "crawlA", "too short"),          // short doc
+      (4L, "en", "feedB", longText + " extra"),
+      (5L, "fr", "feedB", longText + " autre"))
+      .toDF("doc_id", "lang", "source", "text")
+    val out = CurationQueries.sourceStats(docs)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(6))).toMap
+    assert(out("crawlA") == ((3L, 2L, 1L, 2L, 1.0 - 2.0 / 3)))
+    assert(out("feedB") == ((2L, 2L, 0L, 2L, 0.0)))
+  }
+
   test("c1/p4 plans: one Exchange for curate; TakeOrdered for the weighted draw") {
     val c1 = CurationQueries.c1Curation(spark, sfDir).queryExecution.executedPlan.toString
     assert(c1.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
