@@ -149,7 +149,35 @@ object Dedup {
     * join + one aggregate; `localCheckpoint` cuts the growing lineage so
     * round N doesn't replan rounds 1..N-1. The driver-side loop only
     * ever moves one scalar (the convergence count). */
+  /** The min-label fixpoint of [[duplicateGroups]] as a raw (id, label)
+    * relation — the input to both the group summary and the APPLY pass
+    * (label == id ⟺ the id is its cluster's canonical keeper). */
+  def duplicateLabels(pairs: DataFrame, maxIterations: Int = 20): DataFrame =
+    labelPropagation(pairs, maxIterations)
+
+  /** D8: apply the dedup decision — drop every non-canonical member of
+    * every duplicate cluster, keep everything else. One anti-join of the
+    * corpus against the BOUNDED drop set (members of near-dup clusters
+    * minus their keepers — duplicates, by definition a small fraction of
+    * a curated corpus; broadcast when it fits, shuffled otherwise). */
+  def applyDedup(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val drops = duplicateLabels(pairs)
+      .filter(col("id") =!= col("label"))
+      .select(col("id").as("__drop_id"))
+    docs.join(drops, docs(idCol) === col("__drop_id"), "left_anti")
+  }
+
   def duplicateGroups(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+    labelPropagation(pairs, maxIterations)
+      .groupBy(col("label").as("group_id"))
+      .agg(count(lit(1)).as("n_members"),
+        // id-sorted, comma-joined: groups are bounded (near-dup clusters),
+        // and the string form is hashable by any downstream engine
+        concat_ws(",", transform(sort_array(collect_list(col("id"))),
+          _.cast("string"))).as("members"))
+  }
+
+  private def labelPropagation(pairs: DataFrame, maxIterations: Int): DataFrame = {
     val sc = pairs.sparkSession.sparkContext
     // localCheckpoint persists its backing RDD in the block manager but
     // Dataset.unpersist can't reach it; capture the handle by diffing the
@@ -204,12 +232,7 @@ object Dedup {
     // the final labels checkpoint is self-contained, so the edge blocks
     // are no longer reachable from the returned (lazy) plan
     edgeBlocks.foreach(_.unpersist(blocking = false))
-    labels.groupBy(col("label").as("group_id"))
-      .agg(count(lit(1)).as("n_members"),
-        // id-sorted, comma-joined: groups are bounded (near-dup clusters),
-        // and the string form is hashable by any downstream engine
-        concat_ws(",", transform(sort_array(collect_list(col("id"))),
-          _.cast("string"))).as("members"))
+    labels
   }
 
   /** (doc_id, pos, chunk): one row per fixed-width non-overlapping token

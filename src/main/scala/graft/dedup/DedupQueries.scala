@@ -84,7 +84,15 @@ object DedupQueries {
   def d7PassageDedup(s: SparkSession, dir: String): DataFrame =
     Dedup.passageDedup(docs(s, dir), "doc_id", "text", ChunkWidth, ChunkMinFreq)
 
+  /** D8: the dedup APPLY pass — the corpus with every non-canonical
+    * near-dup cluster member removed (D2 candidates → D6 labels →
+    * anti-join). What a pipeline actually materializes after dedup. */
+  def d8DedupApply(s: SparkSession, dir: String): DataFrame =
+    Dedup.applyDedup(docs(s, dir), "doc_id", d2MinhashPairs(s, dir))
+      .select(col("doc_id"), col("lang"), col("source"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d8_dedup_apply" -> (d8DedupApply _),
     "d1_exact_dedup" -> (d1ExactDedup _),
     "d2_minhash_pairs" -> (d2MinhashPairs _),
     "d3_simhash" -> (d3Simhash _),
@@ -216,7 +224,23 @@ object DedupQueries {
        |GROUP BY c.doc_id""".stripMargin
   }
 
+  /** d8: drop ids = nodes whose min reachable label differs from their
+    * own id (same recursive closure as d6), anti-joined in SQL. */
+  private def d8Sql: String =
+    s"""${candCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |und AS (SELECT a, b FROM cand UNION SELECT b AS a, a AS b FROM cand),
+       |nodes AS (SELECT DISTINCT a AS id FROM und),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT u.a, reach.r FROM und u JOIN reach ON reach.id = u.b),
+       |lbl AS (SELECT id, min(r) AS label FROM reach GROUP BY id),
+       |drops AS (SELECT id FROM lbl WHERE id <> label)
+       |SELECT doc_id, lang, source FROM documents
+       |WHERE doc_id NOT IN (SELECT id FROM drops)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "d8_dedup_apply" -> d8Sql,
     "d7_passage_dedup" -> d7Sql,
     "d6_dup_groups" -> d6Sql,
     "d3_simhash" -> d3Sql,

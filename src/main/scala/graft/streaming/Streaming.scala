@@ -231,6 +231,32 @@ object Streaming {
   def enrichStream(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** ST12: streaming per-group quota admission — the stream twin of
+    * the p6 target mixture: the first `target(group)` arrivals of each
+    * group pass, the rest drop. One long of state per group
+    * (`mapGroupsWithState`, no timeout — the group universe IS the
+    * mixture spec, so state is bounded by |targets| forever). Admission
+    * is by ARRIVAL order within each micro-batch's group iterator —
+    * deterministic for a deterministic source; pair with an event-time
+    * sort upstream if the source interleaves. Emits (group, admitted
+    * ids, running total) per update. */
+  def quotaStream(docs: Dataset[(String, Long)], targets: Map[String, Int]):
+      Dataset[(String, Seq[Long], Long)] = {
+    import docs.sparkSession.implicits._
+    docs
+      .filter(r => targets.contains(r._1))
+      .groupByKey(_._1)
+      .mapGroupsWithState[Long, (String, Seq[Long], Long)](
+        GroupStateTimeout.NoTimeout) { (group, rows, state) =>
+        val admitted0 = state.getOption.getOrElse(0L)
+        val quota = targets(group).toLong
+        val take = rows.map(_._2).take(math.max(0L, quota - admitted0).toInt).toSeq
+        val admitted = admitted0 + take.size
+        state.update(admitted)
+        (group, take, admitted)
+      }
+  }
+
   /** Session gap: 30 minutes (micros) — same constant as q17Sessions. */
   val SessionGapMicros: Long = 1800L * 1000 * 1000
 

@@ -167,6 +167,16 @@ class DedupSpec extends SparkTestBase {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("D8: apply keeps cluster keepers and untouched docs, drops other members") {
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (5L, "f"), (7L, "d"), (9L, "e"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("a", "b")
+    val kept = Dedup.applyDedup(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    // clusters {1,2,3} and {7,9} keep their min ids; 5 is untouched
+    assert(kept == Set(1L, 5L, 7L))
+  }
+
   test("D7: the boilerplate membership flag is a BROADCAST join (corpus never shuffles for it)") {
     val plan = DedupQueries.queries("d7_passage_dedup")(spark, sfDir)
       .queryExecution.sparkPlan.toString

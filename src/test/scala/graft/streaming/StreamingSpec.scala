@@ -228,6 +228,27 @@ class StreamingSpec extends SparkTestBase {
     assert(cells == batch)
   }
 
+  test("ST12: per-group quota admission caps each group at its target across batches") {
+    val input = MemoryStream[(String, Long)](spark)
+    val q = Streaming.quotaStream(input.toDS(), Map("en" -> 3, "de" -> 2))
+      .writeStream.format("memory").queryName("st12_out")
+      .outputMode(OutputMode.Update()).start()
+    val b1 = Seq(("en", 1L), ("en", 2L), ("de", 10L), ("xx", 99L))
+    val b2 = Seq(("en", 3L), ("en", 4L), ("de", 11L), ("de", 12L))
+    runBatches(q, input, Seq(b1, b2))
+    q.stop()
+    val updates = spark.table("st12_out").as[(String, Seq[Long], Long)].collect()
+    val admitted = updates.groupBy(_._1)
+      .map { case (g, us) => g -> us.flatMap(_._2).toSet }
+    // en: first 3 arrivals (1,2 then 3); 4 rejected. de: 10 then 11; 12 rejected.
+    assert(admitted == Map("en" -> Set(1L, 2L, 3L), "de" -> Set(10L, 11L)))
+    // untargeted group never admitted, never holds state
+    assert(!admitted.contains("xx"))
+    // running totals cap at the quota
+    assert(updates.filter(_._1 == "en").map(_._3).max == 3L)
+    assert(updates.filter(_._1 == "de").map(_._3).max == 2L)
+  }
+
   test("ST8: governed ingest splits each micro-batch into clean and quarantine tables") {
     def resetTable(name: String): Unit = {
       spark.sql(s"DROP TABLE IF EXISTS $name")
