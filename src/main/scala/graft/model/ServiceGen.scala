@@ -77,8 +77,12 @@ object ServiceGen {
     // expression (tableSubstitutions parses every value through Catalyst)
     val compile: String => String =
       if (navs.isEmpty) {
+        import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        // pre-parse once: string-level substitute would re-parse the
+        // whole map for every expression
         val subs = model.tableSubstitutions(svc.mapping)
-        e => SqlRewrite.substitute(e, subs)
+          .map { case (k, v) => k -> CatalystSqlParser.parseExpression(v) }
+        e => SqlRewrite.substituteParsed(CatalystSqlParser.parseExpression(e), subs).sql
       } else {
         import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
         val mainSubs = model.tableSubstitutions(svc.mapping).map { case (f, sql) =>
@@ -147,9 +151,13 @@ object ServiceGen {
     }.distinct.sorted
     heads.zipWithIndex.map { case (prop, i) =>
       val candidates = model.navigations(m.entity, prop)
-      require(candidates.map(_.dataType).distinct.size == 1,
+      // full-property comparison: two associations agreeing on the target
+      // class but not multiplicity would otherwise pick INNER vs LEFT
+      // JOIN by map-iteration order
+      require(candidates.distinct.size == 1,
         s"service [${svc.name}]: association property [$prop] from [${m.entity}] is " +
-          s"ambiguous (targets ${candidates.map(_.dataType).distinct.mkString(", ")})")
+          s"ambiguous (candidates: ${candidates.distinct
+            .map(p => s"${p.dataType}${p.multiplicity}").mkString(", ")})")
       val navProp = candidates.head
       val target = navProp.dataType
       val joinRef = m.assocJoins.getOrElse(prop, throw new IllegalArgumentException(

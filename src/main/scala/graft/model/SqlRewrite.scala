@@ -46,8 +46,18 @@ object SqlRewrite {
     * beats silent misreads). */
   def substitute(sqlExpr: String, subs: Map[String, String]): String = {
     if (subs.isEmpty) return rename(sqlExpr, Map.empty)
+    val root = CatalystSqlParser.parseExpression(sqlExpr)
+    // parse the substitution map only when some attribute can match it
+    // (callers like Expectations substitute many rules against one map;
+    // rules touching no mapped field skip the map parse entirely)
+    val touches = root.exists {
+      case a: UnresolvedAttribute =>
+        (1 to a.nameParts.size).exists(k => subs.contains(a.nameParts.take(k).mkString(".")))
+      case _ => false
+    }
+    if (!touches) return root.sql
     val parsedSubs = subs.map { case (k, v) => k -> CatalystSqlParser.parseExpression(v) }
-    substituteParsed(CatalystSqlParser.parseExpression(sqlExpr), parsedSubs).sql
+    substituteParsed(root, parsedSubs).sql
   }
 
   /** Expression-level form of [[substitute]] — the single implementation

@@ -39,7 +39,10 @@ object ImageIoDecoder extends MediaDecoder {
   private val ImageFormats = Set("png", "jpeg", "jpg", "gif", "bmp")
 
   override def features(format: String, payload: Array[Byte], bins: Int): Array[Double] =
-    (if (ImageFormats(format.toLowerCase)) decode(payload) else None) match {
+    // Locale.ROOT: default-locale lowercasing turns "GIF" into dotless-ı
+    // "gıf" on a Turkish JVM and silently falls back to the stub
+    (if (ImageFormats(format.toLowerCase(java.util.Locale.ROOT))) decode(payload)
+     else None) match {
       case Some(img) => luminanceHistogram(img, bins)
       case None      => Multimodal.decodeStub(payload, bins)
     }

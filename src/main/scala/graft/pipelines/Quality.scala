@@ -47,7 +47,9 @@ object LexicalDiversityScorer extends QualityScorer {
     s.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
 
   override def scoreBatch(texts: Seq[String]): Seq[Double] = texts.map { t =>
-    val toks = sqlTrim(t.toLowerCase).split("\\s+", -1)
+    // Locale.ROOT matches SQL lower() on every JVM (tr-locale 'I'→'ı'
+    // would otherwise diverge from the oracle)
+    val toks = sqlTrim(t.toLowerCase(java.util.Locale.ROOT)).split("\\s+", -1)
     val n = toks.length.toDouble // split never returns an empty array
     (toks.distinct.length / n) * math.min(1.0, n / SaturationTokens)
   }
