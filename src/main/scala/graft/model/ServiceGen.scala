@@ -54,16 +54,17 @@ object ServiceGen {
     * backtick-quoted when needed (the reference corpus has aliases with
     * spaces, e.g. "Hiring Age" in service/employee.json).
     *
-    * Association navigation (`$x.customer.name` → `customer.name` in
-    * entity space) compiles to a JOIN-generating query for the
-    * SINGLE-HOP case: each navigated association property becomes one
-    * inner equi-join on the store join's FK columns, and the navigated
-    * field resolves through the TARGET class's mapping. Deeper
-    * navigation chains, unknown target fields, and unmapped joins all
-    * reject loudly at compile time — never silently misread. The join is
-    * a plain FK equi-join in the emitted SQL: Spark shuffles it like any
-    * fact join (or broadcasts the dim side), and service filters still
-    * land in WHERE as scan-pushable conjuncts. */
+    * Association navigation (`$x.customer.name`, `$x.customer.nation.name`
+    * in entity space) compiles to a JOIN-generating query: each hop of a
+    * navigation CHAIN becomes one equi-join on its store join's FK
+    * columns (LEFT JOIN for an optional hop — and for every hop past an
+    * optional one, so an absent ancestor can't silently drop the row),
+    * and navigated fields resolve through the TARGET class's mapping.
+    * Unknown fields, undefined chains, unmapped joins, and ambiguous
+    * navigation all reject loudly at compile time — never silently
+    * misread. Each emitted join is a plain FK equi-join: Spark shuffles
+    * it like any fact join (or broadcasts the dim side), and service
+    * filters still land in WHERE as scan-pushable conjuncts. */
   def serviceSql(model: GraftModel, serviceName: String): String = {
     val svc = model.service(serviceName)
     val m = model.mapping(svc.mapping)
@@ -88,10 +89,11 @@ object ServiceGen {
         val mainSubs = model.tableSubstitutions(svc.mapping).map { case (f, sql) =>
           f -> prefixAttrs(CatalystSqlParser.parseExpression(sql), MainAlias)
         }
-        val navSubs = navs.flatMap { case (prop, n) =>
-          n.subs.map { case (f, ex) => s"$prop.$f" -> ex }
-        }
-        e => compileJoined(svc, navs, mainSubs ++ navSubs, e)
+        val navSubs = navs.flatMap { case (path, n) =>
+          n.subs.map { case (f, ex) => s"$path.$f" -> ex }
+        }.toMap
+        val navHeads = navs.map(_._1.split('.').head).toSet
+        e => compileJoined(svc, navHeads, mainSubs ++ navSubs, e)
       }
 
     val select = svc.select
@@ -100,9 +102,11 @@ object ServiceGen {
     val from =
       if (navs.isEmpty) m.table
       else {
-        val joins = navs.values.map { n =>
+        // parents-first order (resolveNavigations guarantees it), each
+        // hop joining against its PARENT's alias
+        val joins = navs.map { case (_, n) =>
           s"${n.joinKeyword} ${n.mapping.table} AS ${n.alias} ON " +
-            s"$MainAlias.${quoteIfNeeded(n.myCol)} = ${n.alias}.${quoteIfNeeded(n.otherCol)}"
+            s"${n.parentAlias}.${quoteIfNeeded(n.myCol)} = ${n.alias}.${quoteIfNeeded(n.otherCol)}"
         }.mkString(" ")
         s"${m.table} AS $MainAlias $joins"
       }
@@ -124,45 +128,82 @@ object ServiceGen {
 
   private val MainAlias = "t0"
 
-  /** A resolved single-hop navigation: SQL alias, join keyword (LEFT
-    * JOIN when the association property is optional — an orphan row
-    * must survive with NULLs, not silently vanish), target class
-    * mapping, oriented FK columns, and the target's field→expression
-    * substitutions (already alias-prefixed). */
-  private final case class Nav(alias: String, joinKeyword: String,
-      mapping: GraftMapping, myCol: String, otherCol: String,
+  /** One resolved navigation hop: SQL alias, the PARENT hop's alias
+    * (the join's left side), join keyword (LEFT JOIN when this hop's
+    * property is optional OR any ancestor hop is — an absent optional
+    * ancestor must not let a later inner join drop the row), target
+    * class mapping, oriented FK columns, and the target's
+    * field→expression substitutions (already alias-prefixed). */
+  private final case class Nav(alias: String, parentAlias: String,
+      joinKeyword: String, mapping: GraftMapping, myCol: String, otherCol: String,
       subs: Map[String, org.apache.spark.sql.catalyst.expressions.Expression])
 
-  /** Find every association property the service's expressions navigate,
-    * and resolve each to its join + target mapping. Loud failures: an
-    * AMBIGUOUS navigation (two associations or two target mappings —
-    * never resolved by map-iteration luck), a navigated property with no
-    * associationMapping join, a join name missing from the store, join
-    * columns matching neither table. */
+  /** Find every association navigation CHAIN the service's expressions
+    * use and resolve each hop (parents before children) to its join +
+    * target mapping. Each hop's join is declared by the mapping of the
+    * class it navigates FROM (the main mapping for hop 1, the previous
+    * hop's target mapping after). Loud failures: AMBIGUOUS navigation
+    * (two associations or two target mappings — never resolved by
+    * map-iteration luck), a hop with no associationMapping join, a join
+    * missing from every store or defined in several, join columns
+    * matching neither table. */
   private def resolveNavigations(model: GraftModel, svc: GraftService,
-      m: GraftMapping, exprs: Seq[String]): Map[String, Nav] = {
+      m: GraftMapping, exprs: Seq[String]): Seq[(String, Nav)] = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
-    val heads = exprs.flatMap { e =>
-      CatalystSqlParser.parseExpression(e).collect {
-        case a: UnresolvedAttribute if a.nameParts.size > 1 &&
-          model.navigations(m.entity, a.nameParts.head).nonEmpty => a.nameParts.head
+
+    def unambiguous(fromClass: String, prop: String): Option[GraftProperty] = {
+      val cands = model.navigations(fromClass, prop)
+      if (cands.isEmpty) None
+      else {
+        // full-property comparison: candidates agreeing on target class
+        // but not multiplicity would pick INNER vs LEFT JOIN by map order
+        require(cands.distinct.size == 1,
+          s"service [${svc.name}]: association property [$prop] from [$fromClass] is " +
+            s"ambiguous (candidates: ${cands.distinct
+              .map(p => s"${p.dataType}${p.multiplicity}").mkString(", ")})")
+        Some(cands.head)
       }
-    }.distinct.sorted
-    heads.zipWithIndex.map { case (prop, i) =>
-      val candidates = model.navigations(m.entity, prop)
-      // full-property comparison: two associations agreeing on the target
-      // class but not multiplicity would otherwise pick INNER vs LEFT
-      // JOIN by map-iteration order
-      require(candidates.distinct.size == 1,
-        s"service [${svc.name}]: association property [$prop] from [${m.entity}] is " +
-          s"ambiguous (candidates: ${candidates.distinct
-            .map(p => s"${p.dataType}${p.multiplicity}").mkString(", ")})")
-      val navProp = candidates.head
+    }
+
+    /** Longest prefix of `parts` that is a valid association chain. */
+    def chainOf(parts: Seq[String]): Seq[String] = {
+      var cls = m.entity
+      val out = Seq.newBuilder[String]
+      var i = 0
+      var stop = false
+      while (i < parts.size && !stop) {
+        unambiguous(cls, parts(i)) match {
+          case Some(p) => cls = p.dataType; out += parts(i); i += 1
+          case None    => stop = true
+        }
+      }
+      out.result()
+    }
+
+    val chains = exprs.flatMap { e =>
+      CatalystSqlParser.parseExpression(e).collect {
+        case a: UnresolvedAttribute if a.nameParts.size > 1 => chainOf(a.nameParts)
+      }
+    }.filter(_.nonEmpty)
+    // every prefix needs its own hop; parents sort before children
+    val paths = chains.flatMap(c => (1 to c.size).map(c.take))
+      .distinct.sortBy(p => (p.size, p.mkString(".")))
+
+    val resolved = scala.collection.mutable.LinkedHashMap[String, Nav]()
+    for (path <- paths) {
+      val (fromMapping, fromAlias, fromClass, parentOptional) =
+        if (path.size == 1) (m, MainAlias, m.entity, false)
+        else {
+          val pn = resolved(path.dropRight(1).mkString("."))
+          (pn.mapping, pn.alias, pn.mapping.entity, pn.joinKeyword == "LEFT JOIN")
+        }
+      val prop = path.last
+      val navProp = unambiguous(fromClass, prop).get // paths came from chainOf
       val target = navProp.dataType
-      val joinRef = m.assocJoins.getOrElse(prop, throw new IllegalArgumentException(
-        s"service [${svc.name}]: association property [$prop] has no join in mapping [${m.name}] " +
-          "(missing associationMappings entry)"))
+      val joinRef = fromMapping.assocJoins.getOrElse(prop, throw new IllegalArgumentException(
+        s"service [${svc.name}]: association property [$prop] has no join in mapping " +
+          s"[${fromMapping.name}] (missing associationMappings entry)"))
       // exact (store-qualified) key first; bare references resolve only
       // when the name is unambiguous across loaded stores
       val jd = model.joins.getOrElse(joinRef, {
@@ -181,42 +222,43 @@ object ServiceGen {
         byEntity.headOption.getOrElse(throw new IllegalArgumentException(
           s"service [${svc.name}]: no mapping found for navigated class [$target]"))
       }
-      val (myCol, otherCol) = jd.orient(m.table).getOrElse(
+      val (myCol, otherCol) = jd.orient(fromMapping.table).getOrElse(
         throw new IllegalArgumentException(
-          s"service [${svc.name}]: join [${jd.name}] does not touch table [${m.table}]"))
+          s"service [${svc.name}]: join [${jd.name}] does not touch table [${fromMapping.table}]"))
       require(jd.orient(tm.table).isDefined,
         s"service [${svc.name}]: join [${jd.name}] does not touch target table [${tm.table}]")
-      val alias = s"t${i + 1}"
-      val joinKeyword = if (navProp.multiplicity.isNullable) "LEFT JOIN" else "JOIN"
+      val alias = s"t${resolved.size + 1}"
+      val joinKeyword =
+        if (navProp.multiplicity.isNullable || parentOptional) "LEFT JOIN" else "JOIN"
       val targetSubs = model.tableSubstitutions(tm.name)
         .map { case (f, sql) => f -> prefixAttrs(CatalystSqlParser.parseExpression(sql), alias) }
-      prop -> Nav(alias, joinKeyword, tm, myCol, otherCol, targetSubs)
-    }.toMap
+      resolved += path.mkString(".") -> Nav(alias, fromAlias, joinKeyword, tm,
+        myCol, otherCol, targetSubs)
+    }
+    resolved.toSeq
   }
 
-  /** Entity-space expression → table-space SQL over the aliased join.
-    * Validation pass rejects multi-hop navigation and unknown navigated
-    * fields loudly; the substitution itself is the SAME longest-prefix
-    * walk the single-table path uses ([[SqlRewrite.substituteParsed]]) —
-    * nav fields ride the map as dotted "prop.field" keys. */
-  private def compileJoined(svc: GraftService, navs: Map[String, Nav],
+  /** Entity-space expression → table-space SQL over the aliased joins.
+    * The substitution is the SAME longest-prefix walk the single-table
+    * path uses ([[SqlRewrite.substituteParsed]]) — nav fields ride the
+    * map as dotted "path.field" keys. Any attribute still headed by a
+    * navigation property AFTER substitution is an unknown field or an
+    * undefined chain — rejected loudly, never passed through to fail
+    * (or worse, resolve against an unrelated column) at run time. */
+  private def compileJoined(svc: GraftService, navHeads: Set[String],
       subs: Map[String, org.apache.spark.sql.catalyst.expressions.Expression],
       e: String): String = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
-    val parsed = CatalystSqlParser.parseExpression(e)
-    parsed.foreach {
-      case a: UnresolvedAttribute if navs.contains(a.nameParts.head) =>
-        require(a.nameParts.size == 2,
-          s"service [${svc.name}]: navigation [${a.name}] is deeper than one hop — " +
-            "only single-join association navigation is supported")
-        val n = navs(a.nameParts.head)
-        if (!n.subs.contains(a.nameParts(1))) throw new IllegalArgumentException(
-          s"service [${svc.name}]: [${a.name}] — class [${n.mapping.entity}] has no mapped " +
-            s"field [${a.nameParts(1)}]")
+    val out = SqlRewrite.substituteParsed(CatalystSqlParser.parseExpression(e), subs)
+    out.foreach {
+      case a: UnresolvedAttribute if navHeads(a.nameParts.head) =>
+        throw new IllegalArgumentException(
+          s"service [${svc.name}]: [${a.name}] does not resolve — unknown navigated " +
+            "field or association chain not defined by the model")
       case _ => ()
     }
-    SqlRewrite.substituteParsed(parsed, subs).sql
+    out.sql
   }
 
   /** Prefix every attribute head in `e` with a table alias (the

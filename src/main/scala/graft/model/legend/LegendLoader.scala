@@ -23,13 +23,14 @@ import scala.jdk.CollectionConverters._
   *
   * Scope (documented, load-time-checked): the PURE subset in
   * [[PureToSql]]; relational class mappings with column property
-  * mappings (no embedded/otherwise mappings); SINGLE-HOP association
-  * navigation — association entities + mapping associationMappings +
-  * store FK joins compile `$x.assoc.field` to one SQL join (deeper
-  * chains, compound join operations, and unmapped joins reject loudly);
-  * services whose execution is a single getAll → filter? → (project |
-  * groupBy) → sort? → take? pipeline — the relational service shape the
-  * reference executes.
+  * mappings and EMBEDDED mappings (nested classes flattened to dotted
+  * column paths; `otherwise` mappings reject); association navigation
+  * CHAINS — association entities + mapping associationMappings + store
+  * FK joins compile `$x.assoc.field` / `$x.a.b.field` to chained SQL
+  * joins (undefined chains, compound join operations, unmapped joins,
+  * and ambiguous navigation reject loudly); services whose execution is
+  * a single getAll → filter? → (project | groupBy) → sort? → take?
+  * pipeline — the relational service shape the reference executes.
   */
 object LegendLoader {
 

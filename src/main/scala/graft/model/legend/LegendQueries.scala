@@ -114,8 +114,23 @@ object LegendQueries {
        |  {"name":"customer","type":"gate::entity::customer","multiplicity":$mult1},
        |  {"name":"orders","type":"gate::entity::order","multiplicity":{"lowerBound":0}}]}}""".stripMargin
 
-  /** Relational Database (store) entity carrying the FK join the
-    * association navigates through. */
+  private val nationClassJson =
+    s"""{"classifierPath":"meta::pure::metamodel::type::Class","content":{
+       |"_type":"class","name":"nation","package":"gate::entity","superTypes":[],
+       |"properties":[
+       |  ${prop("nationId", "Integer", mult1)},
+       |  ${prop("name", "String", mult1)}],
+       |"constraints":[],"qualifiedProperties":[]}}""".stripMargin
+
+  private val nationAssociationJson =
+    s"""{"classifierPath":"meta::pure::metamodel::relationship::Association","content":{
+       |"_type":"association","name":"Customer_Nation","package":"gate::entity",
+       |"properties":[
+       |  {"name":"nation","type":"gate::entity::nation","multiplicity":$mult1},
+       |  {"name":"customers","type":"gate::entity::customer","multiplicity":{"lowerBound":0}}]}}""".stripMargin
+
+  /** Relational Database (store) entity carrying the FK joins the
+    * associations navigate through. */
   private val storeJson =
     s"""{"classifierPath":"meta::relational::metamodel::Database","content":{
        |"_type":"relational","name":"gateDb","package":"gate::store",
@@ -123,7 +138,11 @@ object LegendQueries {
        |"joins":[{"name":"OrderCustomer","operation":{
        |  "_type":"dynaFunc","funcName":"equal","parameters":[
        |    {"_type":"column","column":"o_custkey","table":{"_type":"Table","table":"orders","schema":"default"}},
-       |    {"_type":"column","column":"c_custkey","table":{"_type":"Table","table":"customer","schema":"default"}}]}}]}}""".stripMargin
+       |    {"_type":"column","column":"c_custkey","table":{"_type":"Table","table":"customer","schema":"default"}}]}},
+       |  {"name":"CustomerNation","operation":{
+       |  "_type":"dynaFunc","funcName":"equal","parameters":[
+       |    {"_type":"column","column":"c_nationkey","table":{"_type":"Table","table":"customer","schema":"default"}},
+       |    {"_type":"column","column":"n_nationkey","table":{"_type":"Table","table":"nation","schema":"default"}}]}}]}}""".stripMargin
 
   private def pmc(field: String, column: String) =
     s"""{"_type":"relationalPropertyMapping",
@@ -145,13 +164,28 @@ object LegendQueries {
        |   "mainTable":{"_type":"Table","schema":"default","table":"customer"},
        |   "propertyMappings":[${Seq(
             pmc("custId", "c_custkey"), pmc("name", "c_name"),
-            pmc("segment", "c_mktsegment"), pmc("balance", "c_acctbal")).mkString(",")}]}],
+            pmc("segment", "c_mktsegment"), pmc("balance", "c_acctbal")).mkString(",")}]},
+       |  {"_type":"relational","class":"gate::entity::nation",
+       |   "mainTable":{"_type":"Table","schema":"default","table":"nation"},
+       |   "propertyMappings":[
+       |     {"_type":"relationalPropertyMapping",
+       |      "property":{"class":"gate::entity::nation","property":"nationId"},
+       |      "relationalOperation":{"_type":"column","column":"n_nationkey","table":{"_type":"Table"}}},
+       |     {"_type":"relationalPropertyMapping",
+       |      "property":{"class":"gate::entity::nation","property":"name"},
+       |      "relationalOperation":{"_type":"column","column":"n_name","table":{"_type":"Table"}}}]}],
        |"associationMappings":[{"_type":"relational",
        |  "association":"gate::entity::Order_Customer",
        |  "propertyMappings":[{"_type":"relationalPropertyMapping",
        |    "property":{"class":"gate::entity::Order_Customer","property":"customer"},
        |    "relationalOperation":{"_type":"elementWithJoins",
-       |      "joins":[{"db":"gate::store::gateDb","name":"OrderCustomer"}]}}]}]}}""".stripMargin
+       |      "joins":[{"db":"gate::store::gateDb","name":"OrderCustomer"}]}}]},
+       |  {"_type":"relational",
+       |  "association":"gate::entity::Customer_Nation",
+       |  "propertyMappings":[{"_type":"relationalPropertyMapping",
+       |    "property":{"class":"gate::entity::Customer_Nation","property":"nation"},
+       |    "relationalOperation":{"_type":"elementWithJoins",
+       |      "joins":[{"db":"gate::store::gateDb","name":"CustomerNation"}]}}]}]}}""".stripMargin
 
   // getAll(order) → filter($x.customer.segment == 'BUILDING' AND price >= 50000)
   //   → project([orderId, customer.name, customer.balance, price])
@@ -180,11 +214,34 @@ object LegendQueries {
               coll(func("desc", str("OrderId")))),
             plit("integer", "50")))}}}}""".stripMargin
 
+  // two-hop navigation: order → customer → nation, both hops in one
+  // service (filter on the 1-hop field, projection reaching hop 2)
+  private val deepServiceJson =
+    s"""{"classifierPath":"meta::legend::service::metamodel::Service","content":{
+       |"_type":"service","name":"orderNation","package":"gate::service","pattern":"/on",
+       |"execution":{"_type":"pureSingleExecution","mapping":"gate::mapping::order_customer_rel",
+       |"func":${lambda(
+          func("take",
+            func("sort",
+              func("project",
+                func("filter",
+                  func("getAll", ptr("gate::entity::order")),
+                  lambda(func("greaterThanEqual", xProp("price"),
+                    plit("float", "80000.0")), "x")),
+                coll(lambda(xProp("orderId"), "x"),
+                     lambda(s"""{"_type":"property","property":"name","parameters":[${xProp("customer")}]}""", "x"),
+                     lambda(s"""{"_type":"property","property":"name","parameters":[{"_type":"property","property":"nation","parameters":[${xProp("customer")}]}]}""", "x"),
+                     lambda(xProp("price"), "x")),
+                coll(str("OrderId"), str("CustomerName"), str("NationName"), str("Price"))),
+              coll(func("desc", str("OrderId")))),
+            plit("integer", "30")))}}}}""".stripMargin
+
   /** The loaded model — parsed once per JVM; load-time translation means
     * a bad fixture fails here, not inside a query. */
   lazy val model: GraftModel =
     LegendLoader.fromJsonStrings(Seq(orderClassJson, mappingJson, serviceJson,
-      customerClassJson, associationJson, storeJson, joinMappingJson, joinServiceJson))
+      customerClassJson, associationJson, nationClassJson, nationAssociationJson,
+      storeJson, joinMappingJson, joinServiceJson, deepServiceJson))
 
   val OrderMapping = "gate::mapping::order_rel"
 
@@ -224,14 +281,34 @@ object LegendQueries {
     ServiceGen.runService(s, model, "gate::service::orderWithCustomer")
   }
 
+  /** M13 gate (chain path): TWO-hop association navigation — the
+    * service projects both a 1-hop and a 2-hop field, so the compiled
+    * SQL chains both generated FK joins (order⨝customer⨝nation) with
+    * each hop joining against its parent's alias. */
+  def m10LegendDeepJoin(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "orders").createOrReplaceTempView("orders")
+    Tables(s, dir, "customer").createOrReplaceTempView("customer")
+    Tables(s, dir, "nation").createOrReplaceTempView("nation")
+    ServiceGen.runService(s, model, "gate::service::orderNation")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m7_legend_service" -> (m7LegendService _),
     "m8_legend_validate" -> (m8LegendValidate _),
-    "m9_legend_join" -> (m9LegendJoin _))
+    "m9_legend_join" -> (m9LegendJoin _),
+    "m10_legend_deep_join" -> (m10LegendDeepJoin _))
 
   /** Violated = NOT coalesce(rule, FALSE), as in the m2 oracle; DuckDB's
     * integer sum casts back to BIGINT for the gate's pandas hasher. */
   val oracles: Map[String, String] = Map(
+    "m10_legend_deep_join" ->
+      """SELECT o_orderkey AS OrderId, c_name AS CustomerName,
+        |  n_name AS NationName, o_totalprice AS Price
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_totalprice >= 80000.0
+        |ORDER BY o_orderkey DESC LIMIT 30""".stripMargin,
     "m9_legend_join" ->
       """SELECT o_orderkey AS OrderId, c_name AS CustomerName,
         |  c_acctbal AS CustomerBalance, o_totalprice AS Price

@@ -298,16 +298,37 @@ class LegendSpec extends SparkTestBase {
     assert(rows.toSeq == Seq((1L, "Alice", 60000.0)))
   }
 
-  test("M13: deeper-than-one-hop navigation rejects loudly at compile") {
-    // hand-build a service navigating customer.nation.name (two hops)
+  test("M13: two-hop navigation chains both joins against their parent aliases") {
+    val sql = ServiceGen.serviceSql(LegendQueries.model, "gate::service::orderNation")
+    assert(sql.contains("JOIN customer AS t1 ON t0.o_custkey = t1.c_custkey"), sql)
+    assert(sql.contains("JOIN nation AS t2 ON t1.c_nationkey = t2.n_nationkey"), sql)
+    assert(sql.contains("t2.n_name"), sql) // 2-hop field under the hop-2 alias
+    assert("JOIN".r.findAllIn(sql).size == 2, sql)
+  }
+
+  test("M13: optional hop makes every LATER hop a LEFT JOIN too") {
+    val base = LegendQueries.model
+    // relax hop 1 (order→customer) to [0..1]; hop 2 stays [1..1]
+    val relaxed = base.copy(associations = base.associations.map { case (k, a) =>
+      k -> a.copy(properties = a.properties.map(p =>
+        if (p.name == "customer") p.copy(multiplicity = Multiplicity.ZeroOrOne) else p))
+    })
+    val sql = ServiceGen.serviceSql(relaxed, "gate::service::orderNation")
+    assert(sql.contains("LEFT JOIN customer AS t1"), sql)
+    // an inner hop-2 join would drop orphan orders that hop 1 preserved
+    assert(sql.contains("LEFT JOIN nation AS t2"), sql)
+  }
+
+  test("M13: an UNDEFINED association chain rejects loudly at compile") {
+    // `ghost` is not an association property of customer
     val svc = GraftService("deep", "gate::mapping::order_customer_rel",
-      select = Seq("X" -> "customer.nation.name"))
+      select = Seq("X" -> "customer.ghost.name"))
     val m = LegendQueries.model.copy(
       services = LegendQueries.model.services + ("deep" -> svc))
     val e = intercept[IllegalArgumentException] {
       ServiceGen.serviceSql(m, "deep")
     }
-    assert(e.getMessage.contains("deeper than one hop"), e.getMessage)
+    assert(e.getMessage.contains("does not resolve"), e.getMessage)
   }
 
   test("M13: unknown navigated field and unmapped join reject loudly") {
@@ -316,7 +337,8 @@ class LegendSpec extends SparkTestBase {
     val m1 = LegendQueries.model.copy(
       services = LegendQueries.model.services + ("bad_field" -> badField))
     val e1 = intercept[IllegalArgumentException] { ServiceGen.serviceSql(m1, "bad_field") }
-    assert(e1.getMessage.contains("no mapped") && e1.getMessage.contains("nope"), e1.getMessage)
+    assert(e1.getMessage.contains("does not resolve") && e1.getMessage.contains("nope"),
+      e1.getMessage)
 
     // drop the store's join: compile must name the missing join
     val m2 = m1.copy(joins = Map.empty,
