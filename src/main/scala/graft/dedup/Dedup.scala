@@ -177,18 +177,37 @@ object Dedup {
           _.cast("string"))).as("members"))
   }
 
+  /** When true (and `SparkContext.setCheckpointDir` points at reliable
+    * storage), each fixpoint round checkpoints to the reliable store
+    * instead of executor block managers. `localCheckpoint` is the fast
+    * local default, but its blocks die with their executor — on a real
+    * cluster one lost executor fails the whole label-propagation job.
+    * The reliable mode trades one write per round for restartability;
+    * old round files are dropped by Spark's reference-tracking cleaner
+    * (`spark.cleaner.referenceTracking.cleanCheckpoints`) or at latest
+    * when the application's checkpoint dir is removed. */
+  val ReliableCheckpointKey = "graft.dedup.reliableCheckpoint"
+
   private def labelPropagation(pairs: DataFrame, maxIterations: Int): DataFrame = {
-    val sc = pairs.sparkSession.sparkContext
+    val spark = pairs.sparkSession
+    val sc = spark.sparkContext
+    val reliable = spark.conf.get(ReliableCheckpointKey, "false").toBoolean
+    require(!reliable || sc.getCheckpointDir.isDefined,
+      s"$ReliableCheckpointKey=true requires SparkContext.setCheckpointDir " +
+        "(an HDFS/object-store path on a real cluster)")
     // localCheckpoint persists its backing RDD in the block manager but
     // Dataset.unpersist can't reach it; capture the handle by diffing the
     // persistent-RDD registry around the call so each round's blocks can
     // be freed once superseded (without this, Bench/Verify accumulate
-    // every round's label blocks for the whole session)
-    def checkpointed(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
-      val before = sc.getPersistentRDDs.keySet
-      val out = df.localCheckpoint()
-      (out, (sc.getPersistentRDDs -- before).values.toSeq)
-    }
+    // every round's label blocks for the whole session). Reliable
+    // checkpoints hold no executor blocks — nothing to free.
+    def checkpointed(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) =
+      if (reliable) (df.checkpoint(), Nil)
+      else {
+        val before = sc.getPersistentRDDs.keySet
+        val out = df.localCheckpoint()
+        (out, (sc.getPersistentRDDs -- before).values.toSeq)
+      }
     // materialize the edge list once — every iteration joins it, and
     // without the checkpoint each round would re-run the entire
     // candidate-generation pipeline that produced `pairs`

@@ -39,10 +39,19 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType
   */
 object Quantile {
 
+  /** Hard ceiling on driver-held histogram cells (≤ |groups| × bins).
+    * 4M cells ≈ tens of MB of Row objects — comfortably inside any
+    * driver. With the default 8192 bins this admits ~500 groups; a
+    * higher-cardinality group column must either lower `bins` or raise
+    * `maxDriverCells` explicitly (an informed opt-in, not a silent OOM). */
+  val DefaultMaxDriverCells: Int = 4 * 1000 * 1000
+
   def exactQuantiles(df: DataFrame, groupCol: String, valCol: String,
-                     qs: Seq[Double], bins: Int = 8192): DataFrame = {
+                     qs: Seq[Double], bins: Int = 8192,
+                     maxDriverCells: Int = DefaultMaxDriverCells): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
       s"quantiles must be in (0, 1], got $qs")
+    require(maxDriverCells > 0, s"maxDriverCells must be positive, got $maxDriverCells")
     val spark = df.sparkSession
 
     val base = df
@@ -58,10 +67,21 @@ object Quantile {
     val withBin = base.join(broadcast(ext), "g")
       .select(col("g"), col("v"), binExpr.as("bin"))
 
-    // the only fact-sized aggregate; bounded output, bounded collect
+    // the only fact-sized aggregate; bounded output, bounded collect.
+    // The limit(cap+1) ENFORCES the bounded-collect contract: the driver
+    // never fetches more than maxDriverCells+1 rows even when the group
+    // column turns out to be high-cardinality — it fails loudly instead
+    // of OOMing the driver.
     val hist = withBin.groupBy(col("g"), col("bin")).agg(count(lit(1)).as("c"))
     val gField = hist.schema.head
-    val byGroup = hist.collect().groupBy(_.get(0))
+    val histRows = hist.limit(maxDriverCells + 1).collect()
+    require(histRows.length <= maxDriverCells,
+      s"exactQuantiles: histogram exceeds the driver-collect bound " +
+        s"(> $maxDriverCells (group, bin) cells with bins=$bins). The group " +
+        s"column '$groupCol' is too high-cardinality for this operator's " +
+        s"contract — lower `bins`, raise `maxDriverCells` explicitly, or " +
+        s"pre-aggregate the group column.")
+    val byGroup = histRows.groupBy(_.get(0))
 
     // driver: candidate bin + rank-within-bin per (group, quantile)
     val specRows = byGroup.iterator.flatMap { case (gVal, rows) =>

@@ -300,26 +300,32 @@ object Relational {
 
   /** R26: the TPC-H Q21 pattern — EXISTS + NOT EXISTS correlated
     * subqueries against the SAME fact table, the hardest relational
-    * decorrelation shape (the optimizer must turn both into fact⨝fact
-    * semi/anti joins with a non-equi residual on the supplier key).
-    * Here: suppliers who returned a line on a multi-supplier order
-    * where NO other supplier returned one — "sole blame" counts.
-    * Both probes shuffle once on l_orderkey; the top-20 is
-    * TakeOrdered with a deterministic (count, suppkey) tiebreak. */
+    * decorrelation shape. Here: suppliers who returned a line on a
+    * multi-supplier order where NO other supplier returned one —
+    * "sole blame" counts. Rather than decorrelating to two fact⨝fact
+    * semi/anti joins (two full shuffles of lineitem on the same key),
+    * both correlated conditions fold into ONE per-order aggregate:
+    *   EXISTS other supplier      ⟺ min(l_suppkey) ≠ max(l_suppkey)
+    *   NOT EXISTS other R-supplier ⟺ min(R suppkey) = max(R suppkey)
+    *     (null-safe: an order with no R line yields NULL = NULL → dropped)
+    * A qualifying order credits its sole R-supplier with its R-line
+    * count, so numwait = sum of per-order R-line counts. Plain
+    * min/max/count — full map-side combine, no count-distinct Expand,
+    * exactly one fact-sized Exchange; the top-20 stays a TakeOrdered
+    * with a deterministic (count, suppkey) tiebreak. */
   def q26ExistsNotExists(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
-    val l1 = li.filter(col("l_returnflag") === "R")
-      .select(col("l_orderkey"), col("l_suppkey"))
-    val others = li.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
-    val otherReturns = li.filter(col("l_returnflag") === "R")
-      .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
-    l1
-      .join(others, col("l_orderkey") === col("o2") && col("l_suppkey") =!= col("s2"),
-        "left_semi")
-      .join(otherReturns, col("l_orderkey") === col("o3") && col("l_suppkey") =!= col("s3"),
-        "left_anti")
-      .groupBy(col("l_suppkey"))
-      .agg(count(lit(1)).as("numwait"))
+    val rSupp = when(col("l_returnflag") === "R", col("l_suppkey"))
+    li.groupBy(col("l_orderkey"))
+      .agg(
+        min(col("l_suppkey")).as("s_min"),
+        max(col("l_suppkey")).as("s_max"),
+        min(rSupp).as("r_min"),
+        max(rSupp).as("r_max"),
+        count(rSupp).as("r_lines"))
+      .filter(col("s_min") =!= col("s_max") && col("r_min") === col("r_max"))
+      .groupBy(col("r_min").as("l_suppkey"))
+      .agg(sum(col("r_lines")).as("numwait"))
       .orderBy(col("numwait").desc, col("l_suppkey").asc)
       .limit(20)
   }

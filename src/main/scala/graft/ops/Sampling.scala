@@ -99,24 +99,39 @@ object Sampling {
     * deterministic pseudo-random order until the cumulative token
     * count reaches the budget ("fill a 10B-token training budget from
     * a moving corpus"). The cumulative sum is GLOBAL but never
-    * globally sorted: docs range-partition into [[BudgetBuckets]]
-    * ordered hash slices, per-slice token totals (one tiny aggregate)
-    * prefix-sum on the driver (64 scalars — bounded), and each slice
-    * adds its offset to a LOCAL cumulative window. Exactly the
-    * two-phase scan a 1000-executor cumulative sum uses; the only
-    * driver-side data is one number per slice. */
+    * globally sorted: docs range-partition into ordered hash slices,
+    * per-slice token totals (one tiny aggregate) prefix-sum on the
+    * driver (one long per slice — bounded), and each slice adds its
+    * offset to a LOCAL cumulative window. Exactly the two-phase scan
+    * a 1000-executor cumulative sum uses; the only driver-side data
+    * is one number per slice.
+    *
+    * The slice count follows `spark.sql.shuffle.partitions` (a fixed
+    * constant would make each slice corpus/64 — ~1.5 TB per window
+    * task at 100 TB): sized 2–3× cores like any shuffle, a 100 TB
+    * corpus on a 6000-partition session sorts ~17 GB per slice, and
+    * the driver prefix-sum stays 6000 scalars. The result is
+    * bucket-count-invariant (OpsSpec pins slicing == global cumsum
+    * for several counts), so re-tuning parallelism never changes the
+    * selected set. */
   val TokenBudget = 20000L
-  val BudgetBuckets = 64
+
+  /** Slice count for [[tokenBudgetFill]]: the session's shuffle
+    * parallelism (≥ 1). */
+  def budgetBuckets(s: SparkSession): Int =
+    math.max(s.conf.get("spark.sql.shuffle.partitions", "200").toInt, 1)
 
   /** P5 core, df-level (spec-testable): expects (doc_id, n_tokens)
     * rows; returns the budget-filling prefix in deterministic hash
-    * order with the global cumulative token count. */
+    * order with the global cumulative token count. `buckets` ≤ 0
+    * (the default) derives the slice count from the session. */
   def tokenBudgetFill(d: DataFrame, budget: Long,
-                      buckets: Int = BudgetBuckets): DataFrame = {
+                      buckets: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val nBuckets = if (buckets > 0) buckets else budgetBuckets(d.sparkSession)
     // slice = range partition of the order key (h div ceil(max/n)), so
     // (slice, h, doc_id) ordering == global (h, doc_id) ordering
-    val sliceWidth = (Int.MaxValue.toLong + buckets - 1) / buckets
+    val sliceWidth = (Int.MaxValue.toLong + nBuckets - 1) / nBuckets
     val docs = d
       .select(col("doc_id"), col("n_tokens"),
         hashBucket(col("doc_id"), Int.MaxValue).as("h"))
@@ -124,12 +139,12 @@ object Sampling {
     val sliceTotals = docs.groupBy(col("slice"))
       .agg(sum(col("n_tokens")).as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val offsets = (0 until buckets).scanLeft(0L) {
+    val offsets = (0 until nBuckets).scanLeft(0L) {
       (acc, b) => acc + sliceTotals.getOrElse(b, 0L)
     } // offsets(b) = tokens in all earlier slices
     // O(1) literal-map lookup (a when-chain would grow the expression
     // tree linearly in the bucket count)
-    val offsetMap = typedLit((0 until buckets).map(b => b -> offsets(b)).toMap)
+    val offsetMap = typedLit((0 until nBuckets).map(b => b -> offsets(b)).toMap)
     val offsetCol = element_at(offsetMap, col("slice"))
     val w = Window.partitionBy(col("slice"))
       .orderBy(col("h").asc, col("doc_id").asc)

@@ -106,6 +106,29 @@ class DedupSpec extends SparkTestBase {
     assert(groups(7L) == (2L, "7,9"))
   }
 
+  test("D6: reliable-checkpoint mode (cluster-safe) produces identical groups") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("a", "b")
+    spark.conf.set(Dedup.ReliableCheckpointKey, "true")
+    try {
+      // without a checkpoint dir the mode must refuse loudly, not fall
+      // back to executor-local blocks silently
+      if (spark.sparkContext.getCheckpointDir.isEmpty) {
+        val ex = intercept[IllegalArgumentException] {
+          Dedup.duplicateGroups(pairs).count()
+        }
+        assert(ex.getMessage.contains("setCheckpointDir"))
+      }
+      val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+      spark.sparkContext.setCheckpointDir(dir)
+      val groups = Dedup.duplicateGroups(pairs)
+        .as[(Long, Long, String)].collect()
+        .map(g => g._1 -> (g._2, g._3)).toMap
+      assert(groups == Map(1L -> ((3L, "1,2,3")), 7L -> ((2L, "7,9"))))
+      // rounds really checkpointed to the reliable store
+      assert(new java.io.File(dir).listFiles.nonEmpty)
+    } finally spark.conf.unset(Dedup.ReliableCheckpointKey)
+  }
+
   test("D7: cross-doc boilerplate chunks stripped; doc-level exact dedup misses them") {
     val header = (1 to 8).map(i => s"header$i").mkString(" ") // exactly one chunk wide
     val docs = Seq(

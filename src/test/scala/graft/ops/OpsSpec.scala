@@ -199,6 +199,24 @@ class OpsSpec extends SparkTestBase {
     out.values.foreach(v => assert(vals.contains(v)))
   }
 
+  test("R27: bounded-collect contract is ENFORCED — high-cardinality group fails loudly") {
+    import spark.implicits._
+    // 300 groups × 4 bins > a 1000-cell cap: the operator must refuse
+    // BEFORE pulling the histogram, not OOM the driver
+    val wide = (1 to 1200).map(i => (s"g${i % 300}", i.toDouble)).toDF("grp", "x")
+    val ex = intercept[IllegalArgumentException] {
+      Quantile.exactQuantiles(wide, "grp", "x", Seq(0.5), bins = 4,
+        maxDriverCells = 1000).collect()
+    }
+    assert(ex.getMessage.contains("high-cardinality"))
+    // same data under the cap still answers correctly
+    val ok = Quantile.exactQuantiles(wide, "grp", "x", Seq(0.5), bins = 4,
+        maxDriverCells = 1200 * 4)
+      .filter(col("g") === "g7").select("qval").as[Double].collect()
+    val g7 = (1 to 1200).filter(i => i % 300 == 7).map(_.toDouble)
+    assert(ok.toSeq == Seq(ref(g7, 0.5)))
+  }
+
   test("R27: no global sort in the plan; driver holds only histogram counts") {
     val plan = graft.SparkEntry.queries("q27_exact_quantile")(spark, sfDir)
       .queryExecution.executedPlan.toString
