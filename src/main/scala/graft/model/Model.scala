@@ -145,12 +145,32 @@ final case class GraftAssociation(name: String, properties: Seq[GraftProperty]) 
   * and filtered joins reject at load. */
 final case class GraftJoinDef(name: String, leftTable: String, leftCol: String,
                               rightTable: String, rightCol: String) {
-  /** (myCol, otherCol) oriented so `myCol` belongs to `table`. */
+  /** (myCol, otherCol) oriented so `myCol` belongs to `table`.
+    * Schema-qualified names disambiguate first; the bare-name fallback
+    * (a mapping's mainTable is often unqualified) only fires when it is
+    * unambiguous. Both sides matching — a self-association, or two
+    * schemas sharing a table name probed by bare name — REJECTS loudly:
+    * silently picking the left orientation would emit a reversed join
+    * condition for reverse navigation. */
   def orient(table: String): Option[(String, String)] = {
     def bare(t: String) = t.split('.').last
-    if (bare(leftTable) == bare(table)) Some((leftCol, rightCol))
-    else if (bare(rightTable) == bare(table)) Some((rightCol, leftCol))
-    else None
+    def ambiguous(how: String): Nothing = throw new IllegalArgumentException(
+      s"join [$name]: both sides ($leftTable, $rightTable) match table " +
+        s"[$table] $how — orientation is ambiguous (self-association or " +
+        "colliding table names across schemas); qualify the table with its " +
+        "schema or model the self-join with distinct aliases")
+    (leftTable == table, rightTable == table) match {
+      case (true, true)  => ambiguous("exactly")
+      case (true, false) => Some((leftCol, rightCol))
+      case (false, true) => Some((rightCol, leftCol))
+      case _ =>
+        (bare(leftTable) == bare(table), bare(rightTable) == bare(table)) match {
+          case (true, true)  => ambiguous("by bare name")
+          case (true, false) => Some((leftCol, rightCol))
+          case (false, true) => Some((rightCol, leftCol))
+          case _             => None
+        }
+    }
   }
 }
 

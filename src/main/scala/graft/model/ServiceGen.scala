@@ -200,6 +200,15 @@ object ServiceGen {
         }
       val prop = path.last
       val navProp = unambiguous(fromClass, prop).get // paths came from chainOf
+      // navigating THROUGH a to-many property would compile to a plain
+      // join that fans out / duplicates main rows — PURE collection
+      // semantics require an aggregation this generator doesn't model.
+      // Loud failure, never a silently wrong row count.
+      require(!navProp.multiplicity.isCollection,
+        s"service [${svc.name}]: association property [${path.mkString(".")}] is " +
+          s"to-many ${navProp.multiplicity} — collection navigation is not " +
+          "supported (it would duplicate rows); aggregate in a dedicated " +
+          "service over the target class instead")
       val target = navProp.dataType
       val joinRef = fromMapping.assocJoins.getOrElse(prop, throw new IllegalArgumentException(
         s"service [${svc.name}]: association property [$prop] has no join in mapping " +

@@ -231,8 +231,13 @@ object LegendLoader {
 
     // association property → store join name. One join per navigation
     // (the single-hop scope); elementWithJoins chains reject loudly.
-    val assocJoins: Map[String, String] =
-      elems(c, "associationMappings").flatMap { am =>
+    // The map is keyed by property NAME and shared by every class
+    // mapping in this file, so two associations whose properties share
+    // a name would silently bind navigations to the wrong join
+    // (last-one-wins) — duplicates pointing at different joins reject
+    // at load instead.
+    val assocJoins: Map[String, String] = {
+      val pairs = elems(c, "associationMappings").flatMap { am =>
         val assoc = am.path("association").asText()
         elems(am, "propertyMappings").map { pm =>
           val prop = pm.path("property").path("property").asText()
@@ -247,9 +252,19 @@ object LegendLoader {
           // both define a join of the same name)
           val joinName = joins.head.path("name").asText()
           val db = joins.head.path("db").asText("")
-          prop -> (if (db.isEmpty) joinName else s"$db::$joinName")
+          (assoc, prop, if (db.isEmpty) joinName else s"$db::$joinName")
         }
-      }.toMap
+      }
+      val clashes = pairs.groupBy(_._2).filter(_._2.map(_._3).distinct.size > 1)
+      require(clashes.isEmpty,
+        s"mapping [$path]: association property name(s) " +
+          s"[${clashes.keys.toSeq.sorted.mkString(", ")}] are mapped to " +
+          "different joins by multiple associationMappings " +
+          s"(${clashes.values.flatten.map(t => s"${t._1}.${t._2}→${t._3}")
+            .toSeq.sorted.mkString("; ")}) — navigation would bind to an " +
+          "arbitrary one; rename the association properties")
+      pairs.map(t => t._2 -> t._3).toMap
+    }
 
     rel.zipWithIndex.map { case (cm, i) =>
       val entity = cm.get("class").asText()

@@ -461,6 +461,67 @@ class LegendSpec extends SparkTestBase {
     assert(rows == Set((1L, Some("Alice")), (2L, None)))
   }
 
+  test("M13: navigating THROUGH a to-many property rejects loudly (no silent fan-out)") {
+    val base = LegendQueries.model
+    // flip order→customer to [0..*]: a plain join would duplicate every
+    // order row once per customer — PURE semantics would aggregate
+    val fanout = base.copy(associations = base.associations.map { case (k, a) =>
+      k -> a.copy(properties = a.properties.map(p =>
+        if (p.name == "customer") p.copy(multiplicity = Multiplicity.ZeroMany) else p))
+    })
+    val e = intercept[IllegalArgumentException] {
+      ServiceGen.serviceSql(fanout, "gate::service::orderWithCustomer")
+    }
+    assert(e.getMessage.contains("to-many"), e.getMessage)
+  }
+
+  test("M13: two associations sharing a property name with different joins reject at load") {
+    def cls(n: String) =
+      s"""{"classifierPath":"meta::pure::metamodel::type::Class","content":{
+         |"_type":"class","name":"$n","package":"dup::entity","superTypes":[],
+         |"properties":[${prop("id", "Integer")}],
+         |"constraints":[],"qualifiedProperties":[]}}""".stripMargin
+    def assoc(n: String, target: String) =
+      s"""{"classifierPath":"meta::pure::metamodel::relationship::Association","content":{
+         |"_type":"association","name":"$n","package":"dup::entity",
+         |"properties":[
+         |  {"name":"other","type":"dup::entity::$target","multiplicity":${mult(1)}},
+         |  {"name":"back","type":"dup::entity::a","multiplicity":${mult(0, None)}}]}}""".stripMargin
+    def join(n: String, rt: String, rc: String) =
+      s"""{"name":"$n","operation":{"_type":"dynaFunc","funcName":"equal","parameters":[
+         |  {"_type":"column","column":"a_id","table":{"_type":"Table","table":"ta","schema":"default"}},
+         |  {"_type":"column","column":"$rc","table":{"_type":"Table","table":"$rt","schema":"default"}}]}}""".stripMargin
+    val store =
+      s"""{"classifierPath":"meta::relational::metamodel::Database","content":{
+         |"_type":"relational","name":"dupDb","package":"dup::store",
+         |"schemas":[],"filters":[],
+         |"joins":[${join("J1", "tb", "b_id")},${join("J2", "tc", "c_id")}]}}""".stripMargin
+    def cm(c: String, t: String) =
+      s"""{"_type":"relational","class":"dup::entity::$c",
+         |"mainTable":{"_type":"Table","schema":"default","table":"$t"},
+         |"propertyMappings":[{"_type":"relationalPropertyMapping",
+         |  "property":{"class":"dup::entity::$c","property":"id"},
+         |  "relationalOperation":{"_type":"column","column":"${t.last}_id","table":{"_type":"Table"}}}]}""".stripMargin
+    def am(a: String, j: String) =
+      s"""{"_type":"relational","association":"dup::entity::$a",
+         |"propertyMappings":[{"_type":"relationalPropertyMapping",
+         |  "property":{"class":"dup::entity::$a","property":"other"},
+         |  "relationalOperation":{"_type":"elementWithJoins",
+         |    "joins":[{"db":"dup::store::dupDb","name":"$j"}]}}]}""".stripMargin
+    val mapping =
+      s"""{"classifierPath":"meta::pure::mapping::Mapping","content":{
+         |"_type":"mapping","name":"dup_rel","package":"dup::mapping",
+         |"classMappings":[${cm("a", "ta")},${cm("b", "tb")},${cm("c", "tc")}],
+         |"associationMappings":[${am("A_B", "J1")},${am("A_C", "J2")}]}}""".stripMargin
+    val e = intercept[IllegalArgumentException] {
+      LegendLoader.fromJsonStrings(
+        Seq(cls("a"), cls("b"), cls("c"), assoc("A_B", "b"), assoc("A_C", "c"),
+          store, mapping))
+    }
+    assert(e.getMessage.contains("different joins") && e.getMessage.contains("other"),
+      e.getMessage)
+  }
+
   test("M13: ambiguous association property rejects loudly") {
     val base = LegendQueries.model
     // a second association also defining `customer` from order, to a

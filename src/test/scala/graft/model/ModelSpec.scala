@@ -255,6 +255,61 @@ class ModelSpec extends SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS graft_m14_part")
   }
 
+  test("M14: validatePartitionStability rejects a key that moves partitions, before writing") {
+    val tmpModel = model.copy(mappings = model.mappings +
+      ("tmp" -> model.mapping("tpch::mapping::Customer").copy(table = "graft_m14_stab")))
+    try {
+      TableGen.create(spark, tmpModel, "tmp", partitionBy = Seq("c_mktsegment"))
+      TableGen.write(graft.Tables(spark, sfDir, "customer").limit(20), tmpModel, "tmp")
+      val segments = spark.table("graft_m14_stab")
+        .select("c_mktsegment").distinct().collect().map(_.getString(0)).sorted
+      assert(segments.length >= 2)
+      // source row keeps its key but flips the partition column — the
+      // stale copy would survive in the old partition
+      val moved = spark.table("graft_m14_stab")
+        .filter(org.apache.spark.sql.functions.col("c_mktsegment") === segments.head)
+        .limit(1)
+        .withColumn("c_mktsegment", org.apache.spark.sql.functions.lit(segments.last))
+        .localCheckpoint()
+      val before = spark.table("graft_m14_stab").collect().toSet
+      val e = intercept[IllegalArgumentException] {
+        TableGen.merge(spark, tmpModel, "tmp", moved, Seq("c_custkey"),
+          validatePartitionStability = true)
+      }
+      assert(e.getMessage.contains("across"), e.getMessage)
+      // nothing was written
+      assert(spark.table("graft_m14_stab").collect().toSet == before)
+      // a partition-stable source under the same flag merges fine
+      val stable = spark.table("graft_m14_stab").limit(1)
+        .withColumn("c_acctbal", org.apache.spark.sql.functions.lit(77.5))
+        .localCheckpoint()
+      TableGen.merge(spark, tmpModel, "tmp", stable, Seq("c_custkey"),
+        validatePartitionStability = true)
+      assert(spark.table("graft_m14_stab")
+        .filter(org.apache.spark.sql.functions.col("c_acctbal") === 77.5).count() == 1)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_m14_stab")
+  }
+
+  test("join orientation: self-association and bare-name collisions reject loudly") {
+    // true self-join: both sides are the same table
+    val self = GraftJoinDef("ManagerOf", "default.person", "manager_id",
+      "default.person", "person_id")
+    val e1 = intercept[IllegalArgumentException] { self.orient("person") }
+    assert(e1.getMessage.contains("ambiguous"), e1.getMessage)
+    // two schemas sharing a bare table name: qualified probes resolve,
+    // a bare probe is ambiguous and must not silently pick the left side
+    val cross = GraftJoinDef("X", "s1.t", "a", "s2.t", "b")
+    assert(cross.orient("s1.t").contains(("a", "b")))
+    assert(cross.orient("s2.t").contains(("b", "a")))
+    val e2 = intercept[IllegalArgumentException] { cross.orient("t") }
+    assert(e2.getMessage.contains("ambiguous"), e2.getMessage)
+    // the unambiguous bare fallback still works (mainTable is often unqualified)
+    val plain = GraftJoinDef("OC", "default.orders", "o_custkey",
+      "default.customer", "c_custkey")
+    assert(plain.orient("orders").contains(("o_custkey", "c_custkey")))
+    assert(plain.orient("nation").isEmpty)
+  }
+
   test("M9: write aligns to the STORED schema when the partition column is not last") {
     // partition by c_nationkey — a MIDDLE mapping column. Spark moves
     // partition columns to the END of a datasource table's stored
