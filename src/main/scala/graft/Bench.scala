@@ -20,10 +20,27 @@ import java.nio.file.{Files, Paths}
   *   unpersist WARNs otherwise pollute the JSON tail;
   * - the JSON line goes to stdout AND to bench_out.json so the driver's
   *   parser never loses it inside sbt log prefixes.
+  *
+  * Quiet-machine protocol (round-8 review item): run-to-run integrity
+  * requires the bench to run ALONE — never concurrent with `sbt test` or
+  * another JVM. To make contention visible after the fact, the JSON line
+  * records `/proc/loadavg` (1-minute field) before and after the run as
+  * `load_before`/`load_after`. A before-load much above ~1 means the
+  * numbers were taken on a contended machine and should be re-run, not
+  * compared against BASELINE.md.
+  *
+  * SPARK_GRAFT_QUERIES (optional, comma-separated) restricts the run to a
+  * subset of query keys — used by targeted probes (e.g. the row-group
+  * layout probe) that re-time a handful of queries against an alternate
+  * SF dir without paying for the full suite.
   */
 object Bench {
 
   val Runs = 3
+
+  private def loadavg1m(): Double =
+    try Files.readString(Paths.get("/proc/loadavg")).split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
 
   private def runOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
                       spark: org.apache.spark.sql.SparkSession, sfDir: String): Unit =
@@ -31,10 +48,15 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val loadBefore = loadavg1m()
     val spark = GraftSession.local("graft-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    val subset: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val queries = SparkEntry.queries.toSeq
+      .filter { case (name, _) => subset.forall(_.contains(name)) }
+      .sortBy(_._1)
 
     // Warmup: run everything once untimed.
     queries.foreach { case (_, fn) =>
@@ -59,8 +81,9 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failed = results.count(_._2 < 0)
+    val loadAfter = loadavg1m()
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","load_before":$loadBefore,"load_after":$loadAfter}"""
     println(json)
     Files.writeString(Paths.get("bench_out.json"), json + "\n")
     spark.stop()

@@ -30,10 +30,32 @@ object Expectations {
   def forMapping(model: GraftModel, mappingName: String): Seq[(String, String)] = {
     val m = model.mapping(mappingName)
     val subs = model.tableSubstitutions(mappingName)
-    forClass(model, m.entity).map { case (name, sql) =>
+    flatRules(m, forClass(model, m.entity), subs).map { case (name, sql) =>
       name -> SqlRewrite.substitute(sql, subs)
     }
   }
+
+  /** Rules validatable on THIS mapping's flat table. A rule touching an
+    * OTHERWISE-routed property beyond its inline (embedded) columns
+    * cannot resolve here — those values live behind the otherwise join
+    * and validate under the TARGET class's own mapping; keeping the rule
+    * would make every row a false violation (or fail the read). Inline
+    * leaves keep their rules: they substitute by dotted key. */
+  private def flatRules(m: GraftMapping, rules: Seq[(String, String)],
+      subs: Map[String, String]): Seq[(String, String)] =
+    if (m.otherwiseJoins.isEmpty) rules
+    else {
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+      import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      rules.filterNot { case (_, sql) =>
+        CatalystSqlParser.parseExpression(sql).exists {
+          case a: UnresolvedAttribute =>
+            m.otherwiseJoins.contains(a.nameParts.head) &&
+              !(1 to a.nameParts.size).exists(k => subs.contains(a.nameParts.take(k).mkString(".")))
+          case _ => false
+        }
+      }
+    }
 
   /** Per-rule compile results instead of fail-fast — an unparseable
     * business constraint surfaces as a Failure without poisoning the
@@ -49,7 +71,8 @@ object Expectations {
     // substitutions compile once; a bad derivation poisons every rule's
     // Try uniformly (it would poison every rule's compile anyway)
     val subs = scala.util.Try(model.tableSubstitutions(mappingName))
-    forClass(model, m.entity).map { case (name, sql) =>
+    val rules = forClass(model, m.entity)
+    subs.map(s => flatRules(m, rules, s)).getOrElse(rules).map { case (name, sql) =>
       name -> subs.flatMap(s => scala.util.Try(SqlRewrite.substitute(sql, s)))
     }.toMap
   }

@@ -100,7 +100,20 @@ final case class GraftMapping(
     enumFields: Map[String, Seq[(String, String)]] = Map.empty,
     /** association property → store join name (from the mapping file's
       * associationMappings); shared by every class mapping of the file */
-    assocJoins: Map[String, String] = Map.empty) {
+    assocJoins: Map[String, String] = Map.empty,
+    /** class-typed property → store join name, from this class mapping's
+      * `otherwiseEmbeddedPropertyMapping`s: fields NOT covered by the
+      * embedded columns resolve through the target class's own mapping
+      * via this join (Legend's otherwise routing). Unlike assocJoins,
+      * scoped to THIS class mapping. */
+    otherwiseJoins: Map[String, String] = Map.empty) {
+
+  /** The store join navigating `prop` out of this mapping: association
+    * joins first (association properties never collide with class
+    * properties — load rejects shared names bound to different joins),
+    * then otherwise-embedded routing. */
+  def navJoin(prop: String): Option[String] =
+    assocJoins.get(prop).orElse(otherwiseJoins.get(prop))
   /** table column → entity field (for lifting raw tables into entity space). */
   lazy val inverse: Map[String, String] = fields.map(_.swap)
 
@@ -273,6 +286,11 @@ final case class GraftModel(
         val parts = k.split('.')
         (1 until parts.length).map(i => parts.take(i).mkString("."))
       }.toSet[String]
+      // an OTHERWISE-routed head can't rebuild its full entity struct
+      // from inline columns (embedded coverage is intentionally partial):
+      // its inline leaves still substitute by dotted key; everything else
+      // resolves through the otherwise join (service navigation)
+      .filterNot(pre => m.otherwiseJoins.contains(pre.split('.').head))
       .map(pre => pre -> structExpr(propertyAtPath(m.entity, pre), pre))
       .toMap
     allDerivations(m.entity).foldLeft(fieldSubs ++ embeddedHeads) { (acc, d) =>

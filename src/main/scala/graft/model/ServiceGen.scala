@@ -37,7 +37,11 @@ object ServiceGen {
     val fields = model.allProperties(m.entity).map { p =>
       val sql = subs.getOrElse(p.name,
         throw new IllegalArgumentException(
-          s"mapping [${m.name}] has no column for field [${p.name}]"))
+          if (m.otherwiseJoins.contains(p.name))
+            s"mapping [${m.name}] field [${p.name}] is OTHERWISE-routed through a " +
+              "join — the flat governed read cannot materialize the full value; " +
+              "read its fields through a service navigation instead"
+          else s"mapping [${m.name}] has no column for field [${p.name}]"))
       s"$sql AS ${p.name}"
     }
     val derivations = Transformer.derivationsForMapping(model, mappingName)
@@ -93,7 +97,11 @@ object ServiceGen {
           n.subs.map { case (f, ex) => s"$path.$f" -> ex }
         }.toMap
         val navHeads = navs.map(_._1.split('.').head).toSet
-        e => compileJoined(svc, navHeads, mainSubs ++ navSubs, e)
+        // mainSubs wins on collision: an OTHERWISE-partial embedding has
+        // its inline leaves in mainSubs AND the same dotted keys in the
+        // joined target's navSubs — the inline column must resolve flat
+        // (never pay the join for data the row already carries)
+        e => compileJoined(svc, navHeads, navSubs ++ mainSubs, e)
       }
 
     val select = svc.select
@@ -166,16 +174,49 @@ object ServiceGen {
       }
     }
 
-    /** Longest prefix of `parts` that is a valid association chain. */
+    /** The property navigated as `prop` out of `fromClass` under
+      * `fromMapping`: an association property, or a class-typed property
+      * the mapping routes through an OTHERWISE join. Embedded columns
+      * take precedence over otherwise routing — a dotted path the
+      * mapping's flat fields already cover resolves without a join
+      * (`remaining` is the dotted path from the current hop), so the
+      * otherwise join only fires for fields the inline columns lack. */
+    def navProperty(fromMapping: GraftMapping, fromClass: String, prop: String,
+        remaining: String): Option[GraftProperty] =
+      unambiguous(fromClass, prop).orElse {
+        if (!fromMapping.otherwiseJoins.contains(prop) ||
+            fromMapping.fields.contains(remaining)) None
+        else model.classes.get(fromClass)
+          .flatMap(_ => model.allProperties(fromClass).find(_.name == prop))
+          .filter(_.isReference)
+      }
+
+    /** The target class's mapping, preferring `<service mapping>::<class>`
+      * then the unique mapping of that entity (loud on several). */
+    def targetMapping(target: String): GraftMapping =
+      model.mappings.get(s"${svc.mapping}::$target").getOrElse {
+        val byEntity = model.mappings.values.filter(_.entity == target).toSeq
+        require(byEntity.size <= 1,
+          s"service [${svc.name}]: class [$target] has multiple mappings " +
+            s"(${byEntity.map(_.name).mkString(", ")}) — none named [${svc.mapping}::$target]")
+        byEntity.headOption.getOrElse(throw new IllegalArgumentException(
+          s"service [${svc.name}]: no mapping found for navigated class [$target]"))
+      }
+
+    /** Longest prefix of `parts` that is a valid navigation chain
+      * (association hops and otherwise-routed hops). */
     def chainOf(parts: Seq[String]): Seq[String] = {
       var cls = m.entity
+      var mp = m
       val out = Seq.newBuilder[String]
       var i = 0
       var stop = false
       while (i < parts.size && !stop) {
-        unambiguous(cls, parts(i)) match {
-          case Some(p) => cls = p.dataType; out += parts(i); i += 1
-          case None    => stop = true
+        navProperty(mp, cls, parts(i), parts.drop(i).mkString(".")) match {
+          case Some(p) =>
+            cls = p.dataType; out += parts(i); i += 1
+            if (i < parts.size) mp = targetMapping(cls)
+          case None => stop = true
         }
       }
       out.result()
@@ -199,7 +240,7 @@ object ServiceGen {
           (pn.mapping, pn.alias, pn.mapping.entity, pn.joinKeyword == "LEFT JOIN")
         }
       val prop = path.last
-      val navProp = unambiguous(fromClass, prop).get // paths came from chainOf
+      val navProp = navProperty(fromMapping, fromClass, prop, prop).get // paths came from chainOf
       // navigating THROUGH a to-many property would compile to a plain
       // join that fans out / duplicates main rows — PURE collection
       // semantics require an aggregation this generator doesn't model.
@@ -210,7 +251,7 @@ object ServiceGen {
           "supported (it would duplicate rows); aggregate in a dedicated " +
           "service over the target class instead")
       val target = navProp.dataType
-      val joinRef = fromMapping.assocJoins.getOrElse(prop, throw new IllegalArgumentException(
+      val joinRef = fromMapping.navJoin(prop).getOrElse(throw new IllegalArgumentException(
         s"service [${svc.name}]: association property [$prop] has no join in mapping " +
           s"[${fromMapping.name}] (missing associationMappings entry)"))
       // exact (store-qualified) key first; bare references resolve only
@@ -223,14 +264,7 @@ object ServiceGen {
         byName.headOption.getOrElse(throw new IllegalArgumentException(
           s"service [${svc.name}]: join [$joinRef] is not defined in any loaded store"))
       })
-      val tm = model.mappings.get(s"${svc.mapping}::$target").getOrElse {
-        val byEntity = model.mappings.values.filter(_.entity == target).toSeq
-        require(byEntity.size <= 1,
-          s"service [${svc.name}]: class [$target] has multiple mappings " +
-            s"(${byEntity.map(_.name).mkString(", ")}) — none named [${svc.mapping}::$target]")
-        byEntity.headOption.getOrElse(throw new IllegalArgumentException(
-          s"service [${svc.name}]: no mapping found for navigated class [$target]"))
-      }
+      val tm = targetMapping(target)
       val (myCol, otherCol) = jd.orient(fromMapping.table).getOrElse(
         throw new IllegalArgumentException(
           s"service [${svc.name}]: join [${jd.name}] does not touch table [${fromMapping.table}]"))

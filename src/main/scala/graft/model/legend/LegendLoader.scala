@@ -23,8 +23,11 @@ import scala.jdk.CollectionConverters._
   *
   * Scope (documented, load-time-checked): the PURE subset in
   * [[PureToSql]]; relational class mappings with column property
-  * mappings and EMBEDDED mappings (nested classes flattened to dotted
-  * column paths; `otherwise` mappings reject); association navigation
+  * mappings, EMBEDDED mappings (nested classes flattened to dotted
+  * column paths), and single-target OTHERWISE-embedded mappings
+  * (inline columns resolve flat; uncovered fields route through the
+  * otherwise join to the target class's own mapping — multi-join and
+  * nested otherwise reject); association navigation
   * CHAINS — association entities + mapping associationMappings + store
   * FK joins compile `$x.assoc.field` / `$x.a.b.field` to chained SQL
   * joins (undefined chains, compound join operations, unmapped joins,
@@ -274,10 +277,13 @@ object LegendLoader {
       val qualified =
         if (schema.isEmpty || schema == "default") table else s"$schema.$table"
       var enumFields = Map.empty[String, Seq[(String, String)]]
+      var otherwiseJoins = Map.empty[String, String]
       // column-backed property mappings, plus EMBEDDED mappings flattened
       // recursively to dotted field paths ("address.city" → addr_city —
       // the nested class's fields live as flat columns of the same
-      // table); anything else fails loudly at load, never silently
+      // table); OTHERWISE-embedded mappings additionally route the
+      // property through a store join for fields the embedded columns
+      // don't cover; anything else fails loudly at load, never silently
       def parseProps(pms: Seq[JsonNode], prefix: String): Seq[(String, String)] =
         pms.flatMap { pm =>
           val tpe = pm.path("_type").asText()
@@ -299,13 +305,48 @@ object LegendLoader {
               require(nested.nonEmpty,
                 s"mapping [$path] embedded property [$field]: empty classMapping")
               parseProps(nested, field)
+            case "otherwiseEmbeddedPropertyMapping" =>
+              // the SINGLE-TARGET otherwise case: inline columns (possibly
+              // none — the pure-routing form) plus one join to the target
+              // class's own mapping. Multi-join routing rejects loudly.
+              require(prefix.isEmpty,
+                s"mapping [$path] property [$field]: otherwise routing inside an " +
+                  "embedded mapping is not supported — flatten the outer embedding " +
+                  "or map the nested class with its own class mapping")
+              val ow = pm.get("otherwisePropertyMapping")
+              require(ow != null,
+                s"mapping [$path] property [$field]: otherwiseEmbeddedPropertyMapping " +
+                  "without an otherwisePropertyMapping")
+              val op = ow.get("relationalOperation")
+              require(op != null && op.path("_type").asText() == "elementWithJoins",
+                s"mapping [$path] property [$field]: otherwise target must be " +
+                  "elementWithJoins, got " +
+                  s"[${Option(op).map(_.path("_type").asText()).getOrElse("nothing")}]")
+              val joins = elems(op, "joins")
+              require(joins.size == 1,
+                s"mapping [$path] property [$field]: only single-target otherwise " +
+                  s"routing is supported, got ${joins.size} joins")
+              val joinName = joins.head.path("name").asText()
+              val db = joins.head.path("db").asText("")
+              otherwiseJoins += field -> (if (db.isEmpty) joinName else s"$db::$joinName")
+              parseProps(elems(pm.path("classMapping"), "propertyMappings"), field)
             case other => throw new IllegalArgumentException(
               s"mapping [$path] property [$field]: unsupported property mapping type [$other]")
           }
         }
       val fields = parseProps(elems(cm, "propertyMappings"), "").toMap
+      // an otherwise property whose name an associationMapping also binds
+      // (to a DIFFERENT join) would make navJoin's precedence silently
+      // decisive — reject the collision at load instead
+      val owClashes = otherwiseJoins.filter { case (p, j) =>
+        assocJoins.get(p).exists(_ != j)
+      }
+      require(owClashes.isEmpty,
+        s"mapping [$path]: property name(s) [${owClashes.keys.toSeq.sorted.mkString(", ")}] " +
+          "are bound to one join by an associationMapping and a different one by an " +
+          "otherwise mapping — navigation would be ambiguous")
       val key = if (i == 0) path else s"$path::$entity"
-      key -> GraftMapping(key, entity, qualified, fields, enumFields, assocJoins)
+      key -> GraftMapping(key, entity, qualified, fields, enumFields, assocJoins, otherwiseJoins)
     }.toMap
   }
 

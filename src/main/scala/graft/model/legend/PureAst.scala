@@ -13,7 +13,9 @@ import scala.jdk.CollectionConverters._
   * self-contained translator for the practical subset of PURE that
   * appears in entity constraints, qualified properties, and relational
   * services — comparisons, boolean algebra, arithmetic, string and date
-  * functions, emptiness checks, and the relational verbs
+  * functions, emptiness checks, collection HOFs (forAll/exists/filter/
+  * map over [0..*] properties, rendered as Spark's codegen'd
+  * higher-order array functions), and the relational verbs
   * (getAll/filter/project/groupBy/sort/take, handled in [[LegendLoader]]).
   * Everything renders to a plain Spark SQL string over entity field
   * names, so the downstream machinery (Expectations → SqlRewrite →
@@ -191,6 +193,28 @@ object PureToSql {
     // collection size; scalar-context `count` is PURE's collection size too
     // (the aggregation form is handled by the service translator)
     case "size" | "count" => s"size(${scalar(ps.head, rv)})"
+    // collection HOFs over a [0..*] property (an ArrayType column in
+    // table space) → Spark's codegen'd higher-order functions; the PURE
+    // lambda variable becomes the SQL lambda parameter, so `$t.qty`
+    // renders as struct-element access `t.qty` and bare `$t` as the
+    // element itself. Scalar context only — the relational `filter`
+    // verb never reaches here (LegendLoader's pipeline walker consumes
+    // it before scalar translation).
+    case "forAll" | "exists" | "filter" | "map" =>
+      require(ps.size == 2, s"$f(collection, lambda)")
+      val (param, body) = ps(1) match {
+        case PLambda(Seq(one), b) => (one, b)
+        case other => throw new IllegalArgumentException(
+          s"$f expects a one-parameter lambda, got $other")
+      }
+      require(!rv(param),
+        s"$f lambda parameter [$$$param] shadows an enclosing row variable")
+      val sqlFn = f match {
+        case "forAll" => "forall"
+        case "map"    => "transform"
+        case other    => other
+      }
+      s"$sqlFn(${scalar(ps(0), rv)}, $param -> ${scalar(bindElem(body, param), rv)})"
     case "matches" => bin("RLIKE", ps, rv)
     case "parseInteger" => s"CAST(${scalar(ps.head, rv)} AS BIGINT)"
     case "parseFloat" | "parseDecimal" => s"CAST(${scalar(ps.head, rv)} AS DOUBLE)"
@@ -251,6 +275,19 @@ object PureToSql {
       val args = ps match { case Seq(PCollection(vs)) => vs; case other => other }
       args.exists(looksString)
     case _ => false
+  }
+
+  /** Bind a HOF lambda's element variable: occurrences of `$v` become
+    * the raw SQL identifier `v` (Spark resolves it as the lambda
+    * parameter), so `$v` renders bare and `$v.field` as `v.field`.
+    * Shadowing inner lambdas keep their own binding. */
+  private def bindElem(e: PureExpr, v: String): PureExpr = e match {
+    case PVar(`v`)          => PLit(v)
+    case PProperty(r, n)    => PProperty(bindElem(r, v), n)
+    case PFunc(f, ps)       => PFunc(f, ps.map(bindElem(_, v)))
+    case PCollection(vs)    => PCollection(vs.map(bindElem(_, v)))
+    case PLambda(params, b) if !params.contains(v) => PLambda(params, bindElem(b, v))
+    case other              => other
   }
 
   /** The unit argument of dateDiff: DurationUnit.YEARS arrives as a

@@ -225,7 +225,24 @@ class LegendSpec extends SparkTestBase {
       // string plus resolves to concat; numeric plus stays arithmetic
       PFunc("plus", Seq(PCollection(Seq(PFunc("toUpper", Seq(p("a"))), PLit("'-'"), p("b")))))
         -> "concat(upper(a), '-', b)",
-      PFunc("plus", Seq(PCollection(Seq(p("a"), p("b"))))) -> "(a + b)")
+      PFunc("plus", Seq(PCollection(Seq(p("a"), p("b"))))) -> "(a + b)",
+      // collection HOFs: the PURE lambda variable becomes the SQL lambda
+      // parameter; bare $t is the element, $t.f is struct-element access
+      PFunc("forAll", Seq(p("tags"), PLambda(Seq("t"),
+        PFunc("greaterThan", Seq(PFunc("length", Seq(PVar("t"))), PLit("0"))))))
+        -> "forall(tags, t -> (length(t) > 0))",
+      PFunc("exists", Seq(p("tags"), PLambda(Seq("t"),
+        PFunc("equal", Seq(PVar("t"), PLit("'x'"))))))
+        -> "exists(tags, t -> (t = 'x'))",
+      PFunc("filter", Seq(p("nums"), PLambda(Seq("n"),
+        PFunc("greaterThan", Seq(PVar("n"), PLit("10"))))))
+        -> "filter(nums, n -> (n > 10))",
+      PFunc("map", Seq(p("items"), PLambda(Seq("i"), PProperty(PVar("i"), "qty"))))
+        -> "transform(items, i -> i.qty)",
+      // nested: size of a filtered collection
+      PFunc("size", Seq(PFunc("filter", Seq(p("nums"), PLambda(Seq("n"),
+        PFunc("lessThan", Seq(PVar("n"), PLit("0"))))))))
+        -> "size(filter(nums, n -> (n < 0)))")
     for ((ast, expected) <- cases) {
       val sql = PureToSql.scalar(ast, Set("this"))
       assert(sql == expected, s"for $ast")
@@ -619,5 +636,157 @@ class LegendSpec extends SparkTestBase {
       LegendLoader.fromJsonStrings(Seq(compoundStore))
     }
     assert(e2.getMessage.contains("single-equality"), e2.getMessage)
+  }
+
+  // --- otherwise-embedded property mappings (single-target routing) ---
+
+  /** person.address is PARTIALLY embedded (city inline as addr_city) and
+    * otherwise-routed through the PersonAddress FK join to the address
+    * table's own class mapping for everything else. */
+  private def otherwiseCorpus(otherwiseJoins: String =
+      """[{"db":"ow::store::owDb","name":"PersonAddress"}]""") = {
+    val addressClass =
+      s"""{"classifierPath":"meta::pure::metamodel::type::Class","content":{
+         |"_type":"class","name":"Address","package":"ow::entity","superTypes":[],
+         |"properties":[${prop("addrId", "Integer")},${prop("city", "String")},
+         |  ${prop("zip", "Integer")}],
+         |"constraints":[],"qualifiedProperties":[]}}""".stripMargin
+    val personClass =
+      s"""{"classifierPath":"meta::pure::metamodel::type::Class","content":{
+         |"_type":"class","name":"person","package":"ow::entity","superTypes":[],
+         |"properties":[${prop("name", "String")},
+         |  {"name":"address","type":"ow::entity::Address","multiplicity":${mult(1)}}],
+         |"constraints":[],"qualifiedProperties":[]}}""".stripMargin
+    val store =
+      s"""{"classifierPath":"meta::relational::metamodel::Database","content":{
+         |"_type":"relational","name":"owDb","package":"ow::store","schemas":[],"filters":[],
+         |"joins":[{"name":"PersonAddress","operation":{"_type":"dynaFunc","funcName":"equal",
+         |  "parameters":[
+         |    {"_type":"column","column":"p_addr_id","table":{"_type":"Table","table":"ow_person","schema":"default"}},
+         |    {"_type":"column","column":"a_id","table":{"_type":"Table","table":"ow_address","schema":"default"}}]}}]}}""".stripMargin
+    val mappingJson =
+      s"""{"classifierPath":"meta::pure::mapping::Mapping","content":{
+         |"_type":"mapping","name":"person_rel","package":"ow::mapping",
+         |"classMappings":[
+         |  {"_type":"relational","class":"ow::entity::person",
+         |   "mainTable":{"_type":"Table","schema":"default","table":"ow_person"},
+         |   "propertyMappings":[
+         |     {"_type":"relationalPropertyMapping",
+         |      "property":{"class":"ow::entity::person","property":"name"},
+         |      "relationalOperation":{"_type":"column","column":"p_name","table":{"_type":"Table"}}},
+         |     {"_type":"otherwiseEmbeddedPropertyMapping",
+         |      "property":{"class":"ow::entity::person","property":"address"},
+         |      "classMapping":{"_type":"embedded","propertyMappings":[
+         |        {"_type":"relationalPropertyMapping",
+         |         "property":{"class":"ow::entity::Address","property":"city"},
+         |         "relationalOperation":{"_type":"column","column":"addr_city","table":{"_type":"Table"}}}]},
+         |      "otherwisePropertyMapping":{"_type":"relationalPropertyMapping",
+         |        "property":{"class":"ow::entity::person","property":"address"},
+         |        "relationalOperation":{"_type":"elementWithJoins","joins":$otherwiseJoins}}}]},
+         |  {"_type":"relational","class":"ow::entity::Address",
+         |   "mainTable":{"_type":"Table","schema":"default","table":"ow_address"},
+         |   "propertyMappings":[
+         |     {"_type":"relationalPropertyMapping",
+         |      "property":{"class":"ow::entity::Address","property":"addrId"},
+         |      "relationalOperation":{"_type":"column","column":"a_id","table":{"_type":"Table"}}},
+         |     {"_type":"relationalPropertyMapping",
+         |      "property":{"class":"ow::entity::Address","property":"city"},
+         |      "relationalOperation":{"_type":"column","column":"a_city","table":{"_type":"Table"}}},
+         |     {"_type":"relationalPropertyMapping",
+         |      "property":{"class":"ow::entity::Address","property":"zip"},
+         |      "relationalOperation":{"_type":"column","column":"a_zip","table":{"_type":"Table"}}}]}]}}""".stripMargin
+    // project name, the INLINE city, and the JOIN-ROUTED zip
+    val serviceJson =
+      s"""{"classifierPath":"meta::legend::service::metamodel::Service","content":{
+         |"_type":"service","name":"withZip","package":"ow::service","pattern":"/z",
+         |"execution":{"_type":"pureSingleExecution","mapping":"ow::mapping::person_rel",
+         |"func":${lambda(
+            func("project",
+              func("getAll", ptr("ow::entity::person")),
+              coll(lambda(pprop(pvar("x"), "name"), "x"),
+                   lambda(pprop(pprop(pvar("x"), "address"), "city"), "x"),
+                   lambda(pprop(pprop(pvar("x"), "address"), "zip"), "x")),
+              coll(lit("string", "\"Name\""), lit("string", "\"City\""),
+                   lit("string", "\"Zip\""))))}}}}""".stripMargin
+    Seq(addressClass, personClass, store, mappingJson, serviceJson)
+  }
+
+  test("M13: otherwise-embedded mapping — inline field stays flat, uncovered field joins") {
+    import spark.implicits._
+    val m = LegendLoader.fromJsonStrings(otherwiseCorpus())
+    val mp = m.mapping("ow::mapping::person_rel")
+    assert(mp.fields == Map("name" -> "p_name", "address.city" -> "addr_city"))
+    assert(mp.otherwiseJoins == Map("address" -> "ow::store::owDb::PersonAddress"))
+
+    val sql = ServiceGen.serviceSql(m, "ow::service::withZip")
+    // ONE join — city never pays it (inline column wins over the route)
+    assert(sql.contains("JOIN ow_address AS t1 ON t0.p_addr_id = t1.a_id"), sql)
+    assert(sql.contains("t0.addr_city"), sql)
+    assert(sql.contains("t1.a_zip"), sql)
+    assert("JOIN".r.findAllIn(sql).size == 1, s"exactly one join expected:\n$sql")
+
+    Seq(("ann", "PARIS", 1L), ("bob", "OSLO", 2L))
+      .toDF("p_name", "addr_city", "p_addr_id").createOrReplaceTempView("ow_person")
+    Seq((1L, "PARIS", 75001L), (2L, "OSLO", 150L))
+      .toDF("a_id", "a_city", "a_zip").createOrReplaceTempView("ow_address")
+    val rows = ServiceGen.runService(spark, m, "ow::service::withZip")
+      .as[(String, String, Long)].collect().toSet
+    assert(rows == Set(("ann", "PARIS", 75001L), ("bob", "OSLO", 150L)))
+
+    // expectations on the flat table cover only what it stores: the
+    // inline leaf keeps its rule; join-routed fields (and the whole-value
+    // mandatory rule) validate under the Address mapping instead
+    val rules = Expectations.forMapping(m, "ow::mapping::person_rel").toMap
+    assert(rules.contains("[address.city] is mandatory"), rules.keys.mkString(", "))
+    assert(rules("[address.city] is mandatory").contains("addr_city"))
+    assert(!rules.keys.exists(_.contains("address.zip")), rules.keys.mkString(", "))
+    assert(!rules.contains("[address] is mandatory"))
+    // the Address class's own mapping still validates everything
+    val addrRules = Expectations.forMapping(
+      m, "ow::mapping::person_rel::ow::entity::Address").toMap
+    assert(addrRules("[zip] is mandatory").contains("a_zip"))
+
+    // flat governed read of the routed field fails loudly with the hint
+    val e = intercept[IllegalArgumentException] {
+      ServiceGen.mappingSql(m, "ow::mapping::person_rel")
+    }
+    assert(e.getMessage.contains("OTHERWISE-routed"), e.getMessage)
+  }
+
+  test("M13: multi-target otherwise routing rejects loudly at load") {
+    val e = intercept[IllegalArgumentException] {
+      LegendLoader.fromJsonStrings(otherwiseCorpus(
+        """[{"db":"ow::store::owDb","name":"PersonAddress"},
+          | {"db":"ow::store::owDb","name":"Another"}]""".stripMargin))
+    }
+    assert(e.getMessage.contains("single-target"), e.getMessage)
+  }
+
+  test("M13: forAll constraint over a [0..*] property validates element-wise") {
+    import spark.implicits._
+    val bagClass =
+      s"""{"classifierPath":"meta::pure::metamodel::type::Class","content":{
+         |"_type":"class","name":"bag","package":"hof::entity","superTypes":[],
+         |"properties":[${prop("id", "Integer")},
+         |  {"name":"tags","type":"String","multiplicity":${mult(0, None)}}],
+         |"constraints":[{"name":"tags nonempty","functionDefinition":${lambda(
+              func("forAll", thisProp("tags"),
+                lambda(func("greaterThan", func("length", pvar("t")),
+                  lit("integer", "0")), "t")))}}],
+         |"qualifiedProperties":[]}}""".stripMargin
+    val m = LegendLoader.fromJsonStrings(Seq(bagClass))
+    val rule = m.clazz("hof::entity::bag").constraints.head
+    assert(rule.expr == "forall(tags, t -> (length(t) > 0))")
+
+    // element-wise semantics at runtime: empty collections are vacuously
+    // true (PURE forAll over []), one empty string trips the rule
+    val df = Seq(
+      (1L, Seq("a", "b")), (2L, Seq.empty[String]), (3L, Seq("ok", ""))
+    ).toDF("id", "tags")
+    val bad = Validator.validate(df, Expectations.forClass(m, "hof::entity::bag")
+        .filter(_._1 == "tags nonempty"))
+      .select(col("id"), explode(col("graft_violations")).as("v"))
+      .collect().map(_.getLong(0)).toSet
+    assert(bad == Set(3L))
   }
 }
