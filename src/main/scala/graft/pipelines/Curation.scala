@@ -45,7 +45,7 @@ object CurationQueries {
              minTokens: Int = MinTokens,
              maxPunct: Double = MaxPunct): DataFrame = {
     d
-      .withColumn("n_tokens", size(TextFunctions.tokens(col("text"))))
+      .withColumn("n_tokens", TextFunctions.tokenCount(col("text")))
       .withColumn("punct_ratio", TextFunctions.charRatio(lower(col("text")), "[^a-z0-9\\s]"))
       .filter(col("n_tokens") >= minTokens && col("punct_ratio") <= maxPunct)
       .groupBy(md5(col("text")).as("content_hash"))
@@ -130,7 +130,7 @@ object CurationQueries {
     * over the corpus and a bounded (|sources|-row) result. */
   def sourceStats(d: DataFrame): DataFrame =
     d
-      .withColumn("n_tokens", size(TextFunctions.tokens(col("text"))))
+      .withColumn("n_tokens", TextFunctions.tokenCount(col("text")))
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),

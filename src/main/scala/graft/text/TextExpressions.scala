@@ -3,8 +3,8 @@ package graft.text
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData, MapData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, MapType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Compiled membership-count kernel shared by [[CountInSet]]'s
@@ -24,6 +24,154 @@ object TextOps {
     }
     c
   }
+
+  /** Parse the restricted char-class subset [[CharClassCount]] supports —
+    * `[...]` with optional leading `^`, literal chars, `a-z` ranges, and
+    * the `\s` whitespace escape (Java regex `\s` = space \t \n \x0B \f \r).
+    * Members must be BMP; returns (membership bitset, negated). */
+  def parseCharClass(spec: String): (java.util.BitSet, Boolean) = {
+    require(spec.length >= 2 && spec.head == '[' && spec.last == ']',
+      s"unsupported char class [$spec]: expected [...]")
+    var body = spec.substring(1, spec.length - 1)
+    val negate = body.startsWith("^")
+    if (negate) body = body.substring(1)
+    require(body.nonEmpty, s"empty char class [$spec]")
+    val bits = new java.util.BitSet(128)
+    var i = 0
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (c == '\\') {
+        require(i + 1 < body.length, s"dangling escape in [$spec]")
+        body.charAt(i + 1) match {
+          case 's' => " \t\n\f\r".foreach(w => bits.set(w))
+          case 't' => bits.set('\t')
+          case 'n' => bits.set('\n')
+          case 'r' => bits.set('\r')
+          case '\\' => bits.set('\\')
+          case ']' => bits.set(']')
+          case '-' => bits.set('-')
+          case e => throw new IllegalArgumentException(
+            s"unsupported escape \\$e in char class [$spec]")
+        }
+        i += 2
+      } else if (i + 2 < body.length && body.charAt(i + 1) == '-') {
+        val hi = body.charAt(i + 2)
+        require(c <= hi, s"inverted range $c-$hi in [$spec]")
+        bits.set(c, hi + 1)
+        i += 3
+      } else {
+        bits.set(c)
+        i += 1
+      }
+    }
+    (bits, negate)
+  }
+
+  /** Count of code points in/not-in the class — the allocation-free
+    * replacement for `length(x) - length(regexp_replace(x, cls, ''))`.
+    * Counts CODE POINTS (like Spark's `length`): a supplementary char is
+    * one unit, and since the parsable classes are BMP-only it is never a
+    * member. Shared by [[CharClassCount]]'s interpreted/generated paths. */
+  def countClass(s: UTF8String, bits: java.util.BitSet, negate: Boolean): Int = {
+    val str = s.toString
+    val n = str.length
+    var i = 0
+    var c = 0
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      val in = cp <= 0xFFFF && bits.get(cp)
+      if (in != negate) c += 1
+      i += Character.charCount(cp)
+    }
+    c
+  }
+
+  /** Per-document term frequencies in one pass: token array → map of
+    * term → count, first-occurrence key order. Null tokens count as the
+    * empty string (the tokenizer never yields nulls). Shared by
+    * [[TermCounts]]'s interpreted and generated paths. */
+  def termCounts(arr: ArrayData): MapData = {
+    val n = arr.numElements()
+    val m = new java.util.LinkedHashMap[UTF8String, Long](n * 2)
+    var i = 0
+    while (i < n) {
+      val t = if (arr.isNullAt(i)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(i)
+      val prev = m.get(t)
+      m.put(t, if (prev == null) 1L else prev + 1L)
+      i += 1
+    }
+    val keys = new Array[Any](m.size)
+    val vals = new Array[Any](m.size)
+    val it = m.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      keys(j) = e.getKey
+      vals(j) = e.getValue.longValue()
+      j += 1
+    }
+    new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))
+  }
+
+  /** Whitespace-token COUNT with `size(split(trim(x), "\s+"))` semantics,
+    * without building the token array: SQL trim strips SPACES only; an
+    * empty trimmed string yields 1 (split returns [""]); a leading or
+    * trailing whitespace run of chars SQL trim leaves (\t etc.) yields
+    * one empty token (Spark's split uses limit -1, KEEPING trailing
+    * empties — unlike Java's default). \s = Java's [ \t\n\x0B\f\r]. Shared by
+    * [[TokenCount]]'s interpreted and generated paths. */
+  def tokenCount(s: UTF8String): Int = {
+    val str = s.toString
+    var a = 0
+    var b = str.length
+    while (a < b && str.charAt(a) == ' ') a += 1
+    while (b > a && str.charAt(b - 1) == ' ') b -= 1
+    if (a == b) return 1
+    // Spark's split uses limit -1: a leading OR trailing whitespace run
+    // (of chars SQL trim leaves, e.g. \t) contributes one empty token
+    var count = if (isWs(str.charAt(a))) 1 else 0
+    if (isWs(str.charAt(b - 1))) count += 1
+    var inRun = false
+    var i = a
+    while (i < b) {
+      val w = isWs(str.charAt(i))
+      if (!w && !inRun) { count += 1; inRun = true }
+      else if (w) inRun = false
+      i += 1
+    }
+    count
+  }
+
+  /** BPE-ish lexer token COUNT over LOWERED text — the number of matches
+    * of `[a-z]+|[0-9]+|[^a-z0-9\s]` without materializing them: maximal
+    * letter runs + maximal digit runs + one per other non-whitespace
+    * code point. Input must already be lowercased (the call site wraps
+    * `lower()`): special Unicode lowercasings (e.g. U+0130 -> i + combining
+    * dot) change the code-point sequence, so the kernel cannot fold the
+    * lowering itself. Shared by [[LexerTokenCount]]'s paths. */
+  def lexerTokenCount(s: UTF8String): Int = {
+    val str = s.toString
+    val n = str.length
+    var i = 0
+    var count = 0
+    var prev = 0 // 0 ws, 1 letter-run, 2 digit-run, 3 single
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      val cat =
+        if (cp >= 'a' && cp <= 'z') 1
+        else if (cp >= '0' && cp <= '9') 2
+        else if (cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B ||
+                 cp == '\f' || cp == '\r') 0
+        else 3
+      if ((cat == 1 && prev != 1) || (cat == 2 && prev != 2) || cat == 3) count += 1
+      prev = cat
+      i += Character.charCount(cp)
+    }
+    count
+  }
+
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
   private val Space = UTF8String.fromString(" ")
 
@@ -204,6 +352,155 @@ case class Shingles(child: Expression, k: Int, distinct: Boolean)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, v =>
       s"${ev.value} = graft.text.TextOps.shingles($v, $k, $distinct);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Count of code points matching a (restricted) regex character class —
+  * the kernel behind `charRatio`.
+  *
+  * Why native: the composable form `length(x) - length(regexp_replace(x,
+  * cls, ''))` materializes a STRIPPED COPY of every document through the
+  * Java regex engine just to measure its length — profiled at 20× sf0.1
+  * it was ~85% of c1's marginal cost (3.9 s of 4.6 s per pass). This is
+  * one allocation-free code-point scan inside whole-stage codegen with
+  * the membership bitset as a single plan constant. Supported class
+  * syntax (parse-time-checked, loud otherwise): `[...]`, leading `^`,
+  * literal chars, `a-z` ranges, `\s` and friends — exactly the subset
+  * charRatio call sites use; semantics pinned to Java regex by
+  * TextSpec's regexp_replace cross-check.
+  */
+case class CharClassCount(child: Expression, charClass: String)
+  extends UnaryExpression {
+
+  @transient private lazy val parsed = TextOps.parseCharClass(charClass)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string argument, got ${t.sql}")
+    }
+
+  override def dataType: DataType = IntegerType
+
+  override def prettyName: String = "graft_char_class_count"
+
+  override def nullSafeEval(v: Any): Any = {
+    val (bits, negate) = parsed
+    TextOps.countClass(v.asInstanceOf[UTF8String], bits, negate)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val (bits, negate) = parsed
+    val bitsRef = ctx.addReferenceObj("charClassBits", bits, "java.util.BitSet")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.text.TextOps.countClass($v, $bitsRef, $negate);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Per-document term-frequency map from an `array<string>` token column —
+  * `map<term, count>` built in one pass inside the scan stage.
+  *
+  * Why native: the tf aggregate `explode(tokens) → groupBy(doc, term)`
+  * SHUFFLES the entire raw token stream (every token of every document)
+  * to reassemble per-document locality the source row already had — at
+  * 100 TB that Exchange carries the tokenized corpus and dominated t6
+  * (2.1 s of 4.6 s at 20× sf0.1). This expression folds the per-document
+  * count into the scan: consumers explode `map<term, count>` (one row
+  * per DISTINCT term per doc) or read per-doc stats (size, max) with no
+  * shuffle at all. First-occurrence key order; null tokens count as ""
+  * (the tokenizer never yields nulls) — matching the aggregate form.
+  */
+case class TermCounts(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an array<string> argument, got ${t.sql}")
+    }
+
+  override def dataType: DataType =
+    MapType(StringType, LongType, valueContainsNull = false)
+
+  override def prettyName: String = "graft_term_counts"
+
+  override def nullSafeEval(v: Any): Any =
+    TextOps.termCounts(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.text.TextOps.termCounts($v);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Whitespace-token count from a STRING column — `size(split(trim(x),
+  * "\s+"))` without materializing the token array.
+  *
+  * Why native: call sites that need only the count (the c1/c2 quality
+  * floor, c3's per-source token mass) paid split's per-token UTF8String
+  * allocations just to read the array's length. One code-point scan,
+  * zero allocation beyond the decoded string, inside whole-stage
+  * codegen. Edge semantics pinned to the split form by TextSpec: empty/
+  * space-only → 1, boundary \t runs → one empty token each side.
+  */
+case class TokenCount(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string argument, got ${t.sql}")
+    }
+
+  override def dataType: DataType = IntegerType
+
+  override def prettyName: String = "graft_token_count"
+
+  override def nullSafeEval(v: Any): Any =
+    TextOps.tokenCount(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.text.TextOps.tokenCount($v);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Match COUNT of the BPE-ish lexer `[a-z]+|[0-9]+|[^a-z0-9\s]` from a
+  * (lowered) string column — `size(regexp_extract_all(...))` without
+  * materializing the token array; one code-point scan in whole-stage
+  * codegen. Count-only call sites (t1's re_tokens) paid the Java regex
+  * engine plus a per-token UTF8String array just to read its length.
+  * Semantics pinned to the regexp form by TextSpec's cross-check.
+  */
+case class LexerTokenCount(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string argument, got ${t.sql}")
+    }
+
+  override def dataType: DataType = IntegerType
+
+  override def prettyName: String = "graft_lexer_token_count"
+
+  override def nullSafeEval(v: Any): Any =
+    TextOps.lexerTokenCount(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.text.TextOps.lexerTokenCount($v);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

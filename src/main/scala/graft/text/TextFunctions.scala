@@ -18,17 +18,43 @@ object TextFunctions {
     * trailing empty strings, so untrimmed text would add ghost tokens. */
   def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
 
+  /** Whitespace-token COUNT without building the array — use instead of
+    * `size(tokens(text))` wherever only the count is consumed (see
+    * [[TokenCount]]). Identical value by TextSpec's split cross-check. */
+  def tokenCount(text: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      TokenCount(org.apache.spark.sql.graftbridge.Bridge.expression(text)))
+
   /** BPE-ish lexer token count: letter runs, digit runs, single
     * punctuation marks — the standard pre-tokenizer shape. */
   def regexTokens(text: Column): Column =
     regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
 
-  /** Ratio of characters matching `charClass` (regex char class). */
-  def charRatio(text: Column, charClass: String): Column =
+  /** COUNT of [[regexTokens]] matches without materializing them (see
+    * [[LexerTokenCount]]); identical by TextSpec's cross-check. */
+  def regexTokenCount(text: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      LexerTokenCount(org.apache.spark.sql.graftbridge.Bridge.expression(lower(text))))
+
+  /** Ratio of characters matching `charClass` (regex char class; the
+    * restricted subset [[CharClassCount]] parses). The count is a native
+    * one-pass code-point scan — the regexp_replace form materialized a
+    * stripped copy of every document and was ~85% of c1's marginal cost
+    * at 20× sf0.1 (see CharClassCount's scaladoc). */
+  def charRatio(text: Column, charClass: String): Column = {
+    val hits = org.apache.spark.sql.graftbridge.Bridge.column(
+      CharClassCount(org.apache.spark.sql.graftbridge.Bridge.expression(text), charClass))
     when(length(text) === 0, lit(0.0))
-      .otherwise(
-        (length(text) - length(regexp_replace(text, charClass, ""))).cast("double")
-          / length(text))
+      .otherwise(hits.cast("double") / length(text))
+  }
+
+  /** Per-document term-frequency map (term → count) via the native
+    * [[TermCounts]] expression — replaces the `explode → groupBy(doc,
+    * term)` aggregate, whose Exchange carries the entire raw token
+    * stream (see TermCounts's scaladoc). */
+  def termCounts(toks: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      TermCounts(org.apache.spark.sql.graftbridge.Bridge.expression(toks)))
 
   /** How many tokens are in `words` (duplicates counted — a stopword used
     * twice is two hits). Native codegen expression: the HOF form

@@ -29,8 +29,8 @@ object TextQueries {
   def t1Tokens(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(
       col("doc_id"),
-      size(tokens(col("text"))).as("ws_tokens"),
-      size(regexTokens(col("text"))).as("re_tokens"))
+      tokenCount(col("text")).as("ws_tokens"),
+      regexTokenCount(col("text")).as("re_tokens"))
 
   /** T2: per-document quality signals + a composite score. */
   def t2Quality(s: SparkSession, dir: String): DataFrame = {
@@ -43,7 +43,12 @@ object TextQueries {
       col("doc_id"),
       length(col("text")).as("n_chars_m"),
       nToks.as("n_tokens"),
-      (length(regexp_replace(trim(lower(col("text"))), "\\s+", "")).cast("double") / nToks)
+      // non-ws char count via the native class counter — the
+      // regexp_replace form materialized a whitespace-stripped copy of
+      // every document just to measure its length
+      (org.apache.spark.sql.graftbridge.Bridge.column(CharClassCount(
+        org.apache.spark.sql.graftbridge.Bridge.expression(trim(lower(col("text")))),
+        "[^\\s]")).cast("double") / nToks)
         .as("avg_token_len"),
       punct.as("punct_ratio"),
       digit.as("digit_ratio"),
@@ -81,26 +86,32 @@ object TextQueries {
       .groupBy(col("doc_id"))
       .agg(concat_ws(",", slice(array_sort(collect_set(col("h"))), 1, 4)).as("fp"))
 
-  /** T6: TF-IDF top-3 terms per document. tf comes from one hash
-    * aggregate with map-side partials (the exploded token stream
-    * combines BEFORE its shuffle — the property that matters at 100 TB);
-    * df is a `count over (partition by term)` window on the tf relation
-    * — NOT a separate aggregate joined back, which cost a third
-    * Exchange of the same rows (round-5 plan audit); N rides along as a
-    * broadcast single-row aggregate (no separate driver-side count job);
-    * ranking is a per-document window (bounded partitions — never
-    * global). Three Exchanges total, each carrying only (doc, term, tf)
-    * rows or smaller. The score is rounded to 6 dp BEFORE ranking so
-    * cross-engine ulp drift in ln() cannot flip ranks. */
+  /** T6: TF-IDF top-3 terms per document. tf is the native [[TermCounts]]
+    * map built INSIDE the scan — the `explode → groupBy(doc, term)`
+    * aggregate it replaces shuffled the entire raw token stream to
+    * reassemble per-document locality the source row already had (the
+    * 20×-sf0.1 probe put that Exchange at ~45% of runtime). df is a
+    * small per-term aggregate of the distinct-(doc, term) relation; the
+    * join back is left to AQE — at this SF the df side broadcasts (zero
+    * extra Exchange), at vocabulary scale it degrades to a shuffle join,
+    * which is the correct plan there. N rides along as a broadcast
+    * single-row aggregate; ranking is a per-document window (bounded
+    * partitions — never global). Two Exchanges carry distinct-(doc,
+    * term) rows — none carries raw tokens. The score is rounded to 6 dp
+    * BEFORE ranking so cross-engine ulp drift in ln() cannot flip ranks. */
   def t6Tfidf(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val nDocs = d.agg(count(lit(1)).cast("double").as("n_docs"))
-    val terms = d.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+    val tf = d.select(col("doc_id"), explode(termCounts(tokens(col("text"))))
+      .as(Seq("term", "tf")))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // ranking stays a row_number window: the collect_list/array_sort
+    // per-doc alternative was measured ~25% SLOWER at 20× sf0.1
+    // (ObjectHashAggregate's per-row struct allocation costs more than
+    // the window's partition sort saves)
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term").asc)
-    tf.withColumn("df", count(lit(1)).over(wTerm))
+    tf.join(dfreq, "term")
       .join(broadcast(nDocs))
       .withColumn("tfidf", round(col("tf") * log(col("n_docs") / col("df")), 6))
       .withColumn("rk", row_number().over(wDoc))
@@ -109,30 +120,35 @@ object TextQueries {
   }
 
   /** T5: corpus-level term statistics — top 25 terms by document
-    * frequency with total occurrence counts. Explode + two-level
-    * aggregate; the final top-k is orderBy+limit (TakeOrdered). */
+    * frequency with total occurrence counts. The [[TermCounts]] explode
+    * yields one (term, tf) row per DISTINCT term per doc, so doc_freq is
+    * a plain count and occurrences a sum — one aggregate over the
+    * distinct-pair stream instead of a countDistinct over raw tokens;
+    * the final top-k is orderBy+limit (TakeOrdered). */
   def t5TopTerms(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .select(explode(termCounts(tokens(col("text")))).as(Seq("term", "tf")))
       .groupBy(col("term"))
-      .agg(countDistinct(col("doc_id")).as("doc_freq"), count(lit(1)).as("occurrences"))
+      .agg(count(lit(1)).as("doc_freq"), sum(col("tf")).as("occurrences"))
       .orderBy(col("doc_freq").desc, col("occurrences").desc, col("term").asc)
       .limit(25)
 
   /** T7: within-document repetition signals (Gopher-style quality
-    * rules): repeated-unigram ratio and top-word fraction. Two cascaded
-    * hash aggregates with map-side partials — per-(doc, word) counts,
-    * then per-doc totals; ratios are divisions of identical integers so
-    * the oracle compares bit-exact doubles. Short docs aren't special-
-    * cased: n_tokens >= 1 for any non-empty text (split returns [""]). */
+    * rules): repeated-unigram ratio and top-word fraction. Every signal
+    * is a per-row read of the native [[TermCounts]] map — token total,
+    * distinct count, and max count never leave the scan stage, so the
+    * query is a ZERO-shuffle codegen'd pass (it replaced two cascaded
+    * hash aggregates whose first Exchange carried the raw token stream).
+    * Ratios are divisions of identical integers so the oracle compares
+    * bit-exact doubles. Short docs aren't special-cased: n_tokens >= 1
+    * for any non-empty text (split returns [""]). */
   def t7Repetition(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_tokens"),
-        count(lit(1)).as("n_distinct"),
-        max(col("c")).as("max_count"))
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"),
+        termCounts(tokens(col("text"))).as("tc"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("tc")).cast("long").as("n_distinct"),
+        array_max(map_values(col("tc"))).as("max_count"))
       .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
         (lit(1.0) - col("n_distinct").cast("double") / col("n_tokens")).as("rep_ratio"),
         (col("max_count").cast("double") / col("n_tokens")).as("top_word_frac"))

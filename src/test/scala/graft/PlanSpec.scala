@@ -162,17 +162,23 @@ class PlanSpec extends SparkTestBase {
     assert(buildIsAgg, "the broadcast side must be the count aggregate")
   }
 
-  test("t6: df rides the term window — no third shuffle from a join-back") {
-    // tf agg (doc,term) + term window + doc window = 3 exchanges on the
-    // big path (plus the single-row N broadcast); the round-5 shape paid
-    // a 4th Exchange re-shuffling tf rows into a df aggregate join
+  test("t6: no Exchange carries raw tokens — 2 shuffles of distinct (doc,term) rows") {
+    // tf is the native TermCounts map built inside the scan, so the
+    // round-7 shape's raw-token Exchange (explode → groupBy(doc, term))
+    // is gone. What remains: the df aggregate's term shuffle + the
+    // doc-ranking window's shuffle — both carrying one row per DISTINCT
+    // term per doc; df joins back via AQE (broadcast at this SF, shuffle
+    // join at vocabulary scale — both correct). WindowGroupLimit must
+    // cap the rank sort at k=3 before the final window.
     // (string-matched on the executed plan: sparkPlan is pre-exchange-
     // insertion and AQE hides subtrees from collect())
     val plan = executedPlanOf("t6_tfidf")
     val shuffles = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
-    assert(shuffles == 3, s"t6 must have exactly 3 Exchanges, got $shuffles:\n$plan")
-    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
-      "df must come from a window, not a shuffled join-back")
+    assert(shuffles == 2, s"t6 must have exactly 2 Exchanges, got $shuffles:\n$plan")
+    assert(plan.contains("graft_term_counts"),
+      "tf must come from the native TermCounts scan expression")
+    assert(plan.contains("WindowGroupLimit"),
+      "the top-3 filter must push into the window sort")
   }
 
   test("p5: the global cumulative sum never range-sorts globally") {

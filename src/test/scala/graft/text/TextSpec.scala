@@ -28,6 +28,60 @@ class TextSpec extends SparkTestBase {
     assert(punct == 0.5)
   }
 
+  test("T2: CharClassCount matches the regexp_replace form it replaced") {
+    // the old composable form is the semantic pin: counting chars of a
+    // class == length minus length-after-strip, per Java regex
+    val texts = Seq("plain words only", "punct!! 42% [ok]?", "", "  \t\nmixedWS\f\r",
+      "ünï¢ödé — em–dash", "emoji 😀 pair", "a-z literal - dash")
+    for (cls <- Seq("[^a-z0-9\\s]", "[0-9]", "[a-z]")) {
+      val df = texts.toDF("text")
+      val got = df.select(
+        org.apache.spark.sql.graftbridge.Bridge.column(CharClassCount(
+          org.apache.spark.sql.graftbridge.Bridge.expression(lower(col("text"))), cls)),
+        (length(lower(col("text"))) -
+          length(regexp_replace(lower(col("text")), cls, ""))).cast("int"))
+        .as[(Int, Int)].collect()
+      for ((native, regex) <- got) assert(native == regex, s"class $cls on $texts")
+    }
+    // unsupported syntax rejects loudly at eval/parse, never silently
+    intercept[Exception] {
+      one("x").select(charRatio(col("text"), "[\\d]")).collect()
+    }
+  }
+
+  test("T6/T7: TermCounts matches the explode→groupBy aggregate it replaced") {
+    val df = Seq((1L, "the cat the cat the dog"), (2L, "one"), (3L, ""))
+      .toDF("doc_id", "text")
+    val viaMap = df.select(col("doc_id"),
+        explode(termCounts(tokens(col("text")))).as(Seq("term", "tf")))
+      .as[(Long, String, Long)].collect().toSet
+    val viaAgg = df.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(viaMap == viaAgg)
+    assert(viaMap.contains((1L, "the", 3L)) && viaMap.contains((3L, "", 1L)))
+  }
+
+  test("T1: TokenCount matches size(split(trim(...))) on every edge") {
+    val texts = Seq("a b c", "", " ", "   ", "\ta b", "a b\t", "  x  ",
+      "\t", "a\t\tb", " \ta", "one", "a \t\n b \f\r c ", "\n\n")
+    val got = texts.toDF("text").select(
+        tokenCount(col("text")), size(tokens(col("text"))))
+      .as[(Int, Int)].collect()
+    for (((native, viaSplit), t) <- got.zip(texts))
+      assert(native == viaSplit, s"on ${t.replace("\t", "\\t").replace("\n", "\\n")}")
+  }
+
+  test("T1: LexerTokenCount matches size(regexp_extract_all(...)) on every edge") {
+    val texts = Seq("ab 12, cd!", "", "UPPER Case7", "a1b2c3", "!!!", "  ",
+      "tab\there", "ünï¢ödé mix", "emoji 😀 here", "a-b_c.d", "42")
+    val got = texts.toDF("text").select(
+        regexTokenCount(col("text")), size(regexTokens(col("text"))))
+      .as[(Int, Int)].collect()
+    for (((native, viaRegex), t) <- got.zip(texts))
+      assert(native == viaRegex, s"on [$t]")
+  }
+
   test("T3: stopword hits count duplicates; langid picks the right set") {
     val hits = one("the the cat").select(hitCount(tokens(col("text")), TextQueries.StopEn))
       .as[Int].head()

@@ -1,0 +1,68 @@
+#!/usr/bin/env python3
+"""DuckDB side of the BASELINE.md matched pair.
+
+Usage: python3 tools/bench_duckdb.py <oracle_sql.json> <sf_dir> [out.json]
+
+Times every oracle SQL over <sf_dir>/*.parquet views with 32 threads:
+one warm pass, then median-of-3, mirroring graft.Bench's protocol.
+Records /proc/loadavg before/after so contended runs are visible after
+the fact (same quiet-machine contract as graft.Bench). Run this ALONE —
+never concurrently with sbt or the Spark bench.
+"""
+import sys, os, json, time, statistics
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def loadavg():
+    try:
+        return float(open("/proc/loadavg").read().split()[0])
+    except Exception:
+        return -1.0
+
+
+def main():
+    oracle_path, sf_dir = sys.argv[1], sys.argv[2]
+    out_path = sys.argv[3] if len(sys.argv) > 3 else "baseline_duckdb.json"
+    load_before = loadavg()
+    con = duckdb.connect()
+    con.sql("SET threads TO 32")
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):  # multi-file layout (row-group probe)
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
+        elif os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracles = json.load(open(oracle_path))
+    only = os.environ.get("BENCH_QUERIES")
+    if only:
+        keep = {q.strip() for q in only.split(",")}
+        oracles = {k: v for k, v in oracles.items() if k in keep}
+    results = {}
+    for name in sorted(oracles):
+        sql = oracles[name]
+        try:
+            con.sql(sql).fetchall()  # warm
+            times = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                con.sql(sql).fetchall()
+                times.append(time.perf_counter() - t0)
+            results[name] = statistics.median(times)
+        except Exception as e:
+            print(f"[bench_duckdb] {name} failed: {e}", file=sys.stderr)
+            results[name] = -1.0
+    total = sum(v for v in results.values() if v >= 0)
+    out = {"metric": "total", "value": total, "unit": "sec",
+           "queries": results, "sf": sf_dir, "threads": 32,
+           "load_before": load_before, "load_after": loadavg()}
+    line = json.dumps(out)
+    print(line)
+    with open(out_path, "w") as f:
+        f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()
