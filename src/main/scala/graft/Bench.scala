@@ -15,7 +15,11 @@ import java.nio.file.{Files, Paths}
   *   the total) instead of silently subtracting from it;
   * - single-shot timings at sf0.1 carry ±20-30% run-to-run noise
   *   (measured: byte-identical code moved the round-3→4 total by 13%),
-  *   so each query is timed `Runs` times and the MEDIAN is reported;
+  *   so each query is timed `Runs` times and the MEDIAN is reported —
+  *   5 runs since round 8: with 3, one multi-second host hiccup (VM
+  *   co-tenancy) lands in the median and fabricates a 10× per-query
+  *   "regression" (observed on q25: 2.7 s in a full sweep, 0.58 s
+  *   isolated minutes later);
   * - logging drops to ERROR for the timed runs — localCheckpoint
   *   unpersist WARNs otherwise pollute the JSON tail;
   * - the JSON line goes to stdout AND to bench_out.json so the driver's
@@ -36,7 +40,7 @@ import java.nio.file.{Files, Paths}
   */
 object Bench {
 
-  val Runs = 3
+  val Runs = 5
 
   private def loadavg1m(): Double =
     try Files.readString(Paths.get("/proc/loadavg")).split("\\s+")(0).toDouble
