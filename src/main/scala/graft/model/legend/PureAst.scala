@@ -154,7 +154,17 @@ object PureToSql {
     case "divide" => bin("/", ps, rv)
     case "abs" | "floor" | "round" | "sqrt" | "exp" => call(f, ps, rv)
     case "ceiling" => call("ceil", ps, rv)
+    // PURE rem keeps the dividend's sign (rem(-12, 5) = -2) — exactly
+    // SQL mod; PURE mod is the floored, always-non-negative form
+    // (mod(-12, 5) = 3) — Spark's pmod
     case "rem" => call("mod", ps, rv)
+    case "mod" => call("pmod", ps, rv)
+    // scalar max/min over a pair or collection literal → greatest/least
+    // (the aggregation forms are handled by the service translator)
+    case "max" | "min" =>
+      val flat = ps.flatMap { case PCollection(vs) => vs; case other => Seq(other) }
+      require(flat.size >= 2, s"scalar $f needs at least two values")
+      call(if (f == "max") "greatest" else "least", flat, rv)
     // multiplicity [0..1] properties map to nullable columns, so PURE's
     // emptiness checks are null checks in table space
     case "isEmpty" => s"(${scalar(ps.head, rv)} IS NULL)"
@@ -173,6 +183,9 @@ object PureToSql {
     case "toUpper" => call("upper", ps, rv)
     case "toLower" => call("lower", ps, rv)
     case "trim" => call("trim", ps, rv)
+    case "ltrim" => call("ltrim", ps, rv)
+    case "rtrim" => call("rtrim", ps, rv)
+    case "reverseString" => call("reverse", ps, rv)
     case "replace" => call("replace", ps, rv)
     case "left" => call("left", ps, rv)
     case "right" => call("right", ps, rv)
@@ -193,6 +206,15 @@ object PureToSql {
     // collection size; scalar-context `count` is PURE's collection size too
     // (the aggregation form is handled by the service translator)
     case "size" | "count" => s"size(${scalar(ps.head, rv)})"
+    // collection element access: PURE at() is 0-based and errors out of
+    // bounds (ANSI element_at matches); first()/last() over an empty
+    // collection return empty → try_element_at's NULL
+    case "at" =>
+      require(ps.size == 2, "at(collection, index)")
+      s"element_at(${scalar(ps(0), rv)}, ${scalar(ps(1), rv)} + 1)"
+    case "first" => s"try_element_at(${scalar(ps.head, rv)}, 1)"
+    case "last" => s"try_element_at(${scalar(ps.head, rv)}, -1)"
+    case "removeDuplicates" => s"array_distinct(${scalar(ps.head, rv)})"
     // collection HOFs over a [0..*] property (an ArrayType column in
     // table space) → Spark's codegen'd higher-order functions; the PURE
     // lambda variable becomes the SQL lambda parameter, so `$t.qty`
@@ -218,8 +240,18 @@ object PureToSql {
     case "matches" => bin("RLIKE", ps, rv)
     case "parseInteger" => s"CAST(${scalar(ps.head, rv)} AS BIGINT)"
     case "parseFloat" | "parseDecimal" => s"CAST(${scalar(ps.head, rv)} AS DOUBLE)"
+    // multiplicity cast: the engine's toOne() only changes the declared
+    // multiplicity — in table space the column is already scalar
+    case "toOne" => scalar(ps.head, rv)
     case "today" => "current_date()"
     case "now" => "current_timestamp()"
+    // date-part additions to the family below (year/monthNumber/… at the
+    // adjust/dateDiff block): quarter + ISO week + time-strip + parse
+    case "quarterNumber" => call("quarter", ps, rv)
+    case "weekOfYear" => call("weekofyear", ps, rv) // both sides ISO weeks
+    // datePart strips the time component of a DateTime
+    case "datePart" => s"CAST(${scalar(ps.head, rv)} AS DATE)"
+    case "parseDate" => s"CAST(${scalar(ps.head, rv)} AS TIMESTAMP)"
     case "firstDayOfMonth" => s"trunc(${scalar(ps.head, rv)}, 'MM')"
     case "firstDayOfYear" => s"trunc(${scalar(ps.head, rv)}, 'YYYY')"
     case "adjust" =>

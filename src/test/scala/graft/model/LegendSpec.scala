@@ -242,7 +242,24 @@ class LegendSpec extends SparkTestBase {
       // nested: size of a filtered collection
       PFunc("size", Seq(PFunc("filter", Seq(p("nums"), PLambda(Seq("n"),
         PFunc("lessThan", Seq(PVar("n"), PLit("0"))))))))
-        -> "size(filter(nums, n -> (n < 0)))")
+        -> "size(filter(nums, n -> (n < 0)))",
+      // round-8 widening: math/string/collection/date additions
+      PFunc("mod", Seq(p("a"), p("b"))) -> "pmod(a, b)",
+      PFunc("rem", Seq(p("a"), p("b"))) -> "mod(a, b)",
+      PFunc("max", Seq(PCollection(Seq(p("a"), p("b"), p("c"))))) -> "greatest(a, b, c)",
+      PFunc("min", Seq(p("a"), p("b"))) -> "least(a, b)",
+      PFunc("ltrim", Seq(p("s"))) -> "ltrim(s)",
+      PFunc("rtrim", Seq(p("s"))) -> "rtrim(s)",
+      PFunc("reverseString", Seq(p("s"))) -> "reverse(s)",
+      PFunc("at", Seq(p("tags"), PLit("0"))) -> "element_at(tags, 0 + 1)",
+      PFunc("first", Seq(p("tags"))) -> "try_element_at(tags, 1)",
+      PFunc("last", Seq(p("tags"))) -> "try_element_at(tags, -1)",
+      PFunc("removeDuplicates", Seq(p("tags"))) -> "array_distinct(tags)",
+      PFunc("toOne", Seq(p("nick"))) -> "nick",
+      PFunc("quarterNumber", Seq(p("d"))) -> "quarter(d)",
+      PFunc("weekOfYear", Seq(p("d"))) -> "weekofyear(d)",
+      PFunc("datePart", Seq(p("ts"))) -> "CAST(ts AS DATE)",
+      PFunc("parseDate", Seq(p("s"))) -> "CAST(s AS TIMESTAMP)")
     for ((ast, expected) <- cases) {
       val sql = PureToSql.scalar(ast, Set("this"))
       assert(sql == expected, s"for $ast")
@@ -760,6 +777,33 @@ class LegendSpec extends SparkTestBase {
           | {"db":"ow::store::owDb","name":"Another"}]""".stripMargin))
     }
     assert(e.getMessage.contains("single-target"), e.getMessage)
+  }
+
+  test("M13: widened-function runtime semantics match PURE (pmod, collections, dates)") {
+    import spark.implicits._
+    // evaluate the RENDERED SQL — semantic pins, not string pins
+    val row = Seq((-12, 5, Seq("b", "a", "b"), Seq.empty[String],
+        java.sql.Timestamp.valueOf("2026-08-13 10:30:00")))
+      .toDF("a", "b", "tags", "none", "ts")
+    def eval(sql: String) = row.selectExpr(sql).head().get(0)
+    import graft.model.legend.PureExpr._
+    import graft.model.legend.PureToSql
+    def p(n: String) = PProperty(PVar("this"), n)
+    def sqlOf(e: graft.model.legend.PureExpr) = PureToSql.scalar(e, Set("this"))
+    // PURE: mod(-12, 5) = 3 (non-negative), rem(-12, 5) = -2 (dividend sign)
+    assert(eval(sqlOf(PFunc("mod", Seq(p("a"), p("b"))))) == 3)
+    assert(eval(sqlOf(PFunc("rem", Seq(p("a"), p("b"))))) == -2)
+    // at() is 0-based; first/last on empty collections are empty, not errors
+    assert(eval(sqlOf(PFunc("at", Seq(p("tags"), PLit("1"))))) == "a")
+    assert(eval(sqlOf(PFunc("first", Seq(p("tags"))))) == "b")
+    assert(eval(sqlOf(PFunc("last", Seq(p("tags"))))) == "b")
+    assert(eval(sqlOf(PFunc("first", Seq(p("none"))))) == null)
+    assert(eval(sqlOf(PFunc("removeDuplicates", Seq(p("tags"))))) == Seq("b", "a"))
+    // 2026-08-13 is a Thursday in Q3, ISO week 33
+    assert(eval(sqlOf(PFunc("dayOfWeekNumber", Seq(p("ts"))))) == 4)
+    assert(eval(sqlOf(PFunc("quarterNumber", Seq(p("ts"))))) == 3)
+    assert(eval(sqlOf(PFunc("weekOfYear", Seq(p("ts"))))) == 33)
+    assert(eval(sqlOf(PFunc("datePart", Seq(p("ts"))))).toString == "2026-08-13")
   }
 
   test("M13: forAll constraint over a [0..*] property validates element-wise") {
