@@ -58,6 +58,13 @@ object Bench {
 
     val subset: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // a typo'd/stale subset name must fail loudly — an empty run would
+    // write {"value":0,"failed":0}, a phantom perfect result
+    subset.foreach { s =>
+      val unknown = s -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_QUERIES names unknown queries: ${unknown.mkString(",")}")
+    }
     val queries = SparkEntry.queries.toSeq
       .filter { case (name, _) => subset.forall(_.contains(name)) }
       .sortBy(_._1)

@@ -48,12 +48,15 @@ object Expectations {
       import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
       import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
       rules.filterNot { case (_, sql) =>
-        CatalystSqlParser.parseExpression(sql).exists {
+        // an unparseable rule is KEPT (predicate false): it surfaces as its
+        // own per-rule Failure when substitute() parses it downstream —
+        // throwing here would poison the whole mapping's rule list
+        scala.util.Try(CatalystSqlParser.parseExpression(sql)).toOption.exists(_.exists {
           case a: UnresolvedAttribute =>
             m.otherwiseJoins.contains(a.nameParts.head) &&
               !(1 to a.nameParts.size).exists(k => subs.contains(a.nameParts.take(k).mkString(".")))
           case _ => false
-        }
+        })
       }
     }
 

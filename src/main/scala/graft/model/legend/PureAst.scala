@@ -206,12 +206,18 @@ object PureToSql {
     // collection size; scalar-context `count` is PURE's collection size too
     // (the aggregation form is handled by the service translator)
     case "size" | "count" => s"size(${scalar(ps.head, rv)})"
-    // collection element access: PURE at() is 0-based and errors out of
-    // bounds (ANSI element_at matches); first()/last() over an empty
-    // collection return empty → try_element_at's NULL
+    // collection element access: PURE at() is 0-based and ERRORS out of
+    // bounds. Plain element_at only errors under ANSI mode, which graft
+    // sessions don't enable — so the guard is explicit: raise_error on an
+    // out-of-range index (NullType coerces into the element-type branch).
+    // first()/last() over an empty collection return empty →
+    // try_element_at's NULL
     case "at" =>
       require(ps.size == 2, "at(collection, index)")
-      s"element_at(${scalar(ps(0), rv)}, ${scalar(ps(1), rv)} + 1)"
+      val arr = scalar(ps(0), rv)
+      val idx = scalar(ps(1), rv)
+      s"if($idx >= 0 AND $idx < size($arr), element_at($arr, $idx + 1), " +
+        s"raise_error(concat('at(): index ', cast($idx as string), ' out of bounds')))"
     case "first" => s"try_element_at(${scalar(ps.head, rv)}, 1)"
     case "last" => s"try_element_at(${scalar(ps.head, rv)}, -1)"
     case "removeDuplicates" => s"array_distinct(${scalar(ps.head, rv)})"

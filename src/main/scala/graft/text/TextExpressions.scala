@@ -42,8 +42,12 @@ object TextOps {
       val c = body.charAt(i)
       if (c == '\\') {
         require(i + 1 < body.length, s"dangling escape in [$spec]")
+        // an escape used as a RANGE bound ([\t-z]) means the range in Java
+        // regex; this parser would silently read three literals -- reject
+        require(!(i + 3 < body.length && body.charAt(i + 2) == '-'),
+          s"unsupported range with escaped lower bound in [$spec]")
         body.charAt(i + 1) match {
-          case 's' => " \t\n\f\r".foreach(w => bits.set(w))
+          case 's' => " \t\n\u000B\f\r".foreach(w => bits.set(w))
           case 't' => bits.set('\t')
           case 'n' => bits.set('\n')
           case 'r' => bits.set('\r')
@@ -56,6 +60,8 @@ object TextOps {
         i += 2
       } else if (i + 2 < body.length && body.charAt(i + 1) == '-') {
         val hi = body.charAt(i + 2)
+        require(hi != '\\',
+          s"unsupported range with escaped upper bound in [$spec]")
         require(c <= hi, s"inverted range $c-$hi in [$spec]")
         bits.set(c, hi + 1)
         i += 3

@@ -36,17 +36,20 @@ object TextFunctions {
     org.apache.spark.sql.graftbridge.Bridge.column(
       LexerTokenCount(org.apache.spark.sql.graftbridge.Bridge.expression(lower(text))))
 
-  /** Ratio of characters matching `charClass` (regex char class; the
-    * restricted subset [[CharClassCount]] parses). The count is a native
-    * one-pass code-point scan — the regexp_replace form materialized a
-    * stripped copy of every document and was ~85% of c1's marginal cost
-    * at 20× sf0.1 (see CharClassCount's scaladoc). */
-  def charRatio(text: Column, charClass: String): Column = {
-    val hits = org.apache.spark.sql.graftbridge.Bridge.column(
+  /** COUNT of code points matching `charClass` (regex char class; the
+    * restricted subset [[CharClassCount]] parses) — a native one-pass
+    * scan replacing `length(x) - length(regexp_replace(x, cls, ''))`,
+    * which materialized a stripped copy of every document. */
+  def charClassCount(text: Column, charClass: String): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
       CharClassCount(org.apache.spark.sql.graftbridge.Bridge.expression(text), charClass))
+
+  /** Ratio of characters matching `charClass` — [[charClassCount]] over
+    * `length`; was ~85% of c1's marginal cost at 20× sf0.1 as
+    * regexp_replace (see CharClassCount's scaladoc). */
+  def charRatio(text: Column, charClass: String): Column =
     when(length(text) === 0, lit(0.0))
-      .otherwise(hits.cast("double") / length(text))
-  }
+      .otherwise(charClassCount(text, charClass).cast("double") / length(text))
 
   /** Per-document term-frequency map (term → count) via the native
     * [[TermCounts]] expression — replaces the `explode → groupBy(doc,

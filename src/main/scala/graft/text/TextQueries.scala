@@ -46,9 +46,7 @@ object TextQueries {
       // non-ws char count via the native class counter — the
       // regexp_replace form materialized a whitespace-stripped copy of
       // every document just to measure its length
-      (org.apache.spark.sql.graftbridge.Bridge.column(CharClassCount(
-        org.apache.spark.sql.graftbridge.Bridge.expression(trim(lower(col("text")))),
-        "[^\\s]")).cast("double") / nToks)
+      (charClassCount(trim(lower(col("text"))), "[^\\s]").cast("double") / nToks)
         .as("avg_token_len"),
       punct.as("punct_ratio"),
       digit.as("digit_ratio"),

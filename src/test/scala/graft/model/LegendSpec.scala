@@ -251,7 +251,9 @@ class LegendSpec extends SparkTestBase {
       PFunc("ltrim", Seq(p("s"))) -> "ltrim(s)",
       PFunc("rtrim", Seq(p("s"))) -> "rtrim(s)",
       PFunc("reverseString", Seq(p("s"))) -> "reverse(s)",
-      PFunc("at", Seq(p("tags"), PLit("0"))) -> "element_at(tags, 0 + 1)",
+      PFunc("at", Seq(p("tags"), PLit("0"))) ->
+        ("if(0 >= 0 AND 0 < size(tags), element_at(tags, 0 + 1), " +
+          "raise_error(concat('at(): index ', cast(0 as string), ' out of bounds')))"),
       PFunc("first", Seq(p("tags"))) -> "try_element_at(tags, 1)",
       PFunc("last", Seq(p("tags"))) -> "try_element_at(tags, -1)",
       PFunc("removeDuplicates", Seq(p("tags"))) -> "array_distinct(tags)",
@@ -770,6 +772,23 @@ class LegendSpec extends SparkTestBase {
     assert(e.getMessage.contains("OTHERWISE-routed"), e.getMessage)
   }
 
+  test("M13: an unparseable rule fails alone — it cannot resurrect otherwise-filtered rules") {
+    // built via the Scala API (the Legend loader rejects bad constraints
+    // at load): one broken constraint must surface as its OWN Failure,
+    // not disable the otherwise-rule filter for the whole mapping
+    val m = LegendLoader.fromJsonStrings(otherwiseCorpus())
+    val person = m.clazz("ow::entity::person")
+    val m2 = m.copy(classes = m.classes.updated("ow::entity::person",
+      person.copy(constraints = Seq(GraftConstraint("broken", "name >< 3")))))
+    val compiled = Expectations.compiledForMapping(m2, "ow::mapping::person_rel")
+    assert(compiled("broken").isFailure)
+    assert(compiled("[address.city] is mandatory").isSuccess)
+    // otherwise-routed rules stay filtered out despite the broken rule
+    assert(!compiled.keys.exists(_.contains("address.zip")),
+      compiled.keys.mkString(", "))
+    assert(!compiled.contains("[address] is mandatory"))
+  }
+
   test("M13: multi-target otherwise routing rejects loudly at load") {
     val e = intercept[IllegalArgumentException] {
       LegendLoader.fromJsonStrings(otherwiseCorpus(
@@ -795,6 +814,11 @@ class LegendSpec extends SparkTestBase {
     assert(eval(sqlOf(PFunc("rem", Seq(p("a"), p("b"))))) == -2)
     // at() is 0-based; first/last on empty collections are empty, not errors
     assert(eval(sqlOf(PFunc("at", Seq(p("tags"), PLit("1"))))) == "a")
+    // at() out of bounds ERRORS (PURE semantics) even without ANSI mode
+    val oob = intercept[Exception] {
+      eval(sqlOf(PFunc("at", Seq(p("tags"), PLit("7")))))
+    }
+    assert(oob.getMessage.contains("out of bounds"), oob.getMessage)
     assert(eval(sqlOf(PFunc("first", Seq(p("tags"))))) == "b")
     assert(eval(sqlOf(PFunc("last", Seq(p("tags"))))) == "b")
     assert(eval(sqlOf(PFunc("first", Seq(p("none"))))) == null)

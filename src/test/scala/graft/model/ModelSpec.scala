@@ -287,6 +287,15 @@ class ModelSpec extends SparkTestBase {
         validatePartitionStability = true)
       assert(spark.table("graft_m14_stab")
         .filter(org.apache.spark.sql.functions.col("c_acctbal") === 77.5).count() == 1)
+      // a partition column that is ITSELF a merge key cannot move — the
+      // check must pass trivially, not crash on the duplicated column
+      val keyed = spark.table("graft_m14_stab").limit(1)
+        .withColumn("c_acctbal", org.apache.spark.sql.functions.lit(88.25))
+        .localCheckpoint()
+      TableGen.merge(spark, tmpModel, "tmp", keyed,
+        Seq("c_custkey", "c_mktsegment"), validatePartitionStability = true)
+      assert(spark.table("graft_m14_stab")
+        .filter(org.apache.spark.sql.functions.col("c_acctbal") === 88.25).count() == 1)
     } finally spark.sql("DROP TABLE IF EXISTS graft_m14_stab")
   }
 

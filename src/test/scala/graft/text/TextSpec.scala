@@ -32,7 +32,8 @@ class TextSpec extends SparkTestBase {
     // the old composable form is the semantic pin: counting chars of a
     // class == length minus length-after-strip, per Java regex
     val texts = Seq("plain words only", "punct!! 42% [ok]?", "", "  \t\nmixedWS\f\r",
-      "ünï¢ödé — em–dash", "emoji 😀 pair", "a-z literal - dash")
+      "ünï¢ödé — em–dash", "emoji 😀 pair", "a-z literal - dash",
+      "vertical\u000Btab is whitespace in Java regex")
     for (cls <- Seq("[^a-z0-9\\s]", "[0-9]", "[a-z]")) {
       val df = texts.toDF("text")
       val got = df.select(
@@ -43,10 +44,19 @@ class TextSpec extends SparkTestBase {
         .as[(Int, Int)].collect()
       for ((native, regex) <- got) assert(native == regex, s"class $cls on $texts")
     }
-    // unsupported syntax rejects loudly at eval/parse, never silently
-    intercept[Exception] {
-      one("x").select(charRatio(col("text"), "[\\d]")).collect()
+    // unsupported syntax rejects loudly at eval/parse, never silently —
+    // including ranges with an ESCAPED bound ([\t-z] means the range
+    // U+0009..U+007A in Java regex, not three literals)
+    for (bad <- Seq("[\\d]", "[\\t-z]", "[a-\\\\]")) {
+      intercept[Exception] {
+        one("x").select(charRatio(col("text"), bad)).collect()
+      }
     }
+    // escaped '-' stays a literal, and a trailing '-' stays a literal
+    assert(one("x-y").select(charRatio(col("text"), "[\\-]")).as[Double].head()
+      == 1.0 / 3.0)
+    assert(one("\tx-").select(charRatio(col("text"), "[\\t-]")).as[Double].head()
+      == 2.0 / 3.0)
   }
 
   test("T6/T7: TermCounts matches the explode→groupBy aggregate it replaced") {
