@@ -353,6 +353,32 @@ object Relational {
         "l_returnflag", "sum_qty")
       .filter(col("sum_qty").isNotNull)
 
+  /** R29: semi-structured JSON extraction — every event pipeline carries
+    * a JSON properties column; schema-on-read extraction must happen in
+    * the scan stage, not in a post-hoc parser. `from_json` with an
+    * explicit schema parses once per row inside the scan's codegen stage
+    * (project + parse + aggregate partials all map-side), so the only
+    * Exchange carries (event_type, partial-agg) rows — never raw JSON.
+    * At 100 TB the parse cost is linear and embarrassingly parallel;
+    * malformed documents yield NULL (counted via k_nulls) instead of
+    * failing the scan. Averages are sum/count divisions of exact integer
+    * sums — bit-identical cross-engine, no rounding needed. */
+  def q29JsonExtract(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    val propsSchema = StructType(Seq(StructField("k", IntegerType)))
+    t(s, dir, "events")
+      .select(col("event_type"),
+        from_json(col("props"), propsSchema).getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(col("k")).as("k_present"),
+        sum(col("k")).as("k_sum"),
+        (sum(col("k")).cast("double") / count(col("k"))).as("k_avg"),
+        min(col("k")).as("k_min"),
+        max(col("k")).as("k_max"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_filter_project" -> (q2FilterProject _),
@@ -381,9 +407,25 @@ object Relational {
     "q25_range_join" -> (q25RangeJoin _),
     "q26_exists_not_exists" -> (q26ExistsNotExists _),
     "q27_exact_quantile" -> (q27ExactQuantile _),
-    "q28_unpivot" -> (q28Unpivot _))
+    "q28_unpivot" -> (q28Unpivot _),
+    "q29_json_extract" -> (q29JsonExtract _))
 
   val oracles: Map[String, String] = Map(
+    "q29_json_extract" ->
+      // json_extract_string -> TRY_CAST mirrors from_json's null-on-
+      // malformed semantics; sums cast to BIGINT (DuckDB sums ints to
+      // HUGEINT, which the gate's pandas round-trip turns into float64)
+      """WITH j AS (SELECT event_type,
+        |  TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |  FROM events)
+        |SELECT event_type,
+        |  count(*) AS n_events,
+        |  count(k) AS k_present,
+        |  CAST(sum(k) AS BIGINT) AS k_sum,
+        |  CAST(sum(k) AS DOUBLE) / count(k) AS k_avg,
+        |  min(k) AS k_min,
+        |  max(k) AS k_max
+        |FROM j GROUP BY 1""".stripMargin,
     "q27_exact_quantile" ->
       // quantile_disc = inverse-ECDF element selection, DuckDB's exact
       // discrete quantile — bit-identical to the histogram operator's

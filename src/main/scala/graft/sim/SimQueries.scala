@@ -93,12 +93,37 @@ object SimQueries {
         (col("sm").cast("double") / col("n").cast("double") / 1e6).as("val"),
         col("n").as("n_vectors"))
 
+  /** S7: k-NN majority-vote label classification — the
+    * labelled-neighbor primitive behind quality-label propagation and
+    * weak supervision over an embedded corpus ("label the unlabelled
+    * point like its nearest labelled neighbors vote"). Reuses the s1
+    * two-stage top-k (broadcast query set, linear corpus scan); the
+    * 50-row neighbor set then broadcasts AGAINST the label table, so
+    * the label lookup is a second scan with zero shuffle. Vote ties
+    * break to the smaller label (deterministic cross-engine). */
+  def s7KnnLabel(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = vectors(s, dir)
+    val topk = Similarity.bruteForceTopK(
+      v.filter(col("vec_id") < NumQueryVecs), v, "vec_id", "embedding", K)
+    val labels = Tables(s, dir, "embeddings")
+      .select(col("vec_id").as("neighbor_id"), col("label"))
+    val votes = labels.join(broadcast(topk), "neighbor_id")
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("label").asc)
+    votes.withColumn("rr", row_number().over(w)).filter(col("rr") === 1)
+      .select(col("query_id"), col("label").as("predicted_label"), col("votes"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_cosine_topk" -> (s1CosineTopK _),
     "s2_ann_lsh" -> (s2AnnLsh _),
     "s3_ann_ivf" -> (s3AnnIvf _),
     "s5_kmeans" -> (s5Kmeans _),
-    "s6_group_centroids" -> (s6GroupCentroids _))
+    "s6_group_centroids" -> (s6GroupCentroids _),
+    "s7_knn_label" -> (s7KnnLabel _))
 
   /** Literal DuckDB array for one hyperplane (the planes are
     * deterministic md5-derived constants — inlining them makes the LSH
@@ -218,6 +243,30 @@ object SimQueries {
          |      ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
          |  FROM scored)
          |WHERE rank <= $K""".stripMargin,
+    "s7_knn_label" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT * FROM e WHERE vec_id < $NumQueryVecs),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |    round(list_dot_product(q.v, e.v) /
+         |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))), 6)
+         |      AS cos_sim
+         |  FROM q, e WHERE e.vec_id != q.vec_id),
+         |topk AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+         |    FROM scored) WHERE rank <= $K),
+         |votes AS (
+         |  SELECT t.query_id, l.label, count(*) AS votes
+         |  FROM topk t JOIN embeddings l ON t.neighbor_id = l.vec_id
+         |  GROUP BY 1, 2)
+         |SELECT query_id, label AS predicted_label, votes FROM (
+         |  SELECT query_id, label, votes,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY votes DESC, label ASC) AS rr
+         |  FROM votes) WHERE rr = 1""".stripMargin,
     "s1_cosine_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |q AS (SELECT * FROM e WHERE vec_id < $NumQueryVecs),
