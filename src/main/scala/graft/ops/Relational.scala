@@ -355,20 +355,21 @@ object Relational {
 
   /** R29: semi-structured JSON extraction — every event pipeline carries
     * a JSON properties column; schema-on-read extraction must happen in
-    * the scan stage, not in a post-hoc parser. `from_json` with an
-    * explicit schema parses once per row inside the scan's codegen stage
-    * (project + parse + aggregate partials all map-side), so the only
-    * Exchange carries (event_type, partial-agg) rows — never raw JSON.
-    * At 100 TB the parse cost is linear and embarrassingly parallel;
-    * malformed documents yield NULL (counted via k_nulls) instead of
-    * failing the scan. Averages are sum/count divisions of exact integer
-    * sums — bit-identical cross-engine, no rounding needed. */
+    * the scan stage, not in a post-hoc parser. The native
+    * [[graft.text.JsonGetInt]] kernel replaces `from_json` (JsonToStructs
+    * is CodegenFallback — an interpreted island that broke the scan's
+    * whole-stage-codegen span and the PlanSpec invariant): one byte-walk
+    * per row inside codegen, `from_json`-identical semantics pinned by
+    * TextSpec's 60-case cross-check. Project + parse + aggregate partials
+    * all run map-side, so the only Exchange carries (event_type,
+    * partial-agg) rows — never raw JSON. At 100 TB the parse cost is
+    * linear and embarrassingly parallel; malformed documents yield NULL
+    * instead of failing the scan. Averages are sum/count divisions of
+    * exact integer sums — bit-identical cross-engine, no rounding needed. */
   def q29JsonExtract(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
-    val propsSchema = StructType(Seq(StructField("k", IntegerType)))
     t(s, dir, "events")
       .select(col("event_type"),
-        from_json(col("props"), propsSchema).getField("k").as("k"))
+        graft.text.TextFunctions.jsonGetInt(col("props"), "k").as("k"))
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
@@ -412,11 +413,15 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q29_json_extract" ->
-      // json_extract_string -> TRY_CAST mirrors from_json's null-on-
-      // malformed semantics; sums cast to BIGINT (DuckDB sums ints to
+      // json_valid guards malformed documents (json_extract_string
+      // ERRORS on invalid JSON; the guard makes them NULL, mirroring the
+      // kernel's null-on-malformed) and TRY_CAST mirrors its null on
+      // non-integer values; sums cast to BIGINT (DuckDB sums ints to
       // HUGEINT, which the gate's pandas round-trip turns into float64)
       """WITH j AS (SELECT event_type,
-        |  TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |  CASE WHEN json_valid(props) THEN
+        |    TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)
+        |  END AS k
         |  FROM events)
         |SELECT event_type,
         |  count(*) AS n_events,

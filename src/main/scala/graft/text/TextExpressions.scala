@@ -231,6 +231,268 @@ object TextOps {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
+
+  /** Single-key top-level integer extraction from a JSON document —
+    * `from_json(doc, struct<key:int>).key` without the Jackson parser or
+    * its CodegenFallback wrapper. Shared by [[JsonGetInt]]'s interpreted
+    * and generated paths. Semantics are pinned to `from_json` by
+    * TextSpec's 60-case cross-check (probed empirically, Spark 4.1):
+    *
+    *   - structural JSON error anywhere in the ROOT OBJECT — bad token,
+    *     leading-zero number, trailing comma, unterminated string, raw
+    *     control char in a string, bad escape, root not an object —
+    *     voids the whole row (null), EVEN IF the key already parsed;
+    *   - content after the root object's closing `}` is never examined
+    *     (`{"k":1} garbage` → 1), so the scan stops at depth-0 `}`;
+    *   - a VALID token of the wrong type (string/bool/float/overflow) is
+    *     a field-conversion failure: a NO-OP that keeps the previous
+    *     occurrence's value (`{"k":1,"k":"x"}` → 1) and keeps parsing;
+    *   - a JSON `null` value SETS the field to null (`{"k":1,"k":null}`
+    *     → null); otherwise the last successfully-converted duplicate
+    *     wins; keys decode escapes (`{"k":1}` matches "k").
+    *
+    * One divergence, documented: nesting beyond 1000 levels is malformed
+    * here (Jackson's own StreamReadConstraints default), and invalid
+    * UTF-8 byte sequences are not rejected (a Spark string column is
+    * already valid UTF-8, so the case cannot arise from a real column).
+    */
+  def jsonGetInt(doc: UTF8String, key: UTF8String): java.lang.Integer =
+    new JsonIntScan(doc.getBytes, key).run()
+}
+
+/** One-pass recursive-descent scanner behind [[TextOps.jsonGetInt]].
+  * Validates full JSON grammar over the root object (so structural
+  * errors null the row exactly where Jackson would), but materializes
+  * nothing: no tree, no token objects — just an index walk over the
+  * UTF-8 bytes. */
+private final class JsonIntScan(b: Array[Byte], key: UTF8String) {
+  private[this] var i = 0
+  private[this] val n = b.length
+  private[this] var depth = 0
+  private[this] var result: java.lang.Integer = null
+
+  def run(): java.lang.Integer =
+    try { parseRoot(); result }
+    catch { case JsonIntScan.Malformed => null }
+
+  private def fail(): Nothing = throw JsonIntScan.Malformed
+  private def isDigit(c: Byte): Boolean = c >= '0' && c <= '9'
+  private def isHex(c: Byte): Boolean =
+    isDigit(c) || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+
+  private def ws(): Unit =
+    while (i < n && (b(i) == ' ' || b(i) == '\t' || b(i) == '\n' || b(i) == '\r')) i += 1
+
+  private def expect(c: Char): Unit = {
+    if (i >= n || b(i) != c.toByte) fail()
+    i += 1
+  }
+
+  /** Root object: the only level where `key` can match; stops at its
+    * closing `}` (trailing content is ignored, matching Jackson's
+    * single-value read). */
+  private def parseRoot(): Unit = {
+    ws()
+    expect('{')
+    ws()
+    if (i < n && b(i) == '}') return
+    while (true) {
+      ws()
+      val matched = scanKey()
+      ws(); expect(':'); ws()
+      parseValue(matched)
+      ws()
+      if (i >= n) fail()
+      if (b(i) == ',') i += 1
+      else if (b(i) == '}') return
+      else fail()
+    }
+  }
+
+  /** Scan a member key and report whether it equals the target (raw
+    * byte compare when escape-free; unescaped char compare otherwise). */
+  private def scanKey(): Boolean = {
+    expect('"')
+    val start = i
+    val esc = scanStringBody()
+    val end = i - 1 // before the closing quote
+    if (!esc) {
+      if (end - start != key.numBytes) return false
+      var j = 0
+      while (j < key.numBytes) {
+        if (b(start + j) != key.getByte(j)) return false
+        j += 1
+      }
+      true
+    } else unescape(start, end) == key.toString
+  }
+
+  /** From just after the opening quote to just after the closing quote;
+    * returns whether any escape was seen. Validates escapes and rejects
+    * raw control chars (Jackson does both). */
+  private def scanStringBody(): Boolean = {
+    var esc = false
+    while (true) {
+      if (i >= n) fail()
+      val c = b(i)
+      if (c == '"') { i += 1; return esc }
+      else if (c == '\\') {
+        esc = true
+        i += 1
+        if (i >= n) fail()
+        b(i) match {
+          case '"' | '\\' | '/' | 'b' | 'f' | 'n' | 'r' | 't' => i += 1
+          case 'u' =>
+            i += 1
+            var j = 0
+            while (j < 4) {
+              if (i >= n || !isHex(b(i))) fail()
+              i += 1; j += 1
+            }
+          case _ => fail()
+        }
+      } else if ((c & 0xFF) < 0x20) fail()
+      else i += 1
+    }
+    false // unreachable
+  }
+
+  /** Escapes were validated by [[scanStringBody]], so this just applies
+    * them (char-level, after UTF-8 decoding the raw span). */
+  private def unescape(start: Int, end: Int): String = {
+    val raw = UTF8String.fromBytes(b, start, end - start).toString
+    val sb = new java.lang.StringBuilder(raw.length)
+    var j = 0
+    while (j < raw.length) {
+      val c = raw.charAt(j)
+      if (c == '\\') {
+        raw.charAt(j + 1) match {
+          case 'u' =>
+            sb.append(Integer.parseInt(raw.substring(j + 2, j + 6), 16).toChar)
+            j += 6
+          case 'b' => sb.append('\b'); j += 2
+          case 'f' => sb.append('\f'); j += 2
+          case 'n' => sb.append('\n'); j += 2
+          case 'r' => sb.append('\r'); j += 2
+          case 't' => sb.append('\t'); j += 2
+          case q => sb.append(q); j += 2 // " \ /
+        }
+      } else { sb.append(c); j += 1 }
+    }
+    sb.toString
+  }
+
+  /** `matched` = this is a top-level value of the target key. */
+  private def parseValue(matched: Boolean): Unit = {
+    if (i >= n) fail()
+    b(i) match {
+      case '"' =>
+        i += 1; scanStringBody() // wrong type for the key → no-op
+      case '{' => parseObject()
+      case '[' => parseArray()
+      case 't' => literal("true")
+      case 'f' => literal("false")
+      case 'n' =>
+        literal("null")
+        if (matched) result = null // JSON null SETS the field
+      case c if c == '-' || isDigit(c) => parseNumber(matched)
+      case _ => fail()
+    }
+  }
+
+  private def literal(lit: String): Unit = {
+    var j = 0
+    while (j < lit.length) {
+      if (i >= n || b(i) != lit.charAt(j).toByte) fail()
+      i += 1; j += 1
+    }
+  }
+
+  private def parseObject(): Unit = {
+    depth += 1
+    if (depth > JsonIntScan.MaxDepth) fail()
+    i += 1 // '{'
+    ws()
+    if (i < n && b(i) == '}') { i += 1; depth -= 1; return }
+    while (true) {
+      ws()
+      expect('"'); scanStringBody()
+      ws(); expect(':'); ws()
+      parseValue(matched = false)
+      ws()
+      if (i >= n) fail()
+      if (b(i) == ',') i += 1
+      else if (b(i) == '}') { i += 1; depth -= 1; return }
+      else fail()
+    }
+  }
+
+  private def parseArray(): Unit = {
+    depth += 1
+    if (depth > JsonIntScan.MaxDepth) fail()
+    i += 1 // '['
+    ws()
+    if (i < n && b(i) == ']') { i += 1; depth -= 1; return }
+    while (true) {
+      ws()
+      parseValue(matched = false)
+      ws()
+      if (i >= n) fail()
+      if (b(i) == ',') i += 1
+      else if (b(i) == ']') { i += 1; depth -= 1; return }
+      else fail()
+    }
+  }
+
+  /** JSON number grammar: `-? (0 | [1-9][0-9]*) frac? exp?`. A leading
+    * zero (`01`) is a STRUCTURAL error (Jackson's tokenizer rejects it);
+    * a well-formed float/overflow is a CONVERSION failure (no-op). */
+  private def parseNumber(matched: Boolean): Unit = {
+    val neg = b(i) == '-'
+    if (neg) i += 1
+    if (i >= n) fail()
+    var v = 0L
+    var overflow = false
+    if (b(i) == '0') {
+      i += 1
+      if (i < n && isDigit(b(i))) fail()
+    } else if (isDigit(b(i))) {
+      while (i < n && isDigit(b(i))) {
+        val d = b(i) - '0'
+        if (v > (Long.MaxValue - d) / 10) overflow = true else v = v * 10 + d
+        i += 1
+      }
+    } else fail()
+    var isInt = true
+    if (i < n && b(i) == '.') {
+      isInt = false
+      i += 1
+      if (i >= n || !isDigit(b(i))) fail()
+      while (i < n && isDigit(b(i))) i += 1
+    }
+    if (i < n && (b(i) == 'e' || b(i) == 'E')) {
+      isInt = false
+      i += 1
+      if (i < n && (b(i) == '+' || b(i) == '-')) i += 1
+      if (i >= n || !isDigit(b(i))) fail()
+      while (i < n && isDigit(b(i))) i += 1
+    }
+    if (matched && isInt && !overflow) {
+      val sv = if (neg) -v else v
+      if (sv >= Int.MinValue && sv <= Int.MaxValue) result = Int.box(sv.toInt)
+      // int wider than 32 bits: coercion failure → no-op
+    }
+    // matched float/overflow: coercion failure → no-op
+  }
+}
+
+private object JsonIntScan {
+  /** Jackson's StreamReadConstraints default nesting limit. */
+  final val MaxDepth = 1000
+
+  /** Stackless control-flow signal: any structural error aborts the
+    * scan and yields null, wherever it happens. */
+  object Malformed extends Exception with scala.util.control.NoStackTrace
 }
 
 /** Count of tokens in an `array<string>` column that belong to a fixed
@@ -507,6 +769,61 @@ case class LexerTokenCount(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, v =>
       s"${ev.value} = graft.text.TextOps.lexerTokenCount($v);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Single top-level integer key extraction from a JSON STRING column —
+  * `from_json(x, struct<key:int>).key` without the interpreted wrapper.
+  *
+  * Why native: `from_json` (JsonToStructs) is a CodegenFallback
+  * expression — the one interpreted island q29 had in its scan-side
+  * Project, breaking the whole-stage-codegen span and the repo's own
+  * PlanSpec invariant (SURVEY §4: no CodegenFallback on an unbounded
+  * path). For the one-key-integer shape every event pipeline hits, a
+  * full Jackson parse (token objects, a per-field conversion stack, a
+  * boxed InternalRow) buys nothing: [[TextOps.jsonGetInt]] walks the
+  * UTF-8 bytes once, validates the same grammar, and returns the int —
+  * inside whole-stage codegen. Semantics (including PERMISSIVE-mode
+  * partial results on conversion failures) are pinned to `from_json` by
+  * TextSpec's 60-case cross-check; see [[TextOps.jsonGetInt]].
+  *
+  * The key is a plan constant (addReferenceObj), so the generated
+  * projection is two lines regardless of key content.
+  */
+case class JsonGetInt(child: Expression, key: String)
+  extends UnaryExpression {
+
+  @transient private lazy val keyUtf8: UTF8String = UTF8String.fromString(key)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string argument, got ${t.sql}")
+    }
+
+  override def dataType: DataType = IntegerType
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "graft_json_get_int"
+
+  override def nullSafeEval(v: Any): Any =
+    TextOps.jsonGetInt(v.asInstanceOf[UTF8String], keyUtf8)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val keyRef = ctx.addReferenceObj("jsonKey", keyUtf8,
+      "org.apache.spark.unsafe.types.UTF8String")
+    nullSafeCodeGen(ctx, ev, v => {
+      val tmp = ctx.freshName("jsonInt")
+      s"""
+         |java.lang.Integer $tmp = graft.text.TextOps.jsonGetInt($v, $keyRef);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.intValue(); }
+       """.stripMargin
+    })
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

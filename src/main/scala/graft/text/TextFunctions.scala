@@ -59,6 +59,14 @@ object TextFunctions {
     org.apache.spark.sql.graftbridge.Bridge.column(
       TermCounts(org.apache.spark.sql.graftbridge.Bridge.expression(toks)))
 
+  /** Top-level integer `key` from a JSON string column —
+    * `from_json(json, struct<key:int>).key` semantics (PERMISSIVE mode,
+    * including partial results on conversion failures) without the
+    * CodegenFallback Jackson wrapper; see [[JsonGetInt]]. */
+  def jsonGetInt(json: Column, key: String): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      JsonGetInt(org.apache.spark.sql.graftbridge.Bridge.expression(json), key))
+
   /** How many tokens are in `words` (duplicates counted — a stopword used
     * twice is two hits). Native codegen expression: the HOF form
     * `size(filter(toks, isin(...)))` is interpreted per row and dominated

@@ -92,6 +92,68 @@ class TextSpec extends SparkTestBase {
       assert(native == viaRegex, s"on [$t]")
   }
 
+  test("R29: JsonGetInt matches from_json(struct<k:int>).k on every probed edge") {
+    // the live from_json column IS the semantic pin: both expressions run
+    // over the same rows and must agree cell-for-cell. Cases probe every
+    // behavior class observed from Jackson/PERMISSIVE: structural errors
+    // void the row even after k parsed; trailing content after the root
+    // object is ignored; wrong-type values are per-field NO-OPS (previous
+    // occurrence kept); JSON null SETS the field; last good duplicate
+    // wins; escaped keys decode; leading-zero numbers are structural.
+    val cases: Seq[String] = Seq(
+      """{"k": 5}""", """{"k":-7}""", """{"k":null}""", """{"j":1}""",
+      """{"k":"5"}""", """{"k":1.5}""", """{"k":true}""", """{"k":[1]}""",
+      """{"k":{"a":1}}""", """{"k":99999999999}""", """{"k":01}""",
+      """{"k":1,"k":2}""", """{"k":1,"k":"x"}""", """{"k":"x","k":1}""",
+      """{"k":1} garbage""", """{"k":1}{"k":2}""", """  {"k":3}  """,
+      """[{"k":4}]""", "", "not json", """{"k":}""", """{"k" : 12 }""",
+      """{"other":{"k":99},"k":8}""", """{"k":2147483647}""",
+      """{"k":-2147483648}""", """{"k":2147483648}""", """{"k":+5}""",
+      """{"k":1e2}""", """{"k":1,}""", """{"a":"x\"y","k":6}""",
+      """{"k":1,"k":null}""", """{"k":1e2,"k":3}""", """{"k":99999999999,"k":3}""",
+      """{"k":1.5,"k":3}""", """{"k":01,"k":3}""", """{"k":1,"k":01}""",
+      """{"a":[1,{"b":"}"}],"k":7}""", """{"k":007}""", """{"k":-0}""", """{"k":0}""",
+      """{"a":"k not key","k":5}""", "{\"a\":\"\t\",\"k\":2}",
+      """{"k":1""", """{"k":12e}""", """{"k":12,"a":}""", """{"k":3.0,"k":4}""",
+      """{"K":9}""", """{ }""", """{}""", """{"k":1,"a":"unterminated""",
+      """{"k":  -12  }""", """{"k":"1","k":2,"k":"3"}""", """{"k":[1,2],"k":5}""",
+      """{"k":{"x":[{"y":"}}"}]},"k":6}""", "\ufeff{\"k\":1}", """{"k":1 ,"k": 2}""",
+      """{"k":9}extra"none"""", """{"k":1}[]""", "{\"\\u006b\":42}",
+      "{\"a\":\"x\\\"y\\\\\",\"k\":11}", """{"k":1.}""", """{"k":.5}""",
+      """{"k":-}""", """{"k":12E+3,"k":9}""",
+      "{\"a\":\"\\" + "u12zq\",\"k\":1}", // bad hex in \u escape → structural
+      """{"a":[[],[[{"k":9}]]],"k":13}""", """{"a":[1,2,],"k":1}""", null)
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    val sch = StructType(Seq(StructField("k", IntegerType)))
+    val got = cases.toDF("props")
+      .select(col("props"),
+        jsonGetInt(col("props"), "k"),
+        from_json(col("props"), sch).getField("k"))
+      .collect()
+    for (row <- got)
+      assert(row.get(1) == row.get(2),
+        s"JsonGetInt=${row.get(1)} from_json=${row.get(2)} on ${row.get(0)}")
+    // the interpreted path (direct eval, no codegen) agrees too
+    import org.apache.spark.unsafe.types.UTF8String
+    val key = UTF8String.fromString("k")
+    for (row <- got if row.get(0) != null) {
+      val interp = TextOps.jsonGetInt(UTF8String.fromString(row.getString(0)), key)
+      assert(interp == row.get(2), s"interpreted path on ${row.get(0)}")
+    }
+  }
+
+  test("R29: JsonGetInt agrees with from_json on the events table") {
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    val sch = StructType(Seq(StructField("k", IntegerType)))
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val diff = ev.select(
+        jsonGetInt(col("props"), "k").as("native"),
+        from_json(col("props"), sch).getField("k").as("jackson"))
+      .filter(not(col("native") <=> col("jackson")))
+      .count()
+    assert(diff == 0L)
+  }
+
   test("T3: stopword hits count duplicates; langid picks the right set") {
     val hits = one("the the cat").select(hitCount(tokens(col("text")), TextQueries.StopEn))
       .as[Int].head()
