@@ -40,7 +40,9 @@ import java.nio.file.{Files, Paths}
   */
 object Bench {
 
-  val Runs = 5
+  /** Shared with tools/bench_duckdb.py via GRAFT_BENCH_RUNS (default 5
+    * on both sides) so the matched pair rejects outliers symmetrically. */
+  val Runs = sys.env.get("GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(5)
 
   private def loadavg1m(): Double =
     try Files.readString(Paths.get("/proc/loadavg")).split("\\s+")(0).toDouble

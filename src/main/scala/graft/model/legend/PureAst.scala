@@ -210,8 +210,14 @@ object PureToSql {
     // bounds. Plain element_at only errors under ANSI mode, which graft
     // sessions don't enable — so the guard is explicit: raise_error on an
     // out-of-range index (NullType coerces into the element-type branch).
-    // first()/last() over an empty collection return empty →
-    // try_element_at's NULL
+    // The rendered SQL inlines $idx three times and $arr twice; that is
+    // SAFE here because every function this translator accepts is
+    // query-deterministic (unknown functions reject loudly, and the
+    // subset has no rand/uuid analogue; now()/today() are per-query
+    // constants in Spark), so the guard and the access always see the
+    // same value — re-evaluation costs a bounded constant, never a
+    // different element. first()/last() over an empty collection return
+    // empty → try_element_at's NULL
     case "at" =>
       require(ps.size == 2, "at(collection, index)")
       val arr = scalar(ps(0), rv)
@@ -222,12 +228,12 @@ object PureToSql {
     case "last" => s"try_element_at(${scalar(ps.head, rv)}, -1)"
     case "removeDuplicates" => s"array_distinct(${scalar(ps.head, rv)})"
     // collection HOFs over a [0..*] property (an ArrayType column in
-    // table space) → Spark's codegen'd higher-order functions; the PURE
-    // lambda variable becomes the SQL lambda parameter, so `$t.qty`
-    // renders as struct-element access `t.qty` and bare `$t` as the
-    // element itself. Scalar context only — the relational `filter`
-    // verb never reaches here (LegendLoader's pipeline walker consumes
-    // it before scalar translation).
+    // table space) → Spark's higher-order functions; the PURE lambda
+    // variable becomes the SQL lambda parameter under a collision-free
+    // graft_ rename, so `$t.qty` renders as struct-element access
+    // `graft_t.qty` and bare `$t` as `graft_t`. Scalar context only —
+    // the relational `filter` verb never reaches here (LegendLoader's
+    // pipeline walker consumes it before scalar translation).
     case "forAll" | "exists" | "filter" | "map" =>
       require(ps.size == 2, s"$f(collection, lambda)")
       val (param, body) = ps(1) match {
@@ -242,7 +248,17 @@ object PureToSql {
         case "map"    => "transform"
         case other    => other
       }
-      s"$sqlFn(${scalar(ps(0), rv)}, $param -> ${scalar(bindElem(body, param), rv)})"
+      // The SQL-side parameter must not collide with any property the
+      // body references: Spark lambda bindings shadow outer attributes,
+      // so `name -> ... $this.name ...` would silently resolve the
+      // rendered bare `name` to the lambda element instead of the row
+      // column. Rename to a graft_ prefix, re-prefixing until it
+      // matches no property named anywhere in the body.
+      val taken = propertyNames(body)
+      var sqlParam = "graft_" + param
+      while (taken(sqlParam)) sqlParam = "graft_" + sqlParam
+      s"$sqlFn(${scalar(ps(0), rv)}, $sqlParam -> " +
+        s"${scalar(bindElem(body, param, sqlParam), rv)})"
     case "matches" => bin("RLIKE", ps, rv)
     case "parseInteger" => s"CAST(${scalar(ps.head, rv)} AS BIGINT)"
     case "parseFloat" | "parseDecimal" => s"CAST(${scalar(ps.head, rv)} AS DOUBLE)"
@@ -316,16 +332,27 @@ object PureToSql {
   }
 
   /** Bind a HOF lambda's element variable: occurrences of `$v` become
-    * the raw SQL identifier `v` (Spark resolves it as the lambda
-    * parameter), so `$v` renders bare and `$v.field` as `v.field`.
+    * the raw SQL identifier `sql` (Spark resolves it as the lambda
+    * parameter), so `$v` renders as `sql` and `$v.field` as `sql.field`.
+    * `sql` is the collision-free rename chosen at the HOF call site.
     * Shadowing inner lambdas keep their own binding. */
-  private def bindElem(e: PureExpr, v: String): PureExpr = e match {
-    case PVar(`v`)          => PLit(v)
-    case PProperty(r, n)    => PProperty(bindElem(r, v), n)
-    case PFunc(f, ps)       => PFunc(f, ps.map(bindElem(_, v)))
-    case PCollection(vs)    => PCollection(vs.map(bindElem(_, v)))
-    case PLambda(params, b) if !params.contains(v) => PLambda(params, bindElem(b, v))
+  private def bindElem(e: PureExpr, v: String, sql: String): PureExpr = e match {
+    case PVar(`v`)          => PLit(sql)
+    case PProperty(r, n)    => PProperty(bindElem(r, v, sql), n)
+    case PFunc(f, ps)       => PFunc(f, ps.map(bindElem(_, v, sql)))
+    case PCollection(vs)    => PCollection(vs.map(bindElem(_, v, sql)))
+    case PLambda(params, b) if !params.contains(v) => PLambda(params, bindElem(b, v, sql))
     case other              => other
+  }
+
+  /** Every property name referenced anywhere in `e` (nested lambdas
+    * included) — the identifiers a lambda parameter must not shadow. */
+  private def propertyNames(e: PureExpr): Set[String] = e match {
+    case PProperty(r, n) => propertyNames(r) + n
+    case PFunc(_, ps)    => ps.flatMap(propertyNames).toSet
+    case PCollection(vs) => vs.flatMap(propertyNames).toSet
+    case PLambda(_, b)   => propertyNames(b)
+    case _               => Set.empty
   }
 
   /** The unit argument of dateDiff: DurationUnit.YEARS arrives as a

@@ -227,22 +227,34 @@ class LegendSpec extends SparkTestBase {
         -> "concat(upper(a), '-', b)",
       PFunc("plus", Seq(PCollection(Seq(p("a"), p("b"))))) -> "(a + b)",
       // collection HOFs: the PURE lambda variable becomes the SQL lambda
-      // parameter; bare $t is the element, $t.f is struct-element access
+      // parameter under a collision-free graft_ rename (Spark lambda
+      // bindings shadow outer attributes); bare $t is the element,
+      // $t.f is struct-element access
       PFunc("forAll", Seq(p("tags"), PLambda(Seq("t"),
         PFunc("greaterThan", Seq(PFunc("length", Seq(PVar("t"))), PLit("0"))))))
-        -> "forall(tags, t -> (length(t) > 0))",
+        -> "forall(tags, graft_t -> (length(graft_t) > 0))",
       PFunc("exists", Seq(p("tags"), PLambda(Seq("t"),
         PFunc("equal", Seq(PVar("t"), PLit("'x'"))))))
-        -> "exists(tags, t -> (t = 'x'))",
+        -> "exists(tags, graft_t -> (graft_t = 'x'))",
       PFunc("filter", Seq(p("nums"), PLambda(Seq("n"),
         PFunc("greaterThan", Seq(PVar("n"), PLit("10"))))))
-        -> "filter(nums, n -> (n > 10))",
+        -> "filter(nums, graft_n -> (graft_n > 10))",
       PFunc("map", Seq(p("items"), PLambda(Seq("i"), PProperty(PVar("i"), "qty"))))
-        -> "transform(items, i -> i.qty)",
+        -> "transform(items, graft_i -> graft_i.qty)",
       // nested: size of a filtered collection
       PFunc("size", Seq(PFunc("filter", Seq(p("nums"), PLambda(Seq("n"),
         PFunc("lessThan", Seq(PVar("n"), PLit("0"))))))))
-        -> "size(filter(nums, n -> (n < 0)))",
+        -> "size(filter(nums, graft_n -> (graft_n < 0)))",
+      // a lambda parameter colliding with a PROPERTY the body references
+      // must not capture it: $this.n renders bare `n`, which a SQL
+      // parameter named `n` would have silently shadowed (ADVICE r8)
+      PFunc("exists", Seq(p("tags"), PLambda(Seq("n"),
+        PFunc("equal", Seq(PVar("n"), p("n"))))))
+        -> "exists(tags, graft_n -> (graft_n = n))",
+      // ...re-prefixing until free when graft_n is itself a property
+      PFunc("exists", Seq(p("tags"), PLambda(Seq("n"),
+        PFunc("equal", Seq(PVar("n"), p("graft_n"))))))
+        -> "exists(tags, graft_graft_n -> (graft_graft_n = graft_n))",
       // round-8 widening: math/string/collection/date additions
       PFunc("mod", Seq(p("a"), p("b"))) -> "pmod(a, b)",
       PFunc("rem", Seq(p("a"), p("b"))) -> "mod(a, b)",
@@ -844,7 +856,7 @@ class LegendSpec extends SparkTestBase {
          |"qualifiedProperties":[]}}""".stripMargin
     val m = LegendLoader.fromJsonStrings(Seq(bagClass))
     val rule = m.clazz("hof::entity::bag").constraints.head
-    assert(rule.expr == "forall(tags, t -> (length(t) > 0))")
+    assert(rule.expr == "forall(tags, graft_t -> (length(graft_t) > 0))")
 
     // element-wise semantics at runtime: empty collections are vacuously
     // true (PURE forAll over []), one empty string trips the rule

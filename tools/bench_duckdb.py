@@ -4,7 +4,9 @@
 Usage: python3 tools/bench_duckdb.py <oracle_sql.json> <sf_dir> [out.json]
 
 Times every oracle SQL over <sf_dir>/*.parquet views with 32 threads:
-one warm pass, then median-of-3, mirroring graft.Bench's protocol.
+one warm pass, then median-of-N, mirroring graft.Bench's protocol. N
+comes from GRAFT_BENCH_RUNS (default 5 — the SAME default as
+graft.Bench.Runs, so the matched pair rejects outliers symmetrically).
 Records /proc/loadavg before/after so contended runs are visible after
 the fact (same quiet-machine contract as graft.Bench). Run this ALONE —
 never concurrently with sbt or the Spark bench.
@@ -36,6 +38,7 @@ def main():
         elif os.path.exists(p):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.load(open(oracle_path))
+    runs = int(os.environ.get("GRAFT_BENCH_RUNS", "5"))
     only = os.environ.get("BENCH_QUERIES")
     if only:
         keep = {q.strip() for q in only.split(",")}
@@ -46,7 +49,7 @@ def main():
         try:
             con.sql(sql).fetchall()  # warm
             times = []
-            for _ in range(3):
+            for _ in range(runs):
                 t0 = time.perf_counter()
                 con.sql(sql).fetchall()
                 times.append(time.perf_counter() - t0)
@@ -56,7 +59,7 @@ def main():
             results[name] = -1.0
     total = sum(v for v in results.values() if v >= 0)
     out = {"metric": "total", "value": total, "unit": "sec",
-           "queries": results, "sf": sf_dir, "threads": 32,
+           "queries": results, "sf": sf_dir, "threads": 32, "runs": runs,
            "load_before": load_before, "load_after": loadavg()}
     line = json.dumps(out)
     print(line)
