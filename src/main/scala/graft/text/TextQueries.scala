@@ -93,20 +93,32 @@ object TextQueries {
     * join back is left to AQE — at this SF the df side broadcasts (zero
     * extra Exchange), at vocabulary scale it degrades to a shuffle join,
     * which is the correct plan there. N rides along as a broadcast
-    * single-row aggregate; ranking is a per-document window (bounded
-    * partitions — never global). Two Exchanges carry distinct-(doc,
-    * term) rows — none carries raw tokens. The score is rounded to 6 dp
-    * BEFORE ranking so cross-engine ulp drift in ln() cannot flip ranks. */
+    * single-row aggregate.
+    *
+    * Ranking is a row_number window, and that choice is MEASURED, twice:
+    * Spark plans it with WindowGroupLimit(Partial) BELOW the Exchange,
+    * so the doc-side shuffle already carries ≤3 rows per doc per map
+    * partition — the same bound a top-k aggregate would give. A bounded
+    * top-k ObjectHashAggregate (round-9 A/B, interleaved at the
+    * 20×-docs probe) measured 1.98 s median vs the window's 1.35 s: the
+    * codegen'd sort feeding WindowGroupLimit beats per-row object
+    * allocation + hashing, and ObjectHashAggregate's unmanaged hash map
+    * falls back to SORT-based aggregation past 128 groups/task anyway
+    * (the round-8 collect_list attempt lost for the same reason). Both
+    * Exchanges and the shuffle payload are already scale-bounded; the
+    * remaining local gap vs DuckDB is the DELIBERATE second scan (the
+    * df pass re-reads and re-tokenizes the corpus): materializing the
+    * pair relation instead would trade a linear, map-local re-scan for
+    * shuffling the full tokenized corpus — the wrong trade at 100 TB,
+    * the right one only on a single warm node. The score is rounded to
+    * 6 dp BEFORE ranking so cross-engine ulp drift in ln() cannot flip
+    * ranks. */
   def t6Tfidf(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val nDocs = d.agg(count(lit(1)).cast("double").as("n_docs"))
     val tf = d.select(col("doc_id"), explode(termCounts(tokens(col("text"))))
       .as(Seq("term", "tf")))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    // ranking stays a row_number window: the collect_list/array_sort
-    // per-doc alternative was measured ~25% SLOWER at 20× sf0.1
-    // (ObjectHashAggregate's per-row struct allocation costs more than
-    // the window's partition sort saves)
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term").asc)
     tf.join(dfreq, "term")
