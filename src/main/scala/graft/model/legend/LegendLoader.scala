@@ -402,6 +402,12 @@ object LegendLoader {
           case "count" | "sum" | "min" | "max" => fn
           case "distinct" => "collect_set"
           case "uniqueValueOnly" | "first" => "first"
+          // round-9 widening: the dispersion family (Spark and DuckDB
+          // agree on both names and sample/population semantics)
+          case "stdDevSample" => "stddev_samp"
+          case "stdDevPopulation" => "stddev_pop"
+          case "varianceSample" => "var_samp"
+          case "variancePopulation" => "var_pop"
           case other => sys.error(s"unsupported aggregation function [$other]")
         }
         s"$sqlFn($mapped)"

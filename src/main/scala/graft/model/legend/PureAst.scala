@@ -187,6 +187,28 @@ object PureToSql {
     case "rtrim" => call("rtrim", ps, rv)
     case "reverseString" => call("reverse", ps, rv)
     case "replace" => call("replace", ps, rv)
+    // round-9 widening: the rest of PURE's everyday string family
+    case "lpad" | "rpad" =>
+      require(ps.size == 2 || ps.size == 3, s"$f(str, length[, pad])")
+      call(f, if (ps.size == 3) ps else ps :+ PLit("' '"), rv)
+    case "repeatString" =>
+      require(ps.size == 2, "repeatString(str, times)")
+      call("repeat", ps, rv)
+    // uppercases ONLY the first character (initcap would also lowercase
+    // the rest and capitalize every word — different function)
+    case "toUpperFirstCharacter" =>
+      require(ps.size == 1, "toUpperFirstCharacter(str)")
+      val v = scalar(ps.head, rv)
+      s"concat(upper(left($v, 1)), substring($v, 2))"
+    // PURE: full-string match of [A-Za-z0-9]+ (empty string is false)
+    case "isAlphaNumeric" =>
+      s"(${scalar(ps.head, rv)} RLIKE '^[A-Za-z0-9]+$$')"
+    case "isNoLongerThan" =>
+      require(ps.size == 2, "isNoLongerThan(str, n)")
+      s"(length(${scalar(ps(0), rv)}) <= ${scalar(ps(1), rv)})"
+    case "isNoShorterThan" =>
+      require(ps.size == 2, "isNoShorterThan(str, n)")
+      s"(length(${scalar(ps(0), rv)}) >= ${scalar(ps(1), rv)})"
     case "left" => call("left", ps, rv)
     case "right" => call("right", ps, rv)
     // PURE indexOf is 0-based; SQL instr is 1-based (and 0 for absent —
@@ -227,6 +249,30 @@ object PureToSql {
     case "first" => s"try_element_at(${scalar(ps.head, rv)}, 1)"
     case "last" => s"try_element_at(${scalar(ps.head, rv)}, -1)"
     case "removeDuplicates" => s"array_distinct(${scalar(ps.head, rv)})"
+    // round-9 widening: collection windows. PURE slice/take/drop are
+    // 0-based (slice is end-exclusive); SQL slice is 1-based with a
+    // LENGTH — lengths clamp at 0 so over-long windows return what
+    // exists instead of erroring. Inlined sub-expressions re-evaluate
+    // (safe: the translated subset is query-deterministic — see at()).
+    case "slice" =>
+      require(ps.size == 3, "slice(collection, start, end)")
+      val arr = scalar(ps(0), rv); val a = scalar(ps(1), rv); val b = scalar(ps(2), rv)
+      s"slice($arr, ($a) + 1, greatest(0, ($b) - ($a)))"
+    case "take" | "limit" =>
+      require(ps.size == 2, s"$f(collection, n)")
+      s"slice(${scalar(ps(0), rv)}, 1, greatest(0, ${scalar(ps(1), rv)}))"
+    // negative n drops nothing (PURE semantics), hence the two clamps
+    case "drop" =>
+      require(ps.size == 2, "drop(collection, n)")
+      val arr = scalar(ps(0), rv); val n = scalar(ps(1), rv)
+      s"slice($arr, greatest(1, ($n) + 1), greatest(0, size($arr) - greatest(0, $n)))"
+    case "concatenate" =>
+      require(ps.size == 2, "concatenate(collection, collection)")
+      call("concat", ps, rv)
+    case "isDistinct" =>
+      require(ps.size == 1, "isDistinct(collection)")
+      val arr = scalar(ps.head, rv)
+      s"(size(array_distinct($arr)) = size($arr))"
     // collection HOFs over a [0..*] property (an ArrayType column in
     // table space) → Spark's higher-order functions; the PURE lambda
     // variable becomes the SQL lambda parameter under a collision-free

@@ -273,7 +273,26 @@ class LegendSpec extends SparkTestBase {
       PFunc("quarterNumber", Seq(p("d"))) -> "quarter(d)",
       PFunc("weekOfYear", Seq(p("d"))) -> "weekofyear(d)",
       PFunc("datePart", Seq(p("ts"))) -> "CAST(ts AS DATE)",
-      PFunc("parseDate", Seq(p("s"))) -> "CAST(s AS TIMESTAMP)")
+      PFunc("parseDate", Seq(p("s"))) -> "CAST(s AS TIMESTAMP)",
+      // round-9 widening: string family + collection windows
+      PFunc("lpad", Seq(p("s"), PLit("8"))) -> "lpad(s, 8, ' ')",
+      PFunc("lpad", Seq(p("s"), PLit("8"), PLit("'0'"))) -> "lpad(s, 8, '0')",
+      PFunc("rpad", Seq(p("s"), PLit("4"), PLit("'x'"))) -> "rpad(s, 4, 'x')",
+      PFunc("repeatString", Seq(p("s"), PLit("3"))) -> "repeat(s, 3)",
+      PFunc("toUpperFirstCharacter", Seq(p("s")))
+        -> "concat(upper(left(s, 1)), substring(s, 2))",
+      PFunc("isAlphaNumeric", Seq(p("s"))) -> "(s RLIKE '^[A-Za-z0-9]+$')",
+      PFunc("isNoLongerThan", Seq(p("s"), PLit("10"))) -> "(length(s) <= 10)",
+      PFunc("isNoShorterThan", Seq(p("s"), PLit("2"))) -> "(length(s) >= 2)",
+      PFunc("slice", Seq(p("tags"), PLit("1"), PLit("3")))
+        -> "slice(tags, (1) + 1, greatest(0, (3) - (1)))",
+      PFunc("take", Seq(p("tags"), PLit("2"))) -> "slice(tags, 1, greatest(0, 2))",
+      PFunc("limit", Seq(p("tags"), PLit("2"))) -> "slice(tags, 1, greatest(0, 2))",
+      PFunc("drop", Seq(p("tags"), PLit("2")))
+        -> "slice(tags, greatest(1, (2) + 1), greatest(0, size(tags) - greatest(0, 2)))",
+      PFunc("concatenate", Seq(p("tags"), p("more"))) -> "concat(tags, more)",
+      PFunc("isDistinct", Seq(p("tags")))
+        -> "(size(array_distinct(tags)) = size(tags))")
     for ((ast, expected) <- cases) {
       val sql = PureToSql.scalar(ast, Set("this"))
       assert(sql == expected, s"for $ast")
@@ -315,6 +334,64 @@ class LegendSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
     assert(rows.keySet == Set("BUILDING", "MACHINERY", null))
     assert(math.abs(rows("BUILDING") - 210.25) < 1e-9) // avg(120.5, 300.0)
+  }
+
+  test("M13 r9 widening: runtime semantics of the string/collection additions") {
+    import spark.implicits._
+    import graft.model.legend.PureExpr._
+    import graft.model.legend.PureToSql
+    def p(n: String) = PProperty(PVar("this"), n)
+    val df = Seq(("ab", Seq("x", "y", "y", "z"), Seq("q"))).toDF("s", "tags", "more")
+    def ev(ast: graft.model.legend.PureExpr) =
+      df.selectExpr(PureToSql.scalar(ast, Set("this"))).head.get(0)
+    assert(ev(PFunc("lpad", Seq(p("s"), PLit("4"), PLit("'0'")))) == "00ab")
+    assert(ev(PFunc("rpad", Seq(p("s"), PLit("4"), PLit("'x'")))) == "abxx")
+    assert(ev(PFunc("repeatString", Seq(p("s"), PLit("3")))) == "ababab")
+    assert(ev(PFunc("toUpperFirstCharacter", Seq(p("s")))) == "Ab")
+    assert(ev(PFunc("toUpperFirstCharacter", Seq(PLit("''")))) == "")
+    assert(ev(PFunc("isAlphaNumeric", Seq(p("s")))) == true)
+    assert(ev(PFunc("isAlphaNumeric", Seq(PLit("'a b'")))) == false)
+    assert(ev(PFunc("isAlphaNumeric", Seq(PLit("''")))) == false)
+    assert(ev(PFunc("isNoLongerThan", Seq(p("s"), PLit("1")))) == false)
+    assert(ev(PFunc("isNoLongerThan", Seq(p("s"), PLit("2")))) == true)
+    assert(ev(PFunc("isNoShorterThan", Seq(p("s"), PLit("3")))) == false)
+    // collection windows: PURE 0-based, end-exclusive, negative-safe
+    assert(ev(PFunc("slice", Seq(p("tags"), PLit("1"), PLit("3")))) == Seq("y", "y"))
+    assert(ev(PFunc("take", Seq(p("tags"), PLit("2")))) == Seq("x", "y"))
+    assert(ev(PFunc("take", Seq(p("tags"), PLit("10")))) == Seq("x", "y", "y", "z"))
+    assert(ev(PFunc("take", Seq(p("tags"), PLit("0")))) == Seq())
+    assert(ev(PFunc("drop", Seq(p("tags"), PLit("2")))) == Seq("y", "z"))
+    assert(ev(PFunc("drop", Seq(p("tags"), PLit("-1")))) == Seq("x", "y", "y", "z"))
+    assert(ev(PFunc("drop", Seq(p("tags"), PLit("10")))) == Seq())
+    assert(ev(PFunc("concatenate", Seq(p("tags"), p("more"))))
+      == Seq("x", "y", "y", "z", "q"))
+    assert(ev(PFunc("isDistinct", Seq(p("tags")))) == false)
+    assert(ev(PFunc("isDistinct", Seq(p("more")))) == true)
+  }
+
+  test("M13 r9 widening: dispersion aggregates translate and run") {
+    val devServiceJson =
+      s"""{"classifierPath":"meta::legend::service::metamodel::Service","content":{
+         |"_type":"service","name":"segmentDev","package":"demo::service","pattern":"/dev",
+         |"execution":{"_type":"pureSingleExecution","mapping":"demo::mapping::customer_rel",
+         |"func":${lambda(
+            func("groupBy",
+              func("getAll", ptr("demo::entity::customer")),
+              coll(lambda(pprop(pvar("x"), "mktSegment"), "x")),
+              coll(func("agg",
+                lambda(pprop(pvar("x"), "acctBal"), "x"),
+                lambda(func("stdDevSample", pvar("y")), "y"))),
+              coll(lit("string", "\"Segment\""), lit("string", "\"DevBal\""))))}}}}""".stripMargin
+    val m2 = LegendLoader.fromJsonStrings(
+      Seq(partyJson, segmentJson, customerJson, mappingJson, devServiceJson))
+    val sql = ServiceGen.serviceSql(m2, "demo::service::segmentDev")
+    assert(sql.contains("stddev_samp("), sql)
+    customerRows.createOrReplaceTempView("legend_customer")
+    val rows = ServiceGen.runService(spark, m2, "demo::service::segmentDev")
+      .collect().map(r => (r.getString(0), Option(r.get(1)).map(_.asInstanceOf[Double])))
+      .toMap
+    // BUILDING has acctBal {120.5, 300.0}: stddev_samp = |diff|/sqrt(2)
+    assert(math.abs(rows("BUILDING").get - (300.0 - 120.5) / math.sqrt(2.0)) < 1e-9)
   }
 
   // --- association navigation (two-class corpus, single FK join) ---
