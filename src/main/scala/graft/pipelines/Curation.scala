@@ -40,7 +40,18 @@ object CurationQueries {
     * hash aggregate combines duplicate groups map-side BEFORE the one
     * shuffle), PII scrub, deterministic train/val/test tag.
     * `clean_len` proves the scrub ran without carrying full text
-    * through the gate compare. */
+    * through the gate compare.
+    *
+    * The scrub stays POST-dedup, and that placement is measured, not
+    * assumed (round 9): moving it map-side (inside the min_by struct,
+    * so the Exchange carries ~40-byte rows instead of text) LOST the
+    * interleaved 20×-probe A/B 5.9 s vs 1.8 s median — the piiScrub
+    * regex chain over the duplicate fraction costs far more than
+    * shuffling their text, because regex throughput (~tens of MB/s per
+    * core) is an order below shuffle bandwidth. Scrub-once-per-winner
+    * is the right shape at any duplicate rate; the text-bearing
+    * Exchange is the honest price of keep-first semantics and carries
+    * each surviving document exactly once. */
   def curate(d: DataFrame,
              minTokens: Int = MinTokens,
              maxPunct: Double = MaxPunct): DataFrame = {
