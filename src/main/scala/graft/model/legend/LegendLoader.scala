@@ -365,6 +365,20 @@ object LegendLoader {
       case PLambda(_, b) => b
       case other         => other
     }
+    val doc = Option(c.get("documentation")).map(_.asText()).filter(_.nonEmpty)
+    path -> compilePipeline(path, mappingName, bodyExpr, doc)
+  }
+
+  /** Compile a relational PURE pipeline body — getAll → filter →
+    * project/groupBy → sort → take — into a [[GraftService]]. Shared by
+    * protocol services (above) and text queries ([[PureParser]]): both
+    * the wire format and the textual grammar express the same verb
+    * chain, so one walker serves both and every widening lands for both.
+    */
+  private[legend] def compilePipeline(path: String, mappingName: String,
+                                      bodyExpr: PureExpr,
+                                      doc: Option[String] = None): GraftService = {
+    import PureExpr._
 
     var where: Option[String] = None
     var select: Seq[(String, String)] = Nil
@@ -450,7 +464,7 @@ object LegendLoader {
     }
     walk(bodyExpr)
 
-    path -> GraftService(
+    GraftService(
       name = path,
       mapping = mappingName,
       select = select,
@@ -458,6 +472,6 @@ object LegendLoader {
       groupBy = groupBy,
       orderBy = orderBy,
       limit = limit,
-      doc = Option(c.get("documentation")).map(_.asText()).filter(_.nonEmpty))
+      doc = doc)
   }
 }

@@ -1,0 +1,405 @@
+package graft.model.legend
+
+import graft.model.{GraftModel, GraftService}
+
+/** Parser for TEXTUAL PURE lambdas and relational query pipelines — the
+  * string form the reference's user-facing API accepts
+  * (reference: LegendUtils.scala `buildLambda(lambdaString)`,
+  * LegendPureTest.scala:43-118 — e.g.
+  * `databricks::entity::employee->getAll()->filter(x|$x.highFives > 20)`).
+  *
+  * The reference hands the string to the legend-engine jars (grammar
+  * parser + compiler); graft has no external compiler, so this is a
+  * self-contained recursive-descent parser for the same practical subset
+  * the protocol-JSON path supports. It produces the SAME [[PureExpr]]
+  * AST the wire format parses into, so translation (PureToSql), the
+  * relational verb walker (LegendLoader.compilePipeline), association
+  * navigation, and every widening of the PURE subset apply to text
+  * queries automatically — one AST, two front ends.
+  *
+  * Grammar subset (precedence low→high; `@` marks AST construction):
+  * {{{
+  *   expr      := or
+  *   or        := and ('||' and)*                      @ func "or"
+  *   and       := cmp ('&&' cmp)*                      @ func "and"
+  *   cmp       := add (('=='|'!='|'>='|'<='|'>'|'<') add)?
+  *   add       := mul (('+'|'-') mul)*                 @ plus/minus
+  *   mul       := unary (('*'|'/') unary)*             @ times/divide
+  *   unary     := '!' unary | '-' unary | postfix
+  *   postfix   := primary ( '->' IDENT '(' args ')'    @ func(recv, args…)
+  *                        | '.' IDENT )*               @ property access
+  *   primary   := literal | '$' IDENT | collection | '(' expr ')'
+  *              | IDENT '(' args ')'                   @ prefix call
+  *              | path                                 @ element pointer
+  *   args      := (lambda | expr) (',' (lambda | expr))*
+  *   lambda    := IDENT (',' IDENT)* '|' expr
+  *              | '{' IDENT (',' IDENT)* '|' expr '}'
+  *              | '|' expr                             @ zero-arg thunk
+  *   collection:= '[' args? ']'
+  *   path      := IDENT ('::' IDENT)*
+  *   literal   := INT | FLOAT | STRING | 'true' | 'false' | '%' DATE
+  * }}}
+  *
+  * Semantics notes pinned to the reference's tests:
+  * - `Entity.all()` and `Entity->getAll()` both compile to
+  *   `getAll(ptr)` (LegendPureTest uses both spellings).
+  * - `Enum.VALUE` parses as a property access on an element pointer —
+  *   exactly the shape the wire format emits for `DurationUnit.YEARS` —
+  *   and resolves to an enum literal when the path names an enumeration
+  *   of the model ([[parse(text, enums)]]).
+  * - The engine wraps nullable comparisons in an explicit null guard
+  *   (`(high_fives IS NOT NULL AND high_fives > 20)` —
+  *   LegendPureTest.scala:73-81). graft emits the bare predicate: under
+  *   SQL WHERE three-valued logic a NULL comparison already excludes the
+  *   row, so the guard is semantically redundant; LegendParserSpec pins
+  *   the row-set equivalence on planted nulls.
+  * - Unsupported syntax fails loudly at PARSE time with position info —
+  *   the same fail-fast contract as the protocol loader.
+  */
+object PureParser {
+  import PureExpr._
+
+  /** Parse a PURE expression / query pipeline. `enums`: full paths that
+    * name enumerations of the target model — `path.VALUE` references
+    * resolve to enum literals instead of opaque property access. */
+  def parse(text: String, enums: Set[String] = Set.empty): PureExpr =
+    new P(text, enums).parseAll()
+
+  /** Parse a lambda (`x|$x.qty > 0`, `{x,y|...}`, or a bare body, which
+    * binds `$this` like a constraint lambda). */
+  def parseLambda(text: String, enums: Set[String] = Set.empty): PLambda =
+    parse(text, enums) match {
+      case l: PLambda => l
+      case body       => PLambda(Nil, body)
+    }
+
+  /** Compile a textual relational query against a loaded model — the
+    * reference's `Legend.query(lambdaString)` surface. The entity named
+    * by the pipeline's `getAll`/`all()` selects the (unique) mapping;
+    * a query with no projection reads every mapped field, like the
+    * reference's execution plan for a bare filter. */
+  def compileQuery(model: GraftModel, text: String,
+                   name: String = "graft::text::query"): GraftService = {
+    val body = parse(text, model.enums.keySet) match {
+      case PLambda(_, b) => b
+      case e             => e
+    }
+    val entity = findGetAll(body).getOrElse(throw new IllegalArgumentException(
+      s"text query must select an entity via `path::to::entity->getAll()` or `.all()`: $text"))
+    val candidates = model.mappings.values.filter(_.entity == entity).toSeq
+    require(candidates.nonEmpty, s"no mapping maps entity [$entity]")
+    require(candidates.size == 1,
+      s"ambiguous entity [$entity]: mapped by ${candidates.map(_.name).sorted.mkString(", ")}")
+    val svc = LegendLoader.compilePipeline(name, candidates.head.name, body,
+      doc = Some(text))
+    if (svc.select.nonEmpty) svc
+    else { // bare filter: project every mapped field of the entity
+      val fields = model.allProperties(entity).collect {
+        case p if candidates.head.fields.contains(p.name) => p.name
+      }
+      svc.copy(select = fields.map(f => f -> f))
+    }
+  }
+
+  /** SQL for a textual query, compiled against `model`'s mappings. */
+  def querySql(model: GraftModel, text: String): String = {
+    val svc = compileQuery(model, text)
+    graft.model.ServiceGen.serviceSql(
+      model.copy(services = model.services + (svc.name -> svc)), svc.name)
+  }
+
+  private def findGetAll(e: PureExpr): Option[String] = e match {
+    case PFunc("getAll", Seq(PPtr(p)))  => Some(p)
+    case PFunc(_, ps)                   => ps.view.flatMap(findGetAll).headOption
+    case _                              => None
+  }
+
+  // ---------------------------------------------------------------- //
+
+  private final class P(text: String, enums: Set[String]) {
+    private var pos = 0
+
+    def parseAll(): PureExpr = {
+      val e = lambdaOrExpr()
+      skipWs()
+      fail(pos == text.length, s"unexpected trailing input [${text.drop(pos)}]")
+      e
+    }
+
+    // -- lexing helpers (no token buffer: the grammar is LL with only
+    //    bounded lookahead, all of it via savepoints) --
+
+    private def skipWs(): Unit =
+      while (pos < text.length && text(pos).isWhitespace) pos += 1
+
+    private def peekIs(s: String): Boolean = {
+      skipWs(); text.startsWith(s, pos)
+    }
+
+    /** Consume `s` if present (longest-match callers order their tries). */
+    private def eat(s: String): Boolean = {
+      if (peekIs(s)) { pos += s.length; true } else false
+    }
+
+    private def expect(s: String): Unit =
+      fail(eat(s), s"expected `$s`")
+
+    private def identAt(p: Int): Option[String] = {
+      var i = p
+      if (i < text.length && (text(i).isLetter || text(i) == '_')) {
+        i += 1
+        while (i < text.length && (text(i).isLetterOrDigit || text(i) == '_')) i += 1
+        Some(text.substring(p, i))
+      } else None
+    }
+
+    private def ident(): String = {
+      skipWs()
+      val id = identAt(pos).getOrElse(failWith("expected identifier"))
+      pos += id.length
+      id
+    }
+
+    private def fail(cond: Boolean, msg: String): Unit = if (!cond) failWith(msg)
+
+    private def failWith(msg: String): Nothing = {
+      skipWs()
+      val ctx = text.substring(0, pos).takeRight(24)
+      val rest = text.drop(pos).take(24)
+      throw new IllegalArgumentException(
+        s"PURE parse error at offset $pos ($msg): ...$ctx⟨HERE⟩$rest...")
+    }
+
+    // -- grammar --
+
+    /** A lambda where the grammar allows one (argument / collection
+      * positions), else an expression. Lookahead: `{`, a leading `|`
+      * (zero-arg thunk), or `ident(,ident)* |`. */
+    private def lambdaOrExpr(): PureExpr = {
+      skipWs()
+      if (peekIs("{")) { // braced lambda
+        val save = pos
+        eat("{")
+        lambdaTail(closeBrace = true) match {
+          case Some(l) => l
+          case None    => pos = save; expr() // not a lambda: no `{` form in exprs → will fail loudly
+        }
+      } else if (peekIs("|")) { // zero-arg thunk (if-branches)
+        eat("|")
+        PLambda(Nil, expr())
+      } else {
+        val save = pos
+        lambdaTail(closeBrace = false) match {
+          case Some(l) => l
+          case None    => pos = save; expr()
+        }
+      }
+    }
+
+    /** Try `ident (, ident)* | body` from the current position. */
+    private def lambdaTail(closeBrace: Boolean): Option[PLambda] = {
+      val params = scala.collection.mutable.ArrayBuffer.empty[String]
+      skipWs()
+      identAt(pos) match {
+        case None => return None
+        case Some(id) => params += id; pos += id.length
+      }
+      skipWs()
+      while (peekIs(",")) {
+        val save = pos
+        eat(",")
+        skipWs()
+        identAt(pos) match {
+          case Some(id) => params += id; pos += id.length; skipWs()
+          case None     => pos = save; return None // `,` belonged to an arg list
+        }
+      }
+      if (!eat("|")) return None
+      val body = expr()
+      if (closeBrace) expect("}")
+      Some(PLambda(params.toSeq, body))
+    }
+
+    private def expr(): PureExpr = or()
+
+    private def or(): PureExpr = {
+      var e = and()
+      while (eat("||")) e = PFunc("or", Seq(e, and()))
+      e
+    }
+
+    private def and(): PureExpr = {
+      var e = cmp()
+      while (eat("&&")) e = PFunc("and", Seq(e, cmp()))
+      e
+    }
+
+    private def cmp(): PureExpr = {
+      val e = add()
+      // two-char operators before their one-char prefixes
+      if (eat("==")) PFunc("equal", Seq(e, add()))
+      else if (eat("!=")) PFunc("not", Seq(PFunc("equal", Seq(e, add()))))
+      else if (eat(">=")) PFunc("greaterThanEqual", Seq(e, add()))
+      else if (eat("<=")) PFunc("lessThanEqual", Seq(e, add()))
+      else if (eat(">")) PFunc("greaterThan", Seq(e, add()))
+      else if (eat("<")) PFunc("lessThan", Seq(e, add()))
+      else e
+    }
+
+    private def add(): PureExpr = {
+      var e = mul()
+      var done = false
+      while (!done) {
+        // `->` must not lex as minus; `-` only binds here when not arrow
+        if (eat("+")) e = PFunc("plus", Seq(e, mul()))
+        else if (peekIs("-") && !peekIs("->")) { eat("-"); e = PFunc("minus", Seq(e, mul())) }
+        else done = true
+      }
+      e
+    }
+
+    private def mul(): PureExpr = {
+      var e = unary()
+      var done = false
+      while (!done) {
+        if (eat("*")) e = PFunc("times", Seq(e, unary()))
+        else if (eat("/")) e = PFunc("divide", Seq(e, unary()))
+        else done = true
+      }
+      e
+    }
+
+    private def unary(): PureExpr = {
+      if (eat("!")) PFunc("not", Seq(unary()))
+      else if (peekIs("-") && !peekIs("->")) { eat("-"); PFunc("minus", Seq(unary())) }
+      else postfix()
+    }
+
+    private def postfix(): PureExpr = {
+      var e = primary()
+      var done = false
+      while (!done) {
+        if (eat("->")) {
+          val f = ident()
+          expect("(")
+          e = PFunc(f, e +: args())
+        } else if (peekIs(".") && !peekIs("..")) {
+          eat(".")
+          val name = ident()
+          e match {
+            case PPtr(p) if peekIs("(") =>
+              // `Entity.all()` — the only call the wire format puts on a
+              // pointer (everything else arrives arrow-style)
+              fail(name == "all", s"only .all() is callable on element [$p], got .$name(...)")
+              expect("(")
+              expect(")")
+              e = PFunc("getAll", Seq(e))
+            case PPtr(p) if enums.contains(p) =>
+              e = PEnum(p, name) // known enumeration → enum literal
+            case _ if peekIs("(") =>
+              failWith(s"qualified-property calls with arguments (.$name(...)) are not supported")
+            case _ =>
+              e = PProperty(e, name)
+          }
+        } else done = true
+      }
+      e
+    }
+
+    private def args(): Seq[PureExpr] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[PureExpr]
+      skipWs()
+      if (!eat(")")) {
+        out += lambdaOrExpr()
+        while (eat(",")) out += lambdaOrExpr()
+        expect(")")
+      }
+      out.toSeq
+    }
+
+    private def primary(): PureExpr = {
+      skipWs()
+      fail(pos < text.length, "unexpected end of input")
+      val c = text(pos)
+      if (c == '(') { eat("("); val e = expr(); expect(")"); e }
+      else if (c == '[') {
+        eat("[")
+        val out = scala.collection.mutable.ArrayBuffer.empty[PureExpr]
+        skipWs()
+        if (!eat("]")) {
+          out += lambdaOrExpr()
+          while (eat(",")) out += lambdaOrExpr()
+          expect("]")
+        }
+        PCollection(out.toSeq)
+      }
+      else if (c == '$') { eat("$"); PVar(ident()) }
+      else if (c == '\'') string()
+      else if (c == '%') date()
+      else if (c.isDigit) number()
+      else if (c.isLetter || c == '_') {
+        val id = ident()
+        if (id == "true") PLit("TRUE")
+        else if (id == "false") PLit("FALSE")
+        else if (peekIs("::")) { // package path
+          val sb = new StringBuilder(id)
+          while (eat("::")) sb.append("::").append(ident())
+          PPtr(sb.toString)
+        }
+        else if (peekIs("(")) { // prefix call: agg(...), desc(...), if(...)
+          eat("(")
+          PFunc(id, args())
+        }
+        else PPtr(id) // bare element ref (enum class, entity) — postfix resolves
+      }
+      else failWith(s"unexpected character `$c`")
+    }
+
+    private def string(): PureExpr = {
+      expect("'")
+      val sb = new StringBuilder
+      var closed = false
+      while (!closed) {
+        fail(pos < text.length, "unterminated string literal")
+        text(pos) match {
+          case '\\' =>
+            fail(pos + 1 < text.length, "dangling escape in string literal")
+            val e = text(pos + 1) match {
+              case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
+              case other => other // \' \\ and any literal escape
+            }
+            sb.append(e); pos += 2
+          case '\'' => pos += 1; closed = true
+          case ch   => sb.append(ch); pos += 1
+        }
+      }
+      PLit(PureExpr.quote(sb.toString))
+    }
+
+    /** `%2020-01-01` (strict date) / `%2020-01-01T10:00:00` (datetime) —
+      * the wire format's strictDate/dateTime literals. */
+    private def date(): PureExpr = {
+      expect("%")
+      val start = pos
+      while (pos < text.length &&
+        (text(pos).isDigit || "-:TZ+.".indexOf(text(pos)) >= 0)) pos += 1
+      val s = text.substring(start, pos)
+      fail(s.nonEmpty, "expected a date after %")
+      if (s.contains("T")) PLit(s"TIMESTAMP ${PureExpr.quote(s.replace("T", " "))}")
+      else PLit(s"DATE ${PureExpr.quote(s)}")
+    }
+
+    private def number(): PureExpr = {
+      val start = pos
+      while (pos < text.length && text(pos).isDigit) pos += 1
+      // a fractional part, but not the `..` of a range and not a
+      // property access on an integer (PURE has no int methods we accept)
+      if (pos < text.length && text(pos) == '.' &&
+          pos + 1 < text.length && text(pos + 1).isDigit) {
+        pos += 1
+        while (pos < text.length && text(pos).isDigit) pos += 1
+      }
+      PLit(text.substring(start, pos))
+    }
+  }
+}

@@ -1,0 +1,180 @@
+package graft.model.legend
+
+import graft.SparkTestBase
+import graft.model.ServiceGen
+import org.apache.spark.sql.functions._
+
+/** The textual-PURE front end (SURVEY §2.1 M16) pinned against the
+  * reference's own test strings (LegendPureTest.scala:43-131), compiled
+  * over the reference's vendored entity corpus — the same model the
+  * protocol-JSON path is proven on (LegendRealCorpusSpec), so the two
+  * front ends are directly comparable.
+  *
+  * Null-guard note: for a nullable filter column the reference's engine
+  * emits `(high_fives IS NOT NULL AND high_fives > 20)`
+  * (LegendPureTest.scala:73-81); graft emits the bare predicate, which
+  * selects the same rows under SQL WHERE three-valued logic — pinned
+  * here on planted NULLs, not assumed.
+  */
+class LegendParserSpec extends SparkTestBase {
+  import PureExpr._
+  import spark.implicits._
+
+  private val dir = "src/test/resources/entities/databricks"
+  private lazy val model = LegendLoader.fromDirectory(dir)
+  private val Employee = "databricks::entity::employee"
+
+  /** The exact lambda string from LegendPureTest.scala:43. */
+  private val refFilter = s"$Employee->getAll()->filter(x|$$x.highFives > 20)"
+
+  test("reference string: lambda parses and the top application is `filter`") {
+    // mirrors the reference's own assertion on buildLambda (the protocol
+    // AST's outermost AppliedFunction is the filter)
+    PureParser.parse(refFilter) match {
+      case PFunc("filter", Seq(PFunc("getAll", Seq(PPtr(Employee))), _: PLambda)) => ()
+      case other => fail(s"unexpected AST: $other")
+    }
+  }
+
+  test("reference string: filter compiles to the pinned WHERE over mapped columns") {
+    val sql = PureParser.querySql(model, refFilter)
+    // reference expects `high_fives > 20` (modulo its redundant null
+    // guard — see the class scaladoc)
+    assert(sql.contains("high_fives > 20"), sql)
+    // a query with no projection reads every mapped field
+    val svc = PureParser.compileQuery(model, refFilter)
+    assert(svc.select.map(_._1) == Seq("firstName", "lastName", "birthDate",
+      "gender", "id", "sme", "joinedDate", "highFives"))
+  }
+
+  test("reference string: in() compiles to the pinned IN list") {
+    // LegendPureTest.scala:85 — expected `first_name IN ('antoine', 'junta')`
+    val sql = PureParser.querySql(model,
+      s"$Employee->getAll()->filter(x|$$x.firstName->in(['antoine', 'junta']))")
+    assert(sql.contains("first_name IN ('antoine', 'junta')"), sql)
+  }
+
+  test("reference string: isEmpty compiles to the pinned IS NULL") {
+    // LegendPureTest.scala:95 — expected `id IS NULL`
+    val sql = PureParser.querySql(model,
+      s"$Employee->getAll()->filter(x|$$x.id->isEmpty())")
+    assert(sql.contains("id IS NULL"), sql)
+  }
+
+  test("reference string: dateDiff over DurationUnit compiles to the pinned year diff") {
+    // LegendPureTest.scala:104-110 — expected
+    // `year(joined_date) - year(birth_date) > 20`
+    val sql = PureParser.querySql(model,
+      s"$Employee->getAll()->filter(x|$$x.birthDate->dateDiff($$x.joinedDate, DurationUnit.YEARS) > 20)")
+    assert(sql.contains("year(joined_date) - year(birth_date)"), sql)
+  }
+
+  test("reference string: qualified-property projection resolves the derivation") {
+    // LegendPureTest.scala:112-118 — `.all()` spelling; `age` expected to
+    // compile to `year(current_date) - year(birth_date)`
+    val sqlAge = PureParser.querySql(model,
+      s"$Employee.all()->project([x|$$x.age], ['age'])")
+    assert(sqlAge.contains("current_date") && sqlAge.contains("birth_date"), sqlAge)
+    // ibid.:120-131 — `hiringAge` → `year(joined_date) - year(birth_date)`
+    val sqlHiring = PureParser.querySql(model,
+      s"$Employee.all()->project([x|$$x.hiringAge], ['hiringAge'])")
+    assert(sqlHiring.contains("year(joined_date) - year(birth_date)"), sqlHiring)
+  }
+
+  test("text front end compiles the corpus services identically to the protocol front end") {
+    // the two vendored services, transcribed 1:1 into the textual grammar
+    val employeeText = s"$Employee->getAll()" +
+      "->filter(x|$x.firstName->startsWith('G'))" +
+      "->project([x|$x.firstName, x|$x.lastName, x|$x.highFives, x|$x.age, x|$x.hiringAge, x|$x.sme, x|$x.initials], " +
+      "['FirstName', 'LastName', 'HighFives', 'Age', 'Hiring Age', 'Sme', 'Initials'])" +
+      "->sort([desc('HighFives')])->take(10)"
+    val skillsText = s"$Employee->getAll()" +
+      "->filter(x|!$x.gender->isEmpty())" +
+      "->groupBy([x|$x.gender], [agg(x|$x.highFives, x|$x->average()), agg(x|$x.id, x|$x->count())], " +
+      "['Gender', 'HighFives', 'Employees'])" +
+      "->sort([desc('HighFives')])->take(10)"
+    for ((text, ref) <- Seq(employeeText -> "databricks::service::employee",
+                            skillsText   -> "databricks::service::skills")) {
+      val fromText = PureParser.compileQuery(model, text)
+      val fromJson = model.service(ref)
+      assert(fromText.select == fromJson.select, s"select mismatch for $ref")
+      assert(fromText.where == fromJson.where, s"where mismatch for $ref")
+      assert(fromText.groupBy == fromJson.groupBy, s"groupBy mismatch for $ref")
+      assert(fromText.orderBy == fromJson.orderBy, s"orderBy mismatch for $ref")
+      assert(fromText.limit == fromJson.limit, s"limit mismatch for $ref")
+    }
+  }
+
+  test("text query executes end-to-end; bare predicate selects the engine's null-guarded rows") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS legend")
+    spark.sql("DROP TABLE IF EXISTS legend.employee")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + "/legend.db/employee")
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+    // planted NULL high_fives (id 9): the engine's explicit null guard
+    // and graft's bare predicate must both exclude it
+    Seq((Some(1), "Georges", "Jotcham", "1973-11-26", Some("F"), Some("Scala"), "2020-09-14", Some(229)),
+        (Some(6), "Trueman", "Keirle", "1999-12-10", Some("M"), Some("Scala"), "2016-01-27", Some(50)),
+        (Some(8), "Gina", "Calverley", "1979-07-15", Some("N"), Some("SQL"), "2021-06-03", Some(69)),
+        (Some(9), "Null", "Fives", "1990-01-01", Some("M"), Some("SQL"), "2020-01-01", None))
+      .toDF("id", "first_name", "last_name", "birth_date", "gender", "sme", "joined_date", "high_fives")
+      .withColumn("birth_date", to_date(col("birth_date")))
+      .withColumn("joined_date", to_date(col("joined_date")))
+      .write.saveAsTable("legend.employee")
+
+    val svc = PureParser.compileQuery(model,
+      s"$Employee->getAll()->filter(x|$$x.highFives > 60)" +
+        "->project([x|$x.firstName, x|$x.highFives], ['name', 'fives'])" +
+        "->sort([desc('fives')])")
+    val m2 = model.copy(services = model.services + (svc.name -> svc))
+    val out = ServiceGen.runService(spark, m2, svc.name)
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    assert(out.toSeq == Seq(("Georges", 229), ("Gina", 69))) // no id 6 (50), no NULL row
+  }
+
+  test("literals: dates, booleans, thunked if, arithmetic precedence") {
+    // %date literals take the wire format's DATE/TIMESTAMP rendering
+    assert(PureParser.parse("%2020-01-31") == PLit("DATE '2020-01-31'"))
+    assert(PureParser.parse("%2020-01-31T10:20:30") ==
+      PLit("TIMESTAMP '2020-01-31 10:20:30'"))
+    assert(PureParser.parse("true") == PLit("TRUE"))
+    // precedence: 1 + 2 * 3 groups the product first
+    assert(PureParser.parse("1 + 2 * 3") ==
+      PFunc("plus", Seq(PLit("1"), PFunc("times", Seq(PLit("2"), PLit("3"))))))
+    // thunked if-branches (the wire format's zero-arg lambdas) render
+    // through the same CASE WHEN path as protocol ASTs
+    val sql = PureToSql.lambda(PureParser.parseLambda(
+      "if($this.highFives > 100, |'hero', |'mortal')"))
+    assert(sql == "(CASE WHEN (highFives > 100) THEN 'hero' ELSE 'mortal' END)")
+  }
+
+  test("unsupported syntax and unknown targets fail loudly") {
+    // parse-time: garbage after a property chain
+    intercept[IllegalArgumentException](PureParser.parse("$x..foo"))
+    // parse-time: qualified-property calls with arguments
+    intercept[IllegalArgumentException](
+      PureParser.parse("$x.skills('scala')"))
+    // parse-time: only .all() is callable on an element pointer
+    intercept[IllegalArgumentException](
+      PureParser.parse("a::b.someCall()"))
+    // translate-time: unknown function rejects with its name
+    val e = intercept[IllegalArgumentException](
+      PureParser.querySql(model, s"$Employee->getAll()->filter(x|$$x.firstName->frobnicate())"))
+    assert(e.getMessage.contains("frobnicate"))
+    // compile-time: a pipeline with no getAll
+    intercept[IllegalArgumentException](
+      PureParser.compileQuery(model, "1 + 2"))
+    // compile-time: unmapped entity
+    intercept[IllegalArgumentException](
+      PureParser.compileQuery(model, "no::such::entity->getAll()->filter(x|$x.a > 1)"))
+  }
+
+  test("enum references resolve against the model's enumerations") {
+    // `sme` is an Enumeration in the corpus: a known-path member access
+    // becomes an enum literal (the wire format's enumValue), so
+    // comparisons translate to the value string
+    val sql = PureParser.querySql(model,
+      s"$Employee->getAll()->filter(x|$$x.sme == databricks::entity::sme.Scala)")
+    assert(sql.contains("sme = 'Scala'"), sql)
+  }
+}
