@@ -65,12 +65,18 @@ final case class GraftProperty(
 }
 
 /** A named boolean Spark SQL expression over entity field names; rows
-  * where the expression is not TRUE violate the rule. */
-final case class GraftConstraint(name: String, expr: String)
+  * where the expression is not TRUE violate the rule. `pure` carries the
+  * uncompiled PURE spelling when the constraint came from a Legend
+  * source — the reference's `getExpectations(compile = false)` surface
+  * (LegendEntityTest.scala:135-151). */
+final case class GraftConstraint(name: String, expr: String,
+                                 pure: Option[String] = None)
 
 /** A named Spark SQL expression over entity field names producing a
-  * derived column (reference: qualified properties, Legend.scala:254-263). */
-final case class GraftDerivation(name: String, expr: String)
+  * derived column (reference: qualified properties, Legend.scala:254-263).
+  * `pure` as on [[GraftConstraint]] (`getDerivations(compile = false)`). */
+final case class GraftDerivation(name: String, expr: String,
+                                 pure: Option[String] = None)
 
 final case class GraftClass(
     name: String,

@@ -122,7 +122,8 @@ object LegendLoader {
     }
     val constraints = elems(c, "constraints").map { k =>
       val lam = PureExpr.parse(k.get("functionDefinition"))
-      GraftConstraint(k.get("name").asText(), PureToSql.lambda(lam))
+      GraftConstraint(k.get("name").asText(), PureToSql.lambda(lam),
+        pure = Some(PureRender.renderLambda(lam)))
     }
     // qualified properties ("derived properties"): zero-arg lambdas over
     // $this → derivation expressions (reference: Legend.scala:254-263)
@@ -130,8 +131,10 @@ object LegendLoader {
       val body = elems(q, "body")
       require(body.size == 1,
         s"qualified property [${q.get("name").asText()}]: expected single-expression body")
+      val bodyExpr = PureExpr.parse(body.head)
       GraftDerivation(q.get("name").asText(),
-        PureToSql.scalar(PureExpr.parse(body.head), Set("this")))
+        PureToSql.scalar(bodyExpr, Set("this")),
+        pure = Some(PureRender.render(bodyExpr)))
     }
     name -> GraftClass(
       name = name,

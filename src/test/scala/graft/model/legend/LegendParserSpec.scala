@@ -169,6 +169,58 @@ class LegendParserSpec extends SparkTestBase {
       PureParser.compileQuery(model, "no::such::entity->getAll()->filter(x|$x.a > 1)"))
   }
 
+  test("render∘parse round trip: every corpus lambda survives unchanged") {
+    // parse(render(ast)) == ast for EVERY PURE AST in the reference's
+    // corpus — constraints, derived properties, service pipelines
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+    val asts = scala.collection.mutable.ArrayBuffer.empty[PureExpr]
+    for (f <- new java.io.File(dir).listFiles().flatMap(d =>
+           Option(d.listFiles()).getOrElse(Array.empty)) if f.getName.endsWith(".json")) {
+      val root = mapper.readTree(java.nio.file.Files.readString(f.toPath))
+      def walk(n: com.fasterxml.jackson.databind.JsonNode): Unit = {
+        if (n.isObject && n.path("_type").asText() == "lambda" &&
+            n.has("body") && n.path("body").size() == 1)
+          asts += PureExpr.parse(n)
+        n.elements().forEachRemaining(walk)
+      }
+      walk(root)
+    }
+    assert(asts.size >= 10, s"corpus walk found only ${asts.size} lambdas")
+    for (ast <- asts) {
+      val text = PureRender.render(ast)
+      assert(PureParser.parse(text) == ast, s"round trip broke for: $text")
+    }
+  }
+
+  test("uncompiled expectations match the reference's pinned PURE strings") {
+    // reference: getExpectations/getDerivations(compile = false) return
+    // PURE text (LegendEntityTest.scala:135-151, 182-196). graft stores
+    // the canonical rendering on GraftConstraint/GraftDerivation.pure;
+    // canonical-vs-verbatim differs only in whitespace/sugar, so the
+    // comparison is AST equality via the parser — plus exact string
+    // equality where the canonical spelling coincides.
+    val employee = model.clazz(Employee)
+    val cs = model.allConstraints(Employee).flatMap(_.pure)
+    // the two DECLARED constraints render to the reference's spelling
+    // exactly (the remaining pinned strings are multiplicity/domain
+    // expectations the engine generates — graft generates those directly
+    // in SQL at the Expectations layer)
+    assert(cs.contains("$this.highFives > 0"), cs)
+    assert(cs.contains("$this.hiringAge > 18"), cs)
+    // all three derivations: AST parity with the reference's verbatim
+    // source strings (whitespace differs: the source omits the space
+    // after dateDiff's comma)
+    val derivs = (employee.derivations ++
+      model.clazz("databricks::entity::person").derivations).flatMap(_.pure)
+    val pinned = Seq(
+      "$this.birthDate->dateDiff($this.joinedDate,DurationUnit.YEARS)",
+      "$this.birthDate->dateDiff(today(),DurationUnit.YEARS)",
+      "$this.firstName->substring(0,1) + $this.lastName->substring(0,1)")
+    val derivAsts = derivs.map(PureParser.parse(_)).toSet
+    for (p <- pinned)
+      assert(derivAsts.contains(PureParser.parse(p)), s"no derivation matches pinned [$p]")
+  }
+
   test("enum references resolve against the model's enumerations") {
     // `sme` is an Enumeration in the corpus: a known-path member access
     // becomes an enum literal (the wire format's enumValue), so
