@@ -214,7 +214,9 @@ object PureParser {
           case None     => pos = save; return None // `,` belonged to an arg list
         }
       }
-      if (!eat("|")) return None
+      // `||` is the or-operator, not a lambda separator: `false || x`
+      // must backtrack to an expression, not commit to params=[false]
+      if (peekIs("||") || !eat("|")) return None
       val body = expr()
       if (closeBrace) expect("}")
       Some(PLambda(params.toSeq, body))
@@ -381,8 +383,11 @@ object PureParser {
     private def date(): PureExpr = {
       expect("%")
       val start = pos
+      // a `-` that begins an arrow (`%2020-01-01->dateDiff(...)`) ends
+      // the literal — it is the call syntax, not a date separator
       while (pos < text.length &&
-        (text(pos).isDigit || "-:TZ+.".indexOf(text(pos)) >= 0)) pos += 1
+        (text(pos).isDigit || "-:TZ+.".indexOf(text(pos)) >= 0) &&
+        !(text(pos) == '-' && pos + 1 < text.length && text(pos + 1) == '>')) pos += 1
       val s = text.substring(start, pos)
       fail(s.nonEmpty, "expected a date after %")
       if (s.contains("T")) PLit(s"TIMESTAMP ${PureExpr.quote(s.replace("T", " "))}")

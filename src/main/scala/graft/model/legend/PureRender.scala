@@ -54,19 +54,22 @@ object PureRender {
     // !(a == b) prints as a != b — the parser's only two-token operator
     case PFunc("not", Seq(PFunc("equal", Seq(a, b)))) =>
       paren(ctx > 3, s"${rend(a, 4)} != ${rend(b, 4)}")
-    case PFunc("not", Seq(x)) => s"!${rend(x, 6)}"
+    case PFunc("not", Seq(x)) => paren(ctx > 6, s"!${rend(x, 6)}")
     // single-argument minus is unary negation
-    case PFunc("minus", Seq(x)) => s"-${rend(x, 6)}"
+    case PFunc("minus", Seq(x)) => paren(ctx > 6, s"-${rend(x, 6)}")
     case PFunc("getAll", Seq(p: PPtr)) => s"${rend(p, 7)}->getAll()"
 
     case PFunc(f, ps) if Infix.contains(f) =>
       val (op, prec) = Infix(f)
       // nary forms arrive as a single collection argument (plus([a,b,c]))
       val args = ps match { case Seq(PCollection(vs)) => vs; case other => other }
-      // left-assoc: the leftmost child may share the precedence level,
-      // the rest need one tighter to survive re-parsing unchanged
+      // left-assoc levels: the leftmost child may share the precedence
+      // level, the rest need one tighter to survive re-parsing unchanged.
+      // EXCEPT comparisons (prec 3): the parser's cmp() is a single `if`,
+      // not a loop — non-associative — so a comparison nested on either
+      // side must parenthesize or `a == b == c` fails to re-parse.
       val s = args.zipWithIndex.map { case (a, i) =>
-        rend(a, if (i == 0) prec else prec + 1)
+        rend(a, if (i == 0 && prec != 3) prec else prec + 1)
       }.mkString(s" $op ")
       paren(ctx > prec, s)
 

@@ -12,8 +12,8 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class PropertySpec extends AnyFunSuite {
 
-  private def check(p: Prop, name: String): Unit = {
-    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(100), p)
+  private def check(p: Prop, name: String, cases: Int = 100): Unit = {
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(cases), p)
     assert(r.passed, s"$name: ${r.status}")
   }
 
@@ -90,6 +90,67 @@ class PropertySpec extends AnyFunSuite {
       CatalystSqlParser.parseExpression(PureToSql.scalar(e, Set("this")))
       true
     }, "PureToSql parseability")
+  }
+
+  test("PureRender∘PureParser identity over random ASTs (parse(render(e)) == e)") {
+    // Sweeps the renderer's precedence/escaping decisions far past the
+    // corpus: random nesting of infix levels (incl. the NON-associative
+    // comparison level), unary minus/not vs binary, != sugar, arrow and
+    // prefix calls, lambdas in argument position, collections, enum
+    // refs, and string literals with quotes/backslashes/control chars.
+    // Out of dialect by design (not generated): nary-collection infix
+    // forms (plus([a,b,c]) — the wire format's shape, re-parses as the
+    // equivalent left fold), zero-arg lambdas in expression position,
+    // and raw-SQL PLit passthrough.
+    import graft.model.legend.PureExpr._
+    import graft.model.legend.{PureParser, PureRender}
+    val enums = Set("test::model::Color", "DurationUnit")
+    val nameGen = Gen.oneOf("amount", "name", "score", "tag", "flag")
+    val leafGen: Gen[graft.model.legend.PureExpr] = Gen.oneOf(
+      nameGen.map(n => PProperty(PVar("this"), n)),
+      nameGen.map(n => PProperty(PVar("x"), n)),
+      Gen.choose(0, 9999).map(i => PLit(i.toString)),
+      Gen.choose(0, 999).flatMap(a => Gen.choose(0, 99).map(b => PLit(s"$a.$b"))),
+      Gen.oneOf(PLit("TRUE"), PLit("FALSE")),
+      Gen.oneOf("RED", "GREEN").map(v => PEnum("test::model::Color", v)),
+      Gen.oneOf("YEARS", "DAYS").map(v => PEnum("DurationUnit", v)),
+      Gen.const(PLit("DATE '2024-01-31'")),
+      Gen.const(PLit("TIMESTAMP '2024-01-31 10:30:00'")),
+      // strings that stress every escape path in lit()/string()
+      Gen.listOf(Gen.oneOf('a', 'b', '\'', '\\', '\n', '\t', ' ', 'z'))
+        .map(cs => PLit(quote(cs.mkString))))
+    def exprGen(depth: Int): Gen[graft.model.legend.PureExpr] =
+      if (depth == 0) leafGen
+      else Gen.frequency(
+        3 -> leafGen,
+        2 -> (for {
+          f <- Gen.oneOf("plus", "minus", "times", "divide", "and", "or",
+            "equal", "greaterThan", "greaterThanEqual", "lessThan", "lessThanEqual")
+          a <- exprGen(depth - 1); b <- exprGen(depth - 1)
+        } yield PFunc(f, Seq(a, b))),
+        1 -> exprGen(depth - 1).map(e => PFunc("not", Seq(e))),
+        1 -> (for { a <- exprGen(depth - 1); b <- exprGen(depth - 1) }
+          yield PFunc("not", Seq(PFunc("equal", Seq(a, b))))), // != sugar
+        1 -> exprGen(depth - 1).map(e => PFunc("minus", Seq(e))), // unary -
+        1 -> (for {
+          f <- Gen.oneOf("substring", "startsWith", "contains", "dateDiff")
+          r <- exprGen(depth - 1); a <- exprGen(depth - 1)
+        } yield PFunc(f, Seq(r, a))),
+        1 -> (for { r <- exprGen(depth - 1) }
+          yield PFunc("isEmpty", Seq(r))),
+        1 -> (for { r <- exprGen(depth - 1); vs <- Gen.listOfN(2, leafGen) }
+          yield PFunc("in", Seq(r, PCollection(vs)))),
+        1 -> (for { // lambda in argument position (HOF shape)
+          r <- exprGen(depth - 1); p <- Gen.oneOf("y", "e")
+          b <- exprGen(depth - 1)
+        } yield PFunc("exists", Seq(r, PLambda(Seq(p), b)))),
+        1 -> Gen.const(PFunc("today", Nil)))
+    check(Prop.forAll(exprGen(4)) { e =>
+      val text = PureRender.render(e)
+      val back = PureParser.parse(text, enums)
+      if (back != e) println(s"RENDER MISMATCH\n  ast: $e\n  text: $text\n  back: $back")
+      back == e
+    }, "parse-render identity", 3000)
   }
 
   test("native Shingles == sliding-window reference (and fused distinct == .distinct)") {
