@@ -219,6 +219,49 @@ object TextQueries {
       .groupBy(col("d"), col("w"))
       .agg(sum(col("tf")).as("cell_count"))
 
+  /** T11: corpus-novelty score — the fraction of a document's distinct
+    * word bigrams that appear in NO other document. High novelty marks
+    * fresh content worth keeping; near-zero novelty marks template/
+    * boilerplate documents (every bigram shared), the complement signal
+    * to D7's recurring-passage detector.
+    *
+    * Scale shape: a bigram is novel iff exactly one document contains
+    * it, so the corpus side needs only a per-bigram `(n_docs,
+    * min(doc_id))` aggregate — the pair stream NEVER crosses the wire
+    * raw. The distinct-bigram sets come from the native [[Shingles]]
+    * kernel map-side (zero shuffle), the per-bigram aggregate gets
+    * map-side partials (count + min are both algebraic), so the one
+    * corpus-sized Exchange carries at most the distinct vocabulary per
+    * map partition. Novel bigrams then collapse to per-OWNER counts
+    * (≤ one row per document) before the join back to per-doc totals —
+    * doc-count-sized on both sides, AQE broadcasts it at this SF.
+    * Per-doc totals are a second map-only pass over the same scan (no
+    * shuffle at all on that branch). Docs with fewer than two tokens
+    * have no bigrams and no novelty score, and are excluded on both
+    * engines. novelty_ratio divides identical integers → bit-exact. */
+  def t11Novelty(s: SparkSession, dir: String): DataFrame =
+    novelty(docs(s, dir), "doc_id", "text")
+
+  /** Core of T11 over any (id, text) frame — see [[t11Novelty]]. */
+  def novelty(d: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val totals = d
+      .select(col(idCol),
+        size(distinctShingles(tokens(col(textCol)), 2)).cast("long").as("n_bigrams"))
+      .filter(col("n_bigrams") > 0)
+    val novel = d
+      .select(col(idCol), explode(distinctShingles(tokens(col(textCol)), 2)).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("owner"))
+      .filter(col("n_docs") === 1)
+      .groupBy(col("owner"))
+      .agg(count(lit(1)).as("novel_bigrams"))
+    totals.join(novel, totals(idCol) === novel("owner"), "left")
+      .select(col(idCol), col("n_bigrams"),
+        coalesce(col("novel_bigrams"), lit(0L)).as("novel_bigrams"),
+        (coalesce(col("novel_bigrams"), lit(0L)).cast("double") / col("n_bigrams"))
+          .as("novelty_ratio"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_tokens" -> (t1Tokens _),
     "t2_quality" -> (t2Quality _),
@@ -228,7 +271,8 @@ object TextQueries {
     "t6_tfidf" -> (t6Tfidf _),
     "t7_repetition" -> (t7Repetition _),
     "t8_pii_scrub" -> (t8PiiScrub _),
-    "t10_cms" -> (t10Cms _))
+    "t10_cms" -> (t10Cms _),
+    "t11_novelty" -> (t11Novelty _))
 
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -326,6 +370,23 @@ object TextQueries {
         |SELECT doc_id, scrubbed,
         |  len(regexp_extract_all(scrubbed, '<EMAIL>|<URL>|<NUMBER>')) AS n_redacted
         |FROM s""".stripMargin,
+    "t11_novelty" ->
+      """WITH t AS (SELECT doc_id,
+        |  string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+        |b AS (SELECT doc_id, list_distinct(list_transform(
+        |  range(1, greatest(len(w) - 1, 0) + 1),
+        |  i -> array_to_string(w[i:i+1], ' '))) AS bg FROM t
+        |  WHERE len(w) >= 2),
+        |pairs AS (SELECT doc_id, unnest(bg) AS bigram FROM b),
+        |own AS (SELECT bigram, count(*) AS n_docs, min(doc_id) AS owner
+        |  FROM pairs GROUP BY 1),
+        |nov AS (SELECT owner AS doc_id, CAST(count(*) AS BIGINT) AS novel_bigrams
+        |  FROM own WHERE n_docs = 1 GROUP BY 1),
+        |tot AS (SELECT doc_id, CAST(len(bg) AS BIGINT) AS n_bigrams FROM b)
+        |SELECT tot.doc_id, tot.n_bigrams,
+        |  coalesce(nov.novel_bigrams, 0) AS novel_bigrams,
+        |  coalesce(nov.novel_bigrams, 0) * 1.0 / tot.n_bigrams AS novelty_ratio
+        |FROM tot LEFT JOIN nov USING (doc_id)""".stripMargin,
     "t4_fingerprint" ->
       """WITH t AS (SELECT doc_id,
         |  string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),

@@ -191,6 +191,29 @@ class PlanSpec extends SparkTestBase {
         s"(limit at line $partialLimit, exchange at $docExchange):\n$plan")
   }
 
+  test("t11: the bigram aggregate combines map-side; no raw pair stream shuffles") {
+    // the per-bigram (count, min(doc_id)) aggregate must show a
+    // partial_count/partial_min HashAggregate BELOW its Exchange — the
+    // wire then carries at most the distinct vocabulary per map
+    // partition, never the raw (doc, bigram) pair stream. The distinct
+    // bigram sets come from the native Shingles kernel (scan-side, no
+    // shuffle); novel owners collapse to ≤1 row/doc before the join.
+    val plan = executedPlanOf("t11_novelty")
+    assert(plan.contains("graft_shingles"),
+      "bigram sets must come from the native Shingles scan expression")
+    val lines = plan.linesIterator.toSeq
+    val bigramExchange = lines.indexWhere(l =>
+      l.contains("Exchange hashpartitioning(bigram"))
+    // partial_min discriminates the bigram agg from the owner-count agg
+    val partialAgg = lines.indexWhere(l =>
+      l.contains("HashAggregate") && l.contains("partial_min"))
+    assert(bigramExchange >= 0 && partialAgg >= 0 && partialAgg > bigramExchange,
+      s"partial bigram aggregate must sit BELOW its Exchange " +
+        s"(agg at line $partialAgg, exchange at $bigramExchange):\n$plan")
+    val shuffles = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles <= 3, s"t11 must have at most 3 Exchanges, got $shuffles:\n$plan")
+  }
+
   test("p5: the global cumulative sum never range-sorts globally") {
     // the two-phase cumsum must window WITHIN hash slices; a global
     // window would show up as a range-partitioning Exchange (single

@@ -243,6 +243,37 @@ class TextSpec extends SparkTestBase {
     assert(df(2L) == ((4L, 4L, 1L)))
   }
 
+  test("T11: novelty is exact on a planted corpus and excludes sub-bigram docs") {
+    val d = Seq(
+      (1L, "red apple pie"),      // "apple pie" novel, "red apple" shared with 2
+      (2L, "red apple tart"),     // "apple tart" novel
+      (3L, "zebra quantum flux"), // fully novel
+      (4L, "copy me twice"),      // exact pair with 5 → zero novelty
+      (5L, "copy me twice"),
+      (6L, "solo"),               // 1 token → no bigrams → excluded
+      (7L, "")                    // empty → excluded
+    ).toDF("doc_id", "text")
+    val got = TextQueries.novelty(d, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(got(1L) == ((2L, 1L, 0.5)))
+    assert(got(2L) == ((2L, 1L, 0.5)))
+    assert(got(3L) == ((2L, 2L, 1.0)))
+    assert(got(4L) == ((2L, 0L, 0.0)))
+    assert(got(5L) == ((2L, 0L, 0.0)))
+  }
+
+  test("T11: repeated bigrams within one doc count once (distinct sets)") {
+    // "go go go" → tokens [go,go,go] → distinct bigrams {"go go"}: one
+    // bigram, owned solely by doc 1 → ratio 1.0 (multiplicity ignored)
+    val d = Seq((1L, "go go go"), (2L, "other words here")).toDF("doc_id", "text")
+    val got = TextQueries.novelty(d, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r._2).toMap
+    assert(got(1L) == 1L)
+    assert(got(2L) == 2L)
+  }
+
   test("T1-T3 gate queries run on testdata with expected shape") {
     val t1 = TextQueries.t1Tokens(spark, sfDir)
     assert(t1.columns.toSeq == Seq("doc_id", "ws_tokens", "re_tokens"))
