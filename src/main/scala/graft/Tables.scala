@@ -15,12 +15,25 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is TIMESTAMP(NANOS) parquet, read as long nanos
-      // (spark.sql.legacy.parquet.nanosAsLong is set once in
-      // GraftSession) and converted exactly (integer DIV — a double
-      // division would lose precision above 2^53 ns).
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      // events.ts has shipped as both TIMESTAMP(NANOS) (read as long
+      // nanos via spark.sql.legacy.parquet.nanosAsLong, set once in
+      // GraftSession) and plain TIMESTAMP(MICROS). Branch on the type
+      // actually read so either generation of the data works. The
+      // nanos path converts exactly (integer DIV — a double division
+      // would lose precision above 2^53 ns).
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts DIV 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          // TIMESTAMP(MICROS, isAdjustedToUTC=false) infers as NTZ;
+          // session tz is pinned to UTC so this cast is instant-exact
+          // and keeps downstream consumers (unix_micros, windows) on
+          // the same TimestampType they have always seen.
+          df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
+        case _ => df
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 }
