@@ -380,6 +380,50 @@ object Relational {
         max(col("k")).as("k_max"))
   }
 
+  /** R30: ordered funnel conversion (signup → view → click → purchase)
+    * with a per-step conversion window — the event-analytics staple.
+    * Semantics: first-occurrence strict funnel — a user reaches stage k
+    * iff their FIRST stage-k event lands strictly after their first
+    * stage-(k-1) event and within 7 days of it, cumulatively from
+    * signup. ONE fact-sized Exchange: a per-user conditional-min
+    * aggregate (map-side combined, carries 4 timestamps per user), then
+    * a global single-row reduction of the tiny per-user relation — the
+    * same two-phase shape DuckDB plans, and the one that survives
+    * 100 TB (no window over the fact, no per-user sort). Timestamp
+    * arithmetic in exact long micros on both engines. */
+  /** Per-step conversion window for the R30 funnel: 7 days in micros
+    * (shared with the ST13 streaming twin). */
+  val FunnelStepBoundUs: Long = 7L * 24 * 3600 * 1000000L
+
+  /** Per-user funnel stage flags under the R30 rule — factored out so
+    * the ST13 streaming spec can use the identical batch mirror. NULL
+    * comparisons (missing stages) coalesce to false. */
+  def funnelFlags(events: DataFrame): DataFrame = {
+    def firstTs(tp: String) =
+      min(when(col("event_type") === tp, unix_micros(col("ts"))))
+    def within(later: org.apache.spark.sql.Column, earlier: org.apache.spark.sql.Column) =
+      later > earlier && later - earlier <= lit(FunnelStepBoundUs)
+    val perUser = events
+      .groupBy(col("user_id"))
+      .agg(firstTs("signup").as("t1"), firstTs("view").as("t2"),
+        firstTs("click").as("t3"), firstTs("purchase").as("t4"))
+    val s2 = within(col("t2"), col("t1"))
+    val s3 = s2 && within(col("t3"), col("t2"))
+    val s4 = s3 && within(col("t4"), col("t3"))
+    perUser.select(col("user_id"),
+      col("t1").isNotNull.as("s1"),
+      coalesce(s2, lit(false)).as("s2"),
+      coalesce(s3, lit(false)).as("s3"),
+      coalesce(s4, lit(false)).as("s4"))
+  }
+
+  def q30Funnel(s: SparkSession, dir: String): DataFrame =
+    funnelFlags(t(s, dir, "events")).agg(
+      sum(when(col("s1"), 1L).otherwise(0L)).as("n_signup"),
+      sum(when(col("s2"), 1L).otherwise(0L)).as("n_view"),
+      sum(when(col("s3"), 1L).otherwise(0L)).as("n_click"),
+      sum(when(col("s4"), 1L).otherwise(0L)).as("n_purchase"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_filter_project" -> (q2FilterProject _),
@@ -409,9 +453,33 @@ object Relational {
     "q26_exists_not_exists" -> (q26ExistsNotExists _),
     "q27_exact_quantile" -> (q27ExactQuantile _),
     "q28_unpivot" -> (q28Unpivot _),
-    "q29_json_extract" -> (q29JsonExtract _))
+    "q29_json_extract" -> (q29JsonExtract _),
+    "q30_funnel" -> (q30Funnel _))
 
   val oracles: Map[String, String] = Map(
+    "q30_funnel" ->
+      // strict first-occurrence funnel, 7-day per-step window; CASE's
+      // ELSE 0 absorbs NULL comparisons (missing stages) identically to
+      // Spark's when().otherwise(0); sums cast to BIGINT for the gate's
+      // pandas round-trip (DuckDB integer sum is HUGEINT)
+      """WITH u AS (SELECT user_id,
+        |  min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS t1,
+        |  min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t2,
+        |  min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t3,
+        |  min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t4
+        |  FROM events GROUP BY 1),
+        |f AS (SELECT
+        |  t1 IS NOT NULL AS s1,
+        |  t2 > t1 AND t2 - t1 <= 604800000000 AS s2,
+        |  t3 > t2 AND t3 - t2 <= 604800000000 AS s3,
+        |  t4 > t3 AND t4 - t3 <= 604800000000 AS s4
+        |  FROM u)
+        |SELECT
+        |  CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |  CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        |  CAST(sum(CASE WHEN s2 AND s3 THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |  CAST(sum(CASE WHEN s2 AND s3 AND s4 THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase
+        |FROM f""".stripMargin,
     "q29_json_extract" ->
       // json_valid guards malformed documents (json_extract_string
       // ERRORS on invalid JSON; the guard makes them NULL, mirroring the

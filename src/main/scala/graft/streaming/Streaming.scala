@@ -324,4 +324,65 @@ object Streaming {
           }
       }
   }
+
+  /** Funnel stage timestamps carried per user (micros; MaxValue = stage
+    * not yet seen). Conditional MIN is commutative and idempotent, so
+    * state converges to the batch answer under ANY arrival order or
+    * replay — the strongest cross-batch exactness class (same as ST9's
+    * sketch merge, stronger than order-sensitive ST12). */
+  final case class FunnelState(t1: Long, t2: Long, t3: Long, t4: Long)
+
+  /** Per-user funnel progress emitted each update: the same
+    * first-occurrence strict 7-day-window stage flags as batch
+    * q30_funnel computes. */
+  final case class FunnelProgress(
+      user_id: Long, s1: Boolean, s2: Boolean, s3: Boolean, s4: Boolean)
+
+  /** Per-step conversion window: shared with batch q30Funnel so the
+    * twins cannot drift. */
+  val FunnelStepBoundUs: Long = graft.ops.Relational.FunnelStepBoundUs
+
+  /** ST13: streaming funnel tracking — the stream twin of q30_funnel.
+    * State is FOUR LONGS per user (first signup/view/click/purchase
+    * micros), updated by conditional min; each update emits the user's
+    * current stage flags under the batch rule (stage k reached iff its
+    * first event lands strictly after stage k-1's and within 7 days).
+    * A dashboard sums the latest flags per user for live funnel counts.
+    * State is O(users) × 32 bytes; a production deployment bounds it
+    * with an event-time timeout at the funnel horizon (signup + 28 d,
+    * the point after which no flag can change) exactly as [[sessionize]]
+    * expires idle sessions — kept optional here so the spec can replay
+    * unwatermarked planted batches. */
+  def funnelStream(events: Dataset[(Long, String, java.sql.Timestamp)])
+      : Dataset[FunnelProgress] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .mapGroupsWithState[FunnelState, FunnelProgress](
+        GroupStateTimeout.NoTimeout) { (userId, batch, state) =>
+        val M = Long.MaxValue
+        val init = state.getOption.getOrElse(FunnelState(M, M, M, M))
+        val next = batch.foldLeft(init) { (st, e) =>
+          // exact micros: getTime alone floors to millis, which would
+          // collapse distinct micro-stamps and flip strict > vs batch
+          val us = (e._3.getTime / 1000) * 1000000L + e._3.getNanos / 1000
+          e._2 match {
+            case "signup"   => st.copy(t1 = math.min(st.t1, us))
+            case "view"     => st.copy(t2 = math.min(st.t2, us))
+            case "click"    => st.copy(t3 = math.min(st.t3, us))
+            case "purchase" => st.copy(t4 = math.min(st.t4, us))
+            case _          => st
+          }
+        }
+        state.update(next)
+        def within(later: Long, earlier: Long) =
+          later != M && earlier != M &&
+            later > earlier && later - earlier <= FunnelStepBoundUs
+        val s1 = next.t1 != M
+        val s2 = within(next.t2, next.t1)
+        val s3 = s2 && within(next.t3, next.t2)
+        val s4 = s3 && within(next.t4, next.t3)
+        FunnelProgress(userId, s1, s2, s3, s4)
+      }
+  }
 }

@@ -152,6 +152,80 @@ class StreamingSpec extends SparkTestBase {
     assert(hour0 == Set(("click", 2L, 3.0)))
   }
 
+  test("ST13: streaming funnel matches batch q30 flags under out-of-order cross-batch arrival") {
+    val B = graft.ops.Relational.FunnelStepBoundUs
+    def tsUs(us: Long): Timestamp = {
+      val t = new Timestamp(us / 1000000 * 1000)
+      t.setNanos(((us % 1000000) * 1000).toInt)
+      t
+    }
+    val day = 24L * 3600 * 1000000
+    val input = MemoryStream[(Long, String, Timestamp)](spark)
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, Streaming.FunnelProgress)]()
+    val q = Streaming.funnelStream(input.toDS())
+      .writeStream.outputMode(OutputMode.Update())
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[Streaming.FunnelProgress], id: Long) =>
+        val rows = ds.collect()
+        buf.synchronized { rows.foreach(r => buf += ((id, r))) }
+        ()
+      }.start()
+    val batch1 = Seq(
+      (1L, "signup", tsUs(0)), (1L, "view", tsUs(1 * day)),          // u1 clean funnel…
+      (2L, "view", tsUs(10 * day)), (2L, "signup", tsUs(9 * day)),   // u2 in-batch disorder
+      (3L, "signup", tsUs(0)), (3L, "view", tsUs(B)),                // u3 exactly at the bound (inclusive)
+      (4L, "signup", tsUs(5)), (4L, "view", tsUs(5)),                // u4 equal stamps: strict > fails
+      (5L, "signup", tsUs(0)), (5L, "click", tsUs(1 * day)),         // u5 purchase precedes click in time
+      (5L, "purchase", tsUs(day / 2)), (5L, "error", tsUs(2 * day)), // …and unknown types are ignored
+      (6L, "view", tsUs(0)), (6L, "click", tsUs(1 * day)))           // u6 never signed up
+    val batch2 = Seq(
+      (1L, "click", tsUs(2 * day)), (1L, "purchase", tsUs(3 * day)),
+      (2L, "signup", tsUs(0)),                     // u2 LATE earlier signup → 10-day gap KILLS s2
+      (3L, "click", tsUs(B + B + 1)))              // u3 one micro past the bound from t2=B → s3 false
+    runBatches(q, input, Seq(batch1, batch2))
+    val latest = buf.groupBy(_._2.user_id).map { case (u, rs) => u -> rs.maxBy(_._1)._2 }
+    assert(latest(1L) == Streaming.FunnelProgress(1L, true, true, true, true))
+    assert(latest(2L) == Streaming.FunnelProgress(2L, true, false, false, false))
+    assert(latest(3L) == Streaming.FunnelProgress(3L, true, true, false, false))
+    assert(latest(4L) == Streaming.FunnelProgress(4L, true, false, false, false))
+    assert(latest(5L) == Streaming.FunnelProgress(5L, true, false, false, false))
+    assert(latest(6L) == Streaming.FunnelProgress(6L, false, false, false, false))
+    // the batch mirror (q30's funnelFlags on the union) agrees per user
+    val union = (batch1 ++ batch2).toDF("user_id", "event_type", "ts")
+    val mirror = graft.ops.Relational.funnelFlags(union)
+      .as[(Long, Boolean, Boolean, Boolean, Boolean)].collect()
+      .map(r => r._1 -> Streaming.FunnelProgress(r._1, r._2, r._3, r._4, r._5)).toMap
+    latest.foreach { case (u, p) => assert(p == mirror(u), s"user $u") }
+  }
+
+  test("ST13: streaming funnel over the real events table sums to batch q30 counts") {
+    val events = graft.Tables(spark, sfDir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .as[(Long, String, Timestamp)].collect().toSeq
+    // arbitrary 3-way split that scatters each user's events across batches
+    val batches = Seq(
+      events.zipWithIndex.filter(_._2 % 3 == 0).map(_._1),
+      events.zipWithIndex.filter(_._2 % 3 == 1).map(_._1),
+      events.zipWithIndex.filter(_._2 % 3 == 2).map(_._1))
+    val input = MemoryStream[(Long, String, Timestamp)](spark)
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, Streaming.FunnelProgress)]()
+    val q = Streaming.funnelStream(input.toDS())
+      .writeStream.outputMode(OutputMode.Update())
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[Streaming.FunnelProgress], id: Long) =>
+        val rows = ds.collect()
+        buf.synchronized { rows.foreach(r => buf += ((id, r))) }
+        ()
+      }.start()
+    runBatches(q, input, batches)
+    val latest = buf.groupBy(_._2.user_id).map { case (_, rs) => rs.maxBy(_._1)._2 }
+    val streamed = (
+      latest.count(_.s1).toLong, latest.count(_.s2).toLong,
+      latest.count(_.s3).toLong, latest.count(_.s4).toLong)
+    val batch = graft.ops.Relational.q30Funnel(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(streamed == batch)
+    assert(streamed._1 > 0)
+  }
+
   test("ST2: file-source stream over the real events table matches the batch window") {
     // readStream from parquet (the production source shape), windows in
     // Complete mode so every window is present for the full comparison
