@@ -424,6 +424,56 @@ object Relational {
       sum(when(col("s3"), 1L).otherwise(0L)).as("n_click"),
       sum(when(col("s4"), 1L).otherwise(0L)).as("n_purchase"))
 
+  /** R31: sliding-window distinct users (trailing-7-day DAU per day) —
+    * the op a naive engine recomputes as a per-day COUNT(DISTINCT) over
+    * a 7-day self-join (7× re-scan) or a windowed distinct (holds user
+    * sets in window state). Here: distinct (user, day) pairs (the ONE
+    * fact-sized Exchange, map-side partial distinct), then each user's
+    * sorted active days become DISJOINT contribution intervals
+    * [dᵢ, min(dᵢ+6, dᵢ₊₁−1)] via one lead() over the deduped relation
+    * (≤ |users|×|day domain| rows), then ±1 boundary deltas aggregate
+    * per day and a cumulative sum over the TINY day domain yields every
+    * day's distinct count — no user set ever materializes, nothing
+    * fact-sized is sorted. The single-partition cumsum window is over
+    * |days| rows (bounded by the calendar, not the data) — same
+    * bounded-relation pattern as q22's median selection. */
+  def q31SlidingDau(s: SparkSession, dir: String): DataFrame =
+    slidingDau(t(s, dir, "events"))
+
+  /** Core of R31, on any (user_id, ts) relation — factored out so the
+    * OpsSpec can drive planted activity patterns through the identical
+    * pipeline. Output days are the ACTIVE days only (a day with no
+    * events has no row, even when inside some user's trailing window) —
+    * the same domain the oracle's `dom` CTE uses. */
+  def slidingDau(events: DataFrame): DataFrame = {
+    val days = events
+      .select(col("user_id"), date_trunc("day", col("ts")).cast("date").as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day").asc)
+    val iv = days
+      .withColumn("nxt", lead(col("day"), 1).over(w))
+      .withColumn("end_day",
+        least(date_add(col("day"), 6),
+          coalesce(date_sub(col("nxt"), 1), date_add(col("day"), 6))))
+    // both boundary deltas explode out of the ONE interval relation (no
+    // re-scan per branch), and the day domain needs no third branch:
+    // every active day STARTS an interval, so domain = {d | a +1 at d}
+    val deltas = iv
+      .select(explode(array(
+        struct(col("day").as("d"), lit(1L).as("delta")),
+        struct(date_add(col("end_day"), 1).as("d"), lit(-1L).as("delta")))).as("x"))
+      .select(col("x.d").as("d"), col("x.delta").as("delta"))
+    val byDay = deltas.groupBy(col("d"))
+      .agg(sum(col("delta")).as("delta"),
+        max(when(col("delta") > 0, 1).otherwise(0)).as("is_dom"))
+    val cum = Window.orderBy(col("d").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDay
+      .withColumn("dau7", sum(col("delta")).over(cum))
+      .filter(col("is_dom") === 1)
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"), col("dau7"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_filter_project" -> (q2FilterProject _),
@@ -454,9 +504,21 @@ object Relational {
     "q27_exact_quantile" -> (q27ExactQuantile _),
     "q28_unpivot" -> (q28Unpivot _),
     "q29_json_extract" -> (q29JsonExtract _),
-    "q30_funnel" -> (q30Funnel _))
+    "q30_funnel" -> (q30Funnel _),
+    "q31_sliding_dau" -> (q31SlidingDau _))
 
   val oracles: Map[String, String] = Map(
+    "q31_sliding_dau" ->
+      // naive form: per-day correlated COUNT(DISTINCT) over the trailing
+      // 7 days — O(|days|) probes, each a scan of the deduped pairs;
+      // fine as an oracle, the operator's point is avoiding exactly this
+      """WITH days AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
+        |dom AS (SELECT DISTINCT day FROM days)
+        |SELECT strftime(d.day, '%Y-%m-%d') AS day,
+        |  (SELECT count(DISTINCT u.user_id) FROM days u
+        |   WHERE u.day BETWEEN d.day - 6 AND d.day) AS dau7
+        |FROM dom d""".stripMargin,
     "q30_funnel" ->
       // strict first-occurrence funnel, 7-day per-step window; CASE's
       // ELSE 0 absorbs NULL comparisons (missing stages) identically to

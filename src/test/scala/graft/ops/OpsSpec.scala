@@ -217,6 +217,45 @@ class OpsSpec extends SparkTestBase {
     assert(ok.toSeq == Seq(ref(g7, 0.5)))
   }
 
+  test("R31: sliding DAU interval decomposition equals a naive per-day distinct recount") {
+    import spark.implicits._
+    // activity patterns that stress the disjoint-interval construction:
+    // A every day; B a single day; C two days exactly 7 apart (adjacent
+    // intervals); D overlapping (0 and 3); E a gap wider than the window
+    val base = java.sql.Timestamp.valueOf("2024-03-01 12:00:00")
+    def at(day: Int) = new java.sql.Timestamp(base.getTime + day * 86400000L)
+    val rows =
+      (0 to 9).map(d => (1L, at(d))) ++
+        Seq((2L, at(2))) ++
+        Seq((3L, at(0)), (3L, at(7))) ++
+        Seq((4L, at(0)), (4L, at(3))) ++
+        Seq((5L, at(0)), (5L, at(20))) ++
+        Seq((1L, at(4)))                       // duplicate (user, day)
+    val df = rows.toDF("user_id", "ts")
+    val got = Relational.slidingDau(df)
+      .as[(String, Long)].collect().toMap
+    // naive recount straight off the planted set
+    val active: Map[Long, Set[Int]] = rows.groupBy(_._1)
+      .map { case (u, rs) =>
+        u -> rs.map(r => ((r._2.getTime - base.getTime) / 86400000L).toInt).toSet
+      }
+    val domain = active.values.flatten.toSet
+    val expected = domain.map { d =>
+      val day = java.time.LocalDate.of(2024, 3, 1).plusDays(d.toLong).toString
+      day -> active.count { case (_, ds) => ds.exists(a => a <= d && a > d - 7) }.toLong
+    }.toMap
+    assert(got == expected)
+    // a day inside user 5's window but with no events anywhere has no row
+    assert(!got.contains("2024-03-11") && got.contains("2024-03-21"))
+  }
+
+  test("R31: one scan, no fact-sized sort — the only Window inputs are deduped pairs and the day domain") {
+    val df = graft.SparkEntry.queries("q31_sliding_dau")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected 1 scan, got $scans:\n$plan")
+  }
+
   test("R27: no global sort in the plan; driver holds only histogram counts") {
     val plan = graft.SparkEntry.queries("q27_exact_quantile")(spark, sfDir)
       .queryExecution.executedPlan.toString
