@@ -14,26 +14,27 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") {
-      // events.ts has shipped as both TIMESTAMP(NANOS) (read as long
-      // nanos via spark.sql.legacy.parquet.nanosAsLong, set once in
-      // GraftSession) and plain TIMESTAMP(MICROS). Branch on the type
-      // actually read so either generation of the data works. The
-      // nanos path converts exactly (integer DIV — a double division
-      // would lose precision above 2^53 ns).
-      val df = spark.read.parquet(s"$dir/$name.parquet")
-      df.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts DIV 1000")))
-        case org.apache.spark.sql.types.TimestampNTZType =>
-          // TIMESTAMP(MICROS, isAdjustedToUTC=false) infers as NTZ;
-          // session tz is pinned to UTC so this cast is instant-exact
-          // and keeps downstream consumers (unix_micros, windows) on
-          // the same TimestampType they have always seen.
-          df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
-            .cast(org.apache.spark.sql.types.TimestampType))
-        case _ => df
-      }
-    } else spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") normalizeEventsTs(spark.read.parquet(s"$dir/$name.parquet"))
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.ts has shipped as both TIMESTAMP(NANOS) (read as long nanos
+    * via spark.sql.legacy.parquet.nanosAsLong, set once in GraftSession)
+    * and TIMESTAMP(MICROS, isAdjustedToUTC=false) (inferred as NTZ).
+    * Branch on the type actually read so either generation of the data
+    * works; shared with the streaming specs so test and production
+    * normalization cannot drift. The nanos path converts exactly
+    * (integer DIV — a double division would lose precision above 2^53
+    * ns); the NTZ cast is instant-exact because the session tz is pinned
+    * to UTC. Both paths land on TimestampType, the type every downstream
+    * consumer (unix_micros, watermarks, windows) compiles against. */
+  def normalizeEventsTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
 }

@@ -364,8 +364,10 @@ object Streaming {
         val init = state.getOption.getOrElse(FunnelState(M, M, M, M))
         val next = batch.foldLeft(init) { (st, e) =>
           // exact micros: getTime alone floors to millis, which would
-          // collapse distinct micro-stamps and flip strict > vs batch
-          val us = (e._3.getTime / 1000) * 1000000L + e._3.getNanos / 1000
+          // collapse distinct micro-stamps and flip strict > vs batch;
+          // floorDiv (not /) so pre-epoch stamps round the same way
+          // unix_micros does in the batch twin
+          val us = Math.floorDiv(e._3.getTime, 1000L) * 1000000L + e._3.getNanos / 1000
           e._2 match {
             case "signup"   => st.copy(t1 = math.min(st.t1, us))
             case "view"     => st.copy(t2 = math.min(st.t2, us))

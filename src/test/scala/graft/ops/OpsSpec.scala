@@ -222,7 +222,11 @@ class OpsSpec extends SparkTestBase {
     // activity patterns that stress the disjoint-interval construction:
     // A every day; B a single day; C two days exactly 7 apart (adjacent
     // intervals); D overlapping (0 and 3); E a gap wider than the window
-    val base = java.sql.Timestamp.valueOf("2024-03-01 12:00:00")
+    // epoch-based (NOT Timestamp.valueOf, which parses in the JVM
+    // default tz): the expected dates below assume the UTC calendar the
+    // session pins, so the instants must be tz-independent too
+    val base = new java.sql.Timestamp(
+      java.time.Instant.parse("2024-03-01T12:00:00Z").toEpochMilli)
     def at(day: Int) = new java.sql.Timestamp(base.getTime + day * 86400000L)
     val rows =
       (0 to 9).map(d => (1L, at(d))) ++

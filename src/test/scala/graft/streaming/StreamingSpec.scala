@@ -234,18 +234,10 @@ class StreamingSpec extends SparkTestBase {
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       dir.resolve("events.parquet"))
     val raw = spark.read.parquet(dir.toString)
-    // ts has shipped as both long nanos (nanosAsLong) and TIMESTAMP(MICROS,
-    // isAdjustedToUTC=false) → NTZ; normalize to TimestampType exactly like
-    // Tables.apply (session tz is UTC, so the NTZ cast is instant-exact and
-    // the watermark below gets the TIMESTAMP type it requires)
-    val toMicros = (df: org.apache.spark.sql.DataFrame) =>
-      df.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-        case org.apache.spark.sql.types.TimestampNTZType =>
-          df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
-        case _ => df
-      }
+    // the one production normalization (nanos-long | NTZ | timestamp →
+    // TimestampType); sharing it means the next ts-encoding drift is
+    // fixed in exactly one place
+    val toMicros = graft.Tables.normalizeEventsTs _
     val stream = toMicros(spark.readStream.schema(raw.schema).parquet(dir.toString))
     val q = Streaming.tumblingCounts(stream)
       .writeStream.format("memory").queryName("st2_file_out")

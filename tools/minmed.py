@@ -42,9 +42,12 @@ def main():
     s_mm, s_n = minmed(spark)
     q_mm, q_n = minmed(duck)
     max_s, max_q = len(spark), len(duck)
-    partial = sorted(set(
-        [k for k, n in s_n.items() if n < max_s] +
-        [k for k, n in q_n.items() if n < max_q]))
+    # iterate the UNION of keys so a query swept by only one engine
+    # (count 0 on the other) is flagged, not silently dropped from the
+    # common set with no trace
+    partial = sorted(
+        k for k in set(s_mm) | set(q_mm)
+        if s_n.get(k, 0) < max_s or q_n.get(k, 0) < max_q)
     meta = {
         "spark_sweeps": [{"file": f, "load_before": lb, "load_after": la}
                          for f, _, lb, la in spark],
@@ -65,6 +68,10 @@ def main():
         json.dump({"spark": s_mm, "duckdb": q_mm, "meta": meta,
                    "summed": summed}, f, indent=1, sort_keys=True)
     r = summed
+    if r["n_common"] == 0 or r["duckdb"] <= 0:
+        print(f"common={r['n_common']} — no comparable pair "
+              f"(wrong directory, or sweeps share no queries?)")
+        return
     print(f"common={r['n_common']} summed spark={r['spark']:.1f}s duckdb={r['duckdb']:.1f}s "
           f"ratio={r['spark']/r['duckdb']:.2f}x")
     d2 = r["data_dominated"]
