@@ -387,4 +387,75 @@ object Streaming {
         FunnelProgress(userId, s1, s2, s3, s4)
       }
   }
+
+  /** Sliding-DAU window length in days — shared with batch q31. */
+  val DauWindowDays: Int = 7
+
+  /** A ±1 boundary-delta correction for the sliding-DAU count at
+    * `day` (epoch days). Downstream, per-day sums + a cumulative sum
+    * over the tiny day domain give every day's trailing-7-day distinct
+    * count — identical to batch q31's decomposition. */
+  final case class DauDelta(day: Int, delta: Long)
+
+  /** Per-user sliding-DAU state: the user's distinct active days seen
+    * so far, sorted ascending. Bounded by the day calendar (≤ a few
+    * hundred ints for a year-scale stream); a production deployment
+    * additionally expires users idle past the window horizon via
+    * event-time timeout exactly as [[sessionize]] does. */
+  final case class DauState(days: List[Int])
+
+  /** Disjoint contribution intervals [dᵢ, min(dᵢ+6, dᵢ₊₁−1)] of a
+    * sorted active-day list — the same decomposition batch
+    * [[graft.ops.Relational.slidingDau]] computes with lead(). */
+  private def dauIntervals(days: List[Int]): List[(Int, Int)] = days match {
+    case Nil => Nil
+    case _ =>
+      days.zip(days.drop(1).map(Option(_)) :+ None).map { case (d, nxt) =>
+        val cap = d + DauWindowDays - 1
+        (d, nxt.map(n => math.min(cap, n - 1)).getOrElse(cap))
+      }
+  }
+
+  private def dauDeltas(days: List[Int]): Map[Int, Long] =
+    dauIntervals(days)
+      .flatMap { case (s, e) => Seq(s -> 1L, (e + 1) -> -1L) }
+      .groupMapReduce(_._1)(_._2)(_ + _)
+
+  /** ST14: streaming sliding-window distinct users — the stream twin of
+    * q31_sliding_dau. Each user's state is their sorted active-day set;
+    * when a micro-batch adds days, the operator emits the DIFFERENCE
+    * between the new and old interval decompositions as ±1 boundary
+    * deltas. Corrections are additive integers, so ANY arrival order —
+    * including a late day landing between two already-seen days, which
+    * re-splits the user's intervals — converges to exactly the batch
+    * decomposition of the final day set; a downstream per-day sum +
+    * cumulative sum (tiny, calendar-bounded) is the live DAU surface.
+    * Retraction-as-negative-delta is the standard incremental-view
+    * trick: no per-day user set ever exists anywhere. */
+  def slidingDauStream(events: Dataset[(Long, java.sql.Timestamp)])
+      : Dataset[DauDelta] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[DauState, DauDelta](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (_, batch, state) =>
+          val old = state.getOption.getOrElse(DauState(Nil))
+          val newDays = batch.map { e =>
+            Math.floorDiv(
+              Math.floorDiv(e._2.getTime, 1000L) * 1000000L +
+                e._2.getNanos / 1000, 86400000000L).toInt
+          }.toSet -- old.days
+          if (newDays.isEmpty) Iterator.empty
+          else {
+            val merged = (old.days ++ newDays).sorted
+            state.update(DauState(merged))
+            val before = dauDeltas(old.days)
+            val after = dauDeltas(merged)
+            (before.keySet ++ after.keySet).iterator
+              .map(d => DauDelta(d, after.getOrElse(d, 0L) - before.getOrElse(d, 0L)))
+              .filter(_.delta != 0L)
+          }
+      }
+  }
 }

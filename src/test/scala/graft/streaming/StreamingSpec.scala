@@ -226,6 +226,91 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed._1 > 0)
   }
 
+  test("ST14: streaming DAU deltas converge to the batch interval decomposition under late re-splits") {
+    def tsd(day: Int): Timestamp = new Timestamp(day * 86400000L)
+    val input = MemoryStream[(Long, Timestamp)](spark)
+    val buf = scala.collection.mutable.ArrayBuffer[Streaming.DauDelta]()
+    val q = Streaming.slidingDauStream(input.toDS())
+      .writeStream.outputMode(OutputMode.Update())
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[Streaming.DauDelta], _: Long) =>
+        val rows = ds.collect()
+        buf.synchronized { rows.foreach(buf += _) }
+        ()
+      }.start()
+    // u1 gets days 0 and 20 first (two far intervals), THEN a late day 3
+    // lands inside the first window and re-splits [0,6] into [0,2]+[3,9];
+    // u2 duplicates a day across batches (no-op); u3 single day
+    val batch1 = Seq((1L, tsd(0)), (1L, tsd(20)), (2L, tsd(5)), (3L, tsd(8)))
+    val batch2 = Seq((1L, tsd(3)), (2L, tsd(5)))
+    runBatches(q, input, Seq(batch1, batch2))
+    val summed = buf.groupBy(_.day).view.mapValues(_.map(_.delta).sum)
+      .filter(_._2 != 0L).toMap
+    // batch mirror: the same decomposition straight off the final day sets
+    val finalDays = Map(1L -> List(0, 3, 20), 2L -> List(5), 3L -> List(8))
+    def expectedDeltas(days: List[Int]): Map[Int, Long] = {
+      val iv = days.zip(days.drop(1).map(Option(_)) :+ None).map { case (d, n) =>
+        (d, n.map(x => math.min(d + 6, x - 1)).getOrElse(d + 6))
+      }
+      iv.flatMap { case (s, e) => Seq(s -> 1L, (e + 1) -> -1L) }
+        .groupMapReduce(_._1)(_._2)(_ + _)
+    }
+    val expected = finalDays.values.map(expectedDeltas)
+      .reduce((a, b) => (a.keySet ++ b.keySet).map(k =>
+        k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap)
+      .filter(_._2 != 0L)
+    assert(summed == expected)
+    // and the cumulative sum over the day domain is the sliding DAU
+    val domain = finalDays.values.flatten.toSet
+    val counts = domain.map { d =>
+      d -> finalDays.count { case (_, ds) => ds.exists(a => a <= d && a > d - 7) }.toLong
+    }.toMap
+    val allDays = summed.keySet ++ domain
+    val cum = allDays.toSeq.sorted.foldLeft((0L, Map.empty[Int, Long])) {
+      case ((run, acc), d) =>
+        val r = run + summed.getOrElse(d, 0L)
+        (r, acc + (d -> r))
+    }._2
+    domain.foreach(d => assert(cum(d) == counts(d), s"day $d"))
+  }
+
+  test("ST14: scattered replay of the real events table reproduces q31's per-day counts") {
+    val events = graft.Tables(spark, sfDir, "events")
+      .select(col("user_id"), col("ts"))
+      .as[(Long, Timestamp)].collect().toSeq
+    val batches = Seq(
+      events.zipWithIndex.filter(_._2 % 3 == 0).map(_._1),
+      events.zipWithIndex.filter(_._2 % 3 == 1).map(_._1),
+      events.zipWithIndex.filter(_._2 % 3 == 2).map(_._1))
+    val input = MemoryStream[(Long, Timestamp)](spark)
+    val buf = scala.collection.mutable.ArrayBuffer[Streaming.DauDelta]()
+    val q = Streaming.slidingDauStream(input.toDS())
+      .writeStream.outputMode(OutputMode.Update())
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[Streaming.DauDelta], _: Long) =>
+        val rows = ds.collect()
+        buf.synchronized { rows.foreach(buf += _) }
+        ()
+      }.start()
+    runBatches(q, input, batches)
+    val summed = buf.groupBy(_.day).view.mapValues(_.map(_.delta).sum).toMap
+    val batchDau = graft.ops.Relational.q31SlidingDau(spark, sfDir)
+      .as[(String, Long)].collect().toMap
+    // evaluate the running sum over delta days ∪ the batch day domain: an
+    // active day adjacent to the previous interval's end has net delta 0
+    // (the +1 start cancels the -1 end) and so never appears as a key
+    val domainDays = batchDau.keySet.map(d => java.time.LocalDate.parse(d).toEpochDay.toInt)
+    val cum = (summed.keySet ++ domainDays).toSeq.sorted
+      .foldLeft((0L, Map.empty[Int, Long])) {
+        case ((run, acc), d) =>
+          val r = run + summed.getOrElse(d, 0L)
+          (r, acc + (d -> r))
+      }._2
+    batchDau.foreach { case (dayStr, n) =>
+      val epochDay = java.time.LocalDate.parse(dayStr).toEpochDay.toInt
+      assert(cum(epochDay) == n, s"day $dayStr")
+    }
+    assert(batchDau.nonEmpty)
+  }
+
   test("ST2: file-source stream over the real events table matches the batch window") {
     // readStream from parquet (the production source shape), windows in
     // Complete mode so every window is present for the full comparison
