@@ -407,7 +407,7 @@ object Streaming {
   /** Disjoint contribution intervals [dᵢ, min(dᵢ+6, dᵢ₊₁−1)] of a
     * sorted active-day list — the same decomposition batch
     * [[graft.ops.Relational.slidingDau]] computes with lead(). */
-  private def dauIntervals(days: List[Int]): List[(Int, Int)] = days match {
+  private[graft] def dauIntervals(days: List[Int]): List[(Int, Int)] = days match {
     case Nil => Nil
     case _ =>
       days.zip(days.drop(1).map(Option(_)) :+ None).map { case (d, nxt) =>
@@ -416,7 +416,7 @@ object Streaming {
       }
   }
 
-  private def dauDeltas(days: List[Int]): Map[Int, Long] =
+  private[graft] def dauDeltas(days: List[Int]): Map[Int, Long] =
     dauIntervals(days)
       .flatMap { case (s, e) => Seq(s -> 1L, (e + 1) -> -1L) }
       .groupMapReduce(_._1)(_._2)(_ + _)

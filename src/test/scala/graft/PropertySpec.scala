@@ -217,6 +217,75 @@ class PropertySpec extends AnyFunSuite {
     }, "multiplicity round trip")
   }
 
+  test("DAU interval decomposition: cumulative deltas equal brute-force window membership") {
+    import graft.streaming.Streaming.{dauDeltas, DauWindowDays}
+    val gen = Gen.nonEmptyListOf(Gen.choose(0, 60)).map(_.distinct.sorted)
+    check(Prop.forAll(gen, Gen.choose(-5, 70)) { (days, probe) =>
+      val deltas = dauDeltas(days)
+      val cum = deltas.filter(_._1 <= probe).values.sum
+      val member = days.exists(a => a <= probe && a > probe - DauWindowDays)
+      cum == (if (member) 1L else 0L)
+    }, "dau decomposition vs membership")
+  }
+
+  test("DAU intervals are disjoint, sorted, and start at every active day") {
+    import graft.streaming.Streaming.dauIntervals
+    val gen = Gen.nonEmptyListOf(Gen.choose(0, 60)).map(_.distinct.sorted)
+    check(Prop.forAll(gen) { days =>
+      val iv = dauIntervals(days)
+      iv.map(_._1) == days &&                        // one interval per active day
+        iv.forall { case (s, e) => s <= e } &&       // non-empty
+        iv.sliding(2).forall {                       // disjoint and ordered
+          case List((_, e1), (s2, _)) => s2 > e1
+          case _ => true
+        }
+    }, "dau interval shape")
+  }
+
+  test("ST14 correction algebra: per-batch diffs telescope to the final decomposition under any split") {
+    import graft.streaming.Streaming.dauDeltas
+    val gen = for {
+      days <- Gen.nonEmptyListOf(Gen.choose(0, 60)).map(_.distinct)
+      shuffled <- Gen.const(scala.util.Random.shuffle(days))
+      cuts <- Gen.listOfN(2, Gen.choose(0, days.size))
+    } yield (shuffled, cuts.sorted)
+    check(Prop.forAll(gen) { case (days, Seq(c1, c2)) =>
+      val batches = Seq(days.take(c1), days.slice(c1, c2), days.drop(c2))
+      val (_, corrections) = batches.foldLeft((List.empty[Int], Map.empty[Int, Long])) {
+        case ((seen, acc), b) =>
+          val merged = (seen ++ b).distinct.sorted
+          val diff = (dauDeltas(merged).keySet ++ dauDeltas(seen).keySet).map(d =>
+            d -> (dauDeltas(merged).getOrElse(d, 0L) - dauDeltas(seen).getOrElse(d, 0L))).toMap
+          (merged, (acc.keySet ++ diff.keySet).map(d =>
+            d -> (acc.getOrElse(d, 0L) + diff.getOrElse(d, 0L))).toMap)
+      }
+      val fin = dauDeltas(days.distinct.sorted)
+      corrections.filter(_._2 != 0L) == fin.filter(_._2 != 0L)
+    }, "st14 telescoping")
+  }
+
+  test("funnel state fold is arrival-order invariant (conditional min commutes)") {
+    val stages = Seq("signup", "view", "click", "purchase")
+    val gen = for {
+      n <- Gen.choose(1, 12)
+      evs <- Gen.listOfN(n, Gen.zip(Gen.oneOf(stages :+ "error"), Gen.choose(0L, 1000L)))
+    } yield evs
+    val M = Long.MaxValue
+    def fold(evs: Seq[(String, Long)]): (Long, Long, Long, Long) =
+      evs.foldLeft((M, M, M, M)) { case ((t1, t2, t3, t4), (tp, us)) =>
+        tp match {
+          case "signup"   => (math.min(t1, us), t2, t3, t4)
+          case "view"     => (t1, math.min(t2, us), t3, t4)
+          case "click"    => (t1, t2, math.min(t3, us), t4)
+          case "purchase" => (t1, t2, t3, math.min(t4, us))
+          case _          => (t1, t2, t3, t4)
+        }
+      }
+    check(Prop.forAll(gen) { evs =>
+      fold(evs) == fold(scala.util.Random.shuffle(evs))
+    }, "funnel fold commutes")
+  }
+
   test("hash-bucket split is a partition: every key lands in exactly one split") {
     // mirrors Sampling.p1's bucket → split mapping
     def split(bucket: Long): String =
