@@ -474,6 +474,33 @@ object Relational {
       .select(date_format(col("d"), "yyyy-MM-dd").as("day"), col("dau7"))
   }
 
+  /** R32: cohort retention triangle — users cohorted by their FIRST
+    * active week; cell (cohort_week, week_offset) counts the cohort's
+    * distinct users active that many weeks later. Shape: distinct
+    * (user, week) pairs (the one fact-sized Exchange, map-side partial
+    * distinct) → per-user `min(week)` + `collect_set(week)` in a single
+    * user-keyed aggregate (the set is CALENDAR-bounded — ≤ 52/yr — the
+    * same boundedness argument as q31's day domain, and it saves the
+    * self-join of pairs⨝cohorts AND its shuffle) → explode to
+    * (cohort, offset) and count: each (user, week) is unique, so a
+    * plain count IS the distinct-user count, no count(DISTINCT) state.
+    * Offsets are exact: both engines Monday-truncate weeks, so the day
+    * difference is always divisible by 7. */
+  def q32Retention(s: SparkSession, dir: String): DataFrame = {
+    val pairs = t(s, dir, "events")
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("week"))
+      .distinct()
+    val perUser = pairs.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort"), collect_set(col("week")).as("weeks"))
+    perUser
+      .select(col("cohort"), explode(col("weeks")).as("week"))
+      .groupBy(col("cohort"),
+        (datediff(col("week"), col("cohort")) / 7).cast("long").as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"), col("n_users"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_filter_project" -> (q2FilterProject _),
@@ -505,9 +532,22 @@ object Relational {
     "q28_unpivot" -> (q28Unpivot _),
     "q29_json_extract" -> (q29JsonExtract _),
     "q30_funnel" -> (q30Funnel _),
-    "q31_sliding_dau" -> (q31SlidingDau _))
+    "q31_sliding_dau" -> (q31SlidingDau _),
+    "q32_retention" -> (q32Retention _))
 
   val oracles: Map[String, String] = Map(
+    "q32_retention" ->
+      // both engines Monday-truncate weeks → the day difference is
+      // divisible by 7, so // is exact; count(*) is the distinct-user
+      // count because (user, week) is unique after the pairs distinct
+      """WITH pairs AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts) AS DATE) AS week FROM events),
+        |coh AS (SELECT user_id, min(week) AS cohort FROM pairs GROUP BY 1)
+        |SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort_week,
+        |  CAST((p.week - c.cohort) // 7 AS BIGINT) AS week_offset,
+        |  count(*) AS n_users
+        |FROM pairs p JOIN coh c ON p.user_id = c.user_id
+        |GROUP BY 1, 2""".stripMargin,
     "q31_sliding_dau" ->
       // naive form: per-day correlated COUNT(DISTINCT) over the trailing
       // 7 days — O(|days|) probes, each a scan of the deduped pairs;
