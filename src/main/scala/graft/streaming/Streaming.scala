@@ -326,11 +326,12 @@ object Streaming {
   }
 
   /** Funnel stage timestamps carried per user (micros; MaxValue = stage
-    * not yet seen). Conditional MIN is commutative and idempotent, so
-    * state converges to the batch answer under ANY arrival order or
-    * replay — the strongest cross-batch exactness class (same as ST9's
-    * sketch merge, stronger than order-sensitive ST12). */
-  final case class FunnelState(t1: Long, t2: Long, t3: Long, t4: Long)
+    * not yet seen) plus the user's last event time (expiry clock).
+    * Conditional MIN is commutative and idempotent, so state converges
+    * to the batch answer under ANY arrival order or replay — the
+    * strongest cross-batch exactness class (same as ST9's sketch merge,
+    * stronger than order-sensitive ST12). */
+  final case class FunnelState(t1: Long, t2: Long, t3: Long, t4: Long, lastUs: Long)
 
   /** Per-user funnel progress emitted each update: the same
     * first-occurrence strict 7-day-window stage flags as batch
@@ -342,49 +343,73 @@ object Streaming {
     * twins cannot drift. */
   val FunnelStepBoundUs: Long = graft.ops.Relational.FunnelStepBoundUs
 
+  /** Funnel idle-expiry horizon: a user idle for 4 step windows of
+    * EVENT time (28 d) can no longer change any flag that an on-time
+    * event could have changed — their state is dead weight. */
+  val FunnelExpiryUs: Long = 4L * FunnelStepBoundUs
+
   /** ST13: streaming funnel tracking — the stream twin of q30_funnel.
     * State is FOUR LONGS per user (first signup/view/click/purchase
-    * micros), updated by conditional min; each update emits the user's
-    * current stage flags under the batch rule (stage k reached iff its
-    * first event lands strictly after stage k-1's and within 7 days).
-    * A dashboard sums the latest flags per user for live funnel counts.
-    * State is O(users) × 32 bytes; a production deployment bounds it
-    * with an event-time timeout at the funnel horizon (signup + 28 d,
-    * the point after which no flag can change) exactly as [[sessionize]]
-    * expires idle sessions — kept optional here so the spec can replay
-    * unwatermarked planted batches. */
-  def funnelStream(events: Dataset[(Long, String, java.sql.Timestamp)])
-      : Dataset[FunnelProgress] = {
+    * micros) + the expiry clock, updated by conditional min; each update
+    * emits the user's current stage flags under the batch rule (stage k
+    * reached iff its first event lands strictly after stage k-1's and
+    * within 7 days). A dashboard sums the latest flags per user for live
+    * funnel counts. With `expiry = true` (the production mode) a user
+    * idle past [[FunnelExpiryUs]] of EVENT time is dropped once the
+    * watermark passes that horizon — the same deterministic
+    * watermark-clocked expiry as [[sessionize]], bounding state at
+    * O(users active within the horizon); `expiry = false` keeps state
+    * forever so specs can replay unwatermarked planted batches. */
+  def funnelStream(events: Dataset[(Long, String, java.sql.Timestamp)],
+                   expiry: Boolean = false,
+                   watermark: String = "10 minutes"): Dataset[FunnelProgress] = {
     import events.sparkSession.implicits._
-    events
+    val timeoutConf =
+      if (expiry) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    val src = if (expiry) events.withWatermark("_3", watermark) else events
+    src
       .groupByKey(_._1)
-      .mapGroupsWithState[FunnelState, FunnelProgress](
-        GroupStateTimeout.NoTimeout) { (userId, batch, state) =>
-        val M = Long.MaxValue
-        val init = state.getOption.getOrElse(FunnelState(M, M, M, M))
-        val next = batch.foldLeft(init) { (st, e) =>
-          // exact micros: getTime alone floors to millis, which would
-          // collapse distinct micro-stamps and flip strict > vs batch;
-          // floorDiv (not /) so pre-epoch stamps round the same way
-          // unix_micros does in the batch twin
-          val us = Math.floorDiv(e._3.getTime, 1000L) * 1000000L + e._3.getNanos / 1000
-          e._2 match {
-            case "signup"   => st.copy(t1 = math.min(st.t1, us))
-            case "view"     => st.copy(t2 = math.min(st.t2, us))
-            case "click"    => st.copy(t3 = math.min(st.t3, us))
-            case "purchase" => st.copy(t4 = math.min(st.t4, us))
-            case _          => st
+      .flatMapGroupsWithState[FunnelState, FunnelProgress](
+        OutputMode.Update(), timeoutConf) { (userId, batch, state) =>
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          val M = Long.MaxValue
+          val init = state.getOption.getOrElse(FunnelState(M, M, M, M, Long.MinValue))
+          val next = batch.foldLeft(init) { (st, e) =>
+            // exact micros: getTime alone floors to millis, which would
+            // collapse distinct micro-stamps and flip strict > vs batch;
+            // floorDiv (not /) so pre-epoch stamps round the same way
+            // unix_micros does in the batch twin
+            val us = Math.floorDiv(e._3.getTime, 1000L) * 1000000L + e._3.getNanos / 1000
+            val touched = e._2 match {
+              case "signup"   => st.copy(t1 = math.min(st.t1, us))
+              case "view"     => st.copy(t2 = math.min(st.t2, us))
+              case "click"    => st.copy(t3 = math.min(st.t3, us))
+              case "purchase" => st.copy(t4 = math.min(st.t4, us))
+              case _          => st
+            }
+            touched.copy(lastUs = math.max(touched.lastUs, us))
+          }
+          if (next == init) Iterator.empty
+          else {
+            state.update(next)
+            if (expiry)
+              state.setTimeoutTimestamp(math.max(
+                next.lastUs / 1000 + FunnelExpiryUs / 1000,
+                state.getCurrentWatermarkMs() + 1))
+            def within(later: Long, earlier: Long) =
+              later != M && earlier != M &&
+                later > earlier && later - earlier <= FunnelStepBoundUs
+            val s1 = next.t1 != M
+            val s2 = within(next.t2, next.t1)
+            val s3 = s2 && within(next.t3, next.t2)
+            val s4 = s3 && within(next.t4, next.t3)
+            Iterator.single(FunnelProgress(userId, s1, s2, s3, s4))
           }
         }
-        state.update(next)
-        def within(later: Long, earlier: Long) =
-          later != M && earlier != M &&
-            later > earlier && later - earlier <= FunnelStepBoundUs
-        val s1 = next.t1 != M
-        val s2 = within(next.t2, next.t1)
-        val s3 = s2 && within(next.t3, next.t2)
-        val s4 = s3 && within(next.t4, next.t3)
-        FunnelProgress(userId, s1, s2, s3, s4)
       }
   }
 
@@ -432,29 +457,52 @@ object Streaming {
     * cumulative sum (tiny, calendar-bounded) is the live DAU surface.
     * Retraction-as-negative-delta is the standard incremental-view
     * trick: no per-day user set ever exists anywhere. */
-  def slidingDauStream(events: Dataset[(Long, java.sql.Timestamp)])
-      : Dataset[DauDelta] = {
+  /** With `expiry = true` a user idle past `window + watermark` of
+    * EVENT time drops their day-set state (watermark-clocked, same as
+    * [[sessionize]]). Safe for the delta algebra: emitted deltas are
+    * immutable history, and by the time the timeout fires the watermark
+    * guarantees any FUTURE on-time day d satisfies d > lastDay + window,
+    * so a returning user's fresh state emits intervals that cannot
+    * overlap the ones already emitted — no double count. A day later
+    * than the watermark allows is the standard horizon caveat (ST4's
+    * batch-pass-catches-stragglers note applies). */
+  def slidingDauStream(events: Dataset[(Long, java.sql.Timestamp)],
+                       expiry: Boolean = false,
+                       watermark: String = "10 minutes"): Dataset[DauDelta] = {
     import events.sparkSession.implicits._
-    events
+    val timeoutConf =
+      if (expiry) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    val src = if (expiry) events.withWatermark("_2", watermark) else events
+    src
       .groupByKey(_._1)
       .flatMapGroupsWithState[DauState, DauDelta](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Update(), timeoutConf) {
         (_, batch, state) =>
-          val old = state.getOption.getOrElse(DauState(Nil))
-          val newDays = batch.map { e =>
-            Math.floorDiv(
-              Math.floorDiv(e._2.getTime, 1000L) * 1000000L +
-                e._2.getNanos / 1000, 86400000000L).toInt
-          }.toSet -- old.days
-          if (newDays.isEmpty) Iterator.empty
-          else {
-            val merged = (old.days ++ newDays).sorted
-            state.update(DauState(merged))
-            val before = dauDeltas(old.days)
-            val after = dauDeltas(merged)
-            (before.keySet ++ after.keySet).iterator
-              .map(d => DauDelta(d, after.getOrElse(d, 0L) - before.getOrElse(d, 0L)))
-              .filter(_.delta != 0L)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val old = state.getOption.getOrElse(DauState(Nil))
+            val newDays = batch.map { e =>
+              Math.floorDiv(
+                Math.floorDiv(e._2.getTime, 1000L) * 1000000L +
+                  e._2.getNanos / 1000, 86400000000L).toInt
+            }.toSet -- old.days
+            if (newDays.isEmpty) Iterator.empty
+            else {
+              val merged = (old.days ++ newDays).sorted
+              state.update(DauState(merged))
+              if (expiry)
+                state.setTimeoutTimestamp(math.max(
+                  (merged.last.toLong + 1 + DauWindowDays) * 86400000L,
+                  state.getCurrentWatermarkMs() + 1))
+              val before = dauDeltas(old.days)
+              val after = dauDeltas(merged)
+              (before.keySet ++ after.keySet).iterator
+                .map(d => DauDelta(d, after.getOrElse(d, 0L) - before.getOrElse(d, 0L)))
+                .filter(_.delta != 0L)
+            }
           }
       }
   }

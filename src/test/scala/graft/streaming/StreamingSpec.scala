@@ -311,6 +311,50 @@ class StreamingSpec extends SparkTestBase {
     assert(batchDau.nonEmpty)
   }
 
+  test("ST13/ST14: idle state expires from ADVANCING EVENT TIME; a returning DAU user cannot double-count") {
+    val day = 24L * 3600 * 1000L // ms
+    def tsd(d: Long): Timestamp = new Timestamp(d * day)
+    // --- funnel expiry: u1 signs up day 1; u2's far-future events push
+    // the watermark past u1's 28-day horizon; u1's return then emits
+    // FRESH flags (s1 from a view-only state is false — expired state
+    // forgot the signup)
+    val fIn = MemoryStream[(Long, String, Timestamp)](spark)
+    val fq = Streaming.funnelStream(fIn.toDS(), expiry = true)
+      .writeStream.format("memory").queryName("st13_expiry_out")
+      .outputMode(OutputMode.Update()).start()
+    runBatches(fq, fIn, Seq(
+      Seq((1L, "signup", tsd(1))),
+      Seq((2L, "signup", tsd(100))),   // watermark → ~day 100 at batch end
+      Seq((2L, "view", tsd(101))),     // timeout fires: u1 dropped
+      Seq((1L, "view", tsd(102)))))    // u1 returns: fresh state, no signup
+    val u1 = spark.table("st13_expiry_out")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean)].collect()
+      .filter(_._1 == 1L)
+    assert(u1.toSet == Set((1L, true, false, false, false), (1L, false, false, false, false)))
+    // --- DAU expiry: u1 active day 1, expired after u2 advances the
+    // watermark ~100 days; u1 returns on day 102 — far past day 1+7, so
+    // the fresh interval [102,108] cannot overlap the emitted [1,7] and
+    // the cumulative count at any day stays exact
+    val dIn = MemoryStream[(Long, Timestamp)](spark)
+    val buf = scala.collection.mutable.ArrayBuffer[Streaming.DauDelta]()
+    val dq = Streaming.slidingDauStream(dIn.toDS(), expiry = true)
+      .writeStream.outputMode(OutputMode.Update())
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[Streaming.DauDelta], _: Long) =>
+        val rows = ds.collect()
+        buf.synchronized { rows.foreach(buf += _) }
+        ()
+      }.start()
+    runBatches(dq, dIn, Seq(
+      Seq((1L, tsd(1))),
+      Seq((2L, tsd(100))),
+      Seq((2L, tsd(101))),             // timeout fires: u1's day-set dropped
+      Seq((1L, tsd(102)))))            // fresh state: emits [102,108] only
+    val summed = buf.groupBy(_.day).view.mapValues(_.map(_.delta).sum).filter(_._2 != 0L).toMap
+    // u1 contributes [1,7] and [102,108]; u2 [100,106]∪[101,107] = capped
+    // decomposition {[100,100],[101,107]}; nothing overlaps u1's old run
+    assert(summed == Map(1 -> 1L, 8 -> -1L, 100 -> 1L, 102 -> 1L, 108 -> -1L, 109 -> -1L))
+  }
+
   test("ST2: file-source stream over the real events table matches the batch window") {
     // readStream from parquet (the production source shape), windows in
     // Complete mode so every window is present for the full comparison
