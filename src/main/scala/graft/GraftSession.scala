@@ -25,6 +25,15 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // Runtime bloom-filter join pruning (off by default in Spark 4.1):
+      // a selective filter on a join's build side injects a
+      // might_contain() pre-filter into the probe-side SCAN, so the fact
+      // shuffle carries only probably-matching rows. The default
+      // 10 GB application-side threshold keeps it inert at local SF
+      // (plans stay byte-identical here) and live on cluster-scale
+      // facts — ExtensionsSpec forces the thresholds down to pin both
+      // the injection and result-equality (no false negatives).
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.ui.enabled", "false")
     val withMaster = master.fold(b)(m => b.master(m))
     val spark = withMaster.getOrCreate()

@@ -91,6 +91,36 @@ class ExtensionsSpec extends SparkTestBase {
     assert(df.as[Seq[String]].collect().toSeq == direct.as[Seq[String]].collect().toSeq)
   }
 
+  test("runtime bloom-filter pruning: selective dim filter injects might_contain into the fact scan") {
+    // inert at local SF under the default 10 GB application-side
+    // threshold (GraftSession turns the feature on); forcing the
+    // thresholds down shows what a 1000-executor fact scan gets
+    val forced = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = forced.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      forced.foreach { case (k, v) => spark.conf.set(k, v) }
+      def q = Tables(spark, sfDir, "lineitem")
+        .join(Tables(spark, sfDir, "orders").filter(col("o_totalprice") > 400000),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      val optimized = q.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain") && optimized.contains("bloom_filter_agg"),
+        s"bloom filter not injected:\n$optimized")
+      val withBloom = q.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      // no false negatives: result identical with the feature off
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val without = q.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(withBloom == without && withBloom.nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      saved.foreach { case (k, vOpt) =>
+        vOpt.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+    }
+  }
+
   test("shingle rewrite does NOT fire on a non-space separator or mismatched k") {
     val toks = split(lower(col("text")), "\\s+")
     val wrongSep = Tables(spark, sfDir, "documents")
