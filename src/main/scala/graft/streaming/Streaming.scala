@@ -343,9 +343,15 @@ object Streaming {
     * twins cannot drift. */
   val FunnelStepBoundUs: Long = graft.ops.Relational.FunnelStepBoundUs
 
-  /** Funnel idle-expiry horizon: a user idle for 4 step windows of
-    * EVENT time (28 d) can no longer change any flag that an on-time
-    * event could have changed — their state is dead weight. */
+  /** Funnel idle-expiry horizon: 4 step windows (28 d) of EVENT time.
+    * Expiry is LOSSY for a user who returns after it: their earlier
+    * stages are forgotten, so the fresh state re-emits flags computed
+    * from post-return events only (e.g. an s1=true user re-emits
+    * s1=false) — the standard watermark-horizon trade (ST4's
+    * batch-pass-catches-stragglers note applies). Size the horizon to
+    * how long the product attributes a conversion; a dashboard that
+    * must stay exact across returns should OR flags per user instead
+    * of taking the latest row. */
   val FunnelExpiryUs: Long = 4L * FunnelStepBoundUs
 
   /** ST13: streaming funnel tracking — the stream twin of q30_funnel.
@@ -354,12 +360,14 @@ object Streaming {
     * emits the user's current stage flags under the batch rule (stage k
     * reached iff its first event lands strictly after stage k-1's and
     * within 7 days). A dashboard sums the latest flags per user for live
-    * funnel counts. With `expiry = true` (the production mode) a user
-    * idle past [[FunnelExpiryUs]] of EVENT time is dropped once the
-    * watermark passes that horizon — the same deterministic
-    * watermark-clocked expiry as [[sessionize]], bounding state at
-    * O(users active within the horizon); `expiry = false` keeps state
-    * forever so specs can replay unwatermarked planted batches. */
+    * funnel counts. With `expiry = true` a user idle past
+    * [[FunnelExpiryUs]] of EVENT time is dropped once the watermark
+    * passes that horizon — the same deterministic watermark-clocked
+    * expiry as [[sessionize]], bounding state at O(users active within
+    * the horizon) at the cost of the lossy-return caveat documented on
+    * [[FunnelExpiryUs]]; `expiry = false` keeps state (and exactness)
+    * forever, which is also what lets specs replay unwatermarked
+    * planted batches. */
   def funnelStream(events: Dataset[(Long, String, java.sql.Timestamp)],
                    expiry: Boolean = false,
                    watermark: String = "10 minutes"): Dataset[FunnelProgress] = {
@@ -492,7 +500,26 @@ object Streaming {
             if (newDays.isEmpty) Iterator.empty
             else {
               val merged = (old.days ++ newDays).sorted
-              state.update(DauState(merged))
+              // Expiry mode also PRUNES frozen history so a continuously
+              // active user's state is O(window + lateness), not
+              // O(lifetime): a day with a successor that is itself at or
+              // below the watermark day is frozen — its interval can
+              // never re-split (any accepted event has day ≥ the
+              // watermark day, so nothing lands between them) and its
+              // deltas are already-emitted immutable history. Keep from
+              // the LAST day ≤ watermark day (its successor can still
+              // change); correctness is unaffected because pruned days
+              // are absent from both sides of every future before/after
+              // diff, and a duplicate of a pruned day cannot re-enter
+              // (it would be older than the watermark → dropped).
+              val kept =
+                if (!expiry) merged
+                else {
+                  val cutoff = Math.floorDiv(state.getCurrentWatermarkMs(), 86400000L).toInt
+                  val idx = merged.lastIndexWhere(_ <= cutoff)
+                  if (idx <= 0) merged else merged.drop(idx)
+                }
+              state.update(DauState(kept))
               if (expiry)
                 state.setTimeoutTimestamp(math.max(
                   (merged.last.toLong + 1 + DauWindowDays) * 86400000L,

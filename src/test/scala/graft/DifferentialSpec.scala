@@ -29,9 +29,13 @@ class DifferentialSpec extends SparkTestBase {
     case other => other
   }
 
-  private def rowsOf(name: String): Seq[Seq[Any]] = {
+  // multiset of normalized rows — a sort key like mkString("|") would be
+  // ambiguous (a string cell containing the separator can collide), and
+  // collect() order is not comparable across the two executions
+  private def rowsOf(name: String): Map[Seq[Any], Int] = {
     val df = SparkEntry.queries(name)(spark, sfDir)
-    df.collect().toSeq.map(_.toSeq.map(normalize)).sortBy(_.mkString("|"))
+    df.collect().toSeq.map(_.toSeq.map(normalize))
+      .groupBy(identity).view.mapValues(_.size).toMap
   }
 
   test("every gate query returns identical rows with codegen forced OFF") {

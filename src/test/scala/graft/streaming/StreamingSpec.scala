@@ -26,6 +26,22 @@ class StreamingSpec extends SparkTestBase {
     q.stop()
   }
 
+  /** Start `ds` with a foreachBatch sink that collects every (batchId,
+    * row) into a thread-safe buffer — the pattern the stateful-operator
+    * tests need when "latest per key" cannot be recovered from an
+    * unordered memory sink. */
+  private def collectStream[T](ds: org.apache.spark.sql.Dataset[T])
+      : (StreamingQuery, scala.collection.mutable.ArrayBuffer[(Long, T)]) = {
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, T)]()
+    val q = ds.writeStream.outputMode(OutputMode.Update())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[T], id: Long) =>
+        val rows = batch.collect()
+        buf.synchronized { rows.foreach(r => buf += ((id, r))) }
+        ()
+      }.start()
+    (q, buf)
+  }
+
   test("ST1: in-flight validation appends the violations column") {
     val input = MemoryStream[(String, Double)](spark)
     val df = input.toDF().toDF("name", "bal")
@@ -161,14 +177,7 @@ class StreamingSpec extends SparkTestBase {
     }
     val day = 24L * 3600 * 1000000
     val input = MemoryStream[(Long, String, Timestamp)](spark)
-    val buf = scala.collection.mutable.ArrayBuffer[(Long, Streaming.FunnelProgress)]()
-    val q = Streaming.funnelStream(input.toDS())
-      .writeStream.outputMode(OutputMode.Update())
-      .foreachBatch { (ds: org.apache.spark.sql.Dataset[Streaming.FunnelProgress], id: Long) =>
-        val rows = ds.collect()
-        buf.synchronized { rows.foreach(r => buf += ((id, r))) }
-        ()
-      }.start()
+    val (q, buf) = collectStream(Streaming.funnelStream(input.toDS()))
     val batch1 = Seq(
       (1L, "signup", tsUs(0)), (1L, "view", tsUs(1 * day)),          // u1 clean funnel…
       (2L, "view", tsUs(10 * day)), (2L, "signup", tsUs(9 * day)),   // u2 in-batch disorder
@@ -207,14 +216,7 @@ class StreamingSpec extends SparkTestBase {
       events.zipWithIndex.filter(_._2 % 3 == 1).map(_._1),
       events.zipWithIndex.filter(_._2 % 3 == 2).map(_._1))
     val input = MemoryStream[(Long, String, Timestamp)](spark)
-    val buf = scala.collection.mutable.ArrayBuffer[(Long, Streaming.FunnelProgress)]()
-    val q = Streaming.funnelStream(input.toDS())
-      .writeStream.outputMode(OutputMode.Update())
-      .foreachBatch { (ds: org.apache.spark.sql.Dataset[Streaming.FunnelProgress], id: Long) =>
-        val rows = ds.collect()
-        buf.synchronized { rows.foreach(r => buf += ((id, r))) }
-        ()
-      }.start()
+    val (q, buf) = collectStream(Streaming.funnelStream(input.toDS()))
     runBatches(q, input, batches)
     val latest = buf.groupBy(_._2.user_id).map { case (_, rs) => rs.maxBy(_._1)._2 }
     val streamed = (
@@ -229,14 +231,8 @@ class StreamingSpec extends SparkTestBase {
   test("ST14: streaming DAU deltas converge to the batch interval decomposition under late re-splits") {
     def tsd(day: Int): Timestamp = new Timestamp(day * 86400000L)
     val input = MemoryStream[(Long, Timestamp)](spark)
-    val buf = scala.collection.mutable.ArrayBuffer[Streaming.DauDelta]()
-    val q = Streaming.slidingDauStream(input.toDS())
-      .writeStream.outputMode(OutputMode.Update())
-      .foreachBatch { (ds: org.apache.spark.sql.Dataset[Streaming.DauDelta], _: Long) =>
-        val rows = ds.collect()
-        buf.synchronized { rows.foreach(buf += _) }
-        ()
-      }.start()
+    val (q, tagged) = collectStream(Streaming.slidingDauStream(input.toDS()))
+    def buf = tagged.map(_._2)
     // u1 gets days 0 and 20 first (two far intervals), THEN a late day 3
     // lands inside the first window and re-splits [0,6] into [0,2]+[3,9];
     // u2 duplicates a day across batches (no-op); u3 single day
@@ -282,14 +278,8 @@ class StreamingSpec extends SparkTestBase {
       events.zipWithIndex.filter(_._2 % 3 == 1).map(_._1),
       events.zipWithIndex.filter(_._2 % 3 == 2).map(_._1))
     val input = MemoryStream[(Long, Timestamp)](spark)
-    val buf = scala.collection.mutable.ArrayBuffer[Streaming.DauDelta]()
-    val q = Streaming.slidingDauStream(input.toDS())
-      .writeStream.outputMode(OutputMode.Update())
-      .foreachBatch { (ds: org.apache.spark.sql.Dataset[Streaming.DauDelta], _: Long) =>
-        val rows = ds.collect()
-        buf.synchronized { rows.foreach(buf += _) }
-        ()
-      }.start()
+    val (q, tagged) = collectStream(Streaming.slidingDauStream(input.toDS()))
+    def buf = tagged.map(_._2)
     runBatches(q, input, batches)
     val summed = buf.groupBy(_.day).view.mapValues(_.map(_.delta).sum).toMap
     val batchDau = graft.ops.Relational.q31SlidingDau(spark, sfDir)
@@ -336,14 +326,8 @@ class StreamingSpec extends SparkTestBase {
     // the fresh interval [102,108] cannot overlap the emitted [1,7] and
     // the cumulative count at any day stays exact
     val dIn = MemoryStream[(Long, Timestamp)](spark)
-    val buf = scala.collection.mutable.ArrayBuffer[Streaming.DauDelta]()
-    val dq = Streaming.slidingDauStream(dIn.toDS(), expiry = true)
-      .writeStream.outputMode(OutputMode.Update())
-      .foreachBatch { (ds: org.apache.spark.sql.Dataset[Streaming.DauDelta], _: Long) =>
-        val rows = ds.collect()
-        buf.synchronized { rows.foreach(buf += _) }
-        ()
-      }.start()
+    val (dq, dTagged) = collectStream(Streaming.slidingDauStream(dIn.toDS(), expiry = true))
+    def buf = dTagged.map(_._2)
     runBatches(dq, dIn, Seq(
       Seq((1L, tsd(1))),
       Seq((2L, tsd(100))),
@@ -353,6 +337,29 @@ class StreamingSpec extends SparkTestBase {
     // u1 contributes [1,7] and [102,108]; u2 [100,106]∪[101,107] = capped
     // decomposition {[100,100],[101,107]}; nothing overlaps u1's old run
     assert(summed == Map(1 -> 1L, 8 -> -1L, 100 -> 1L, 102 -> 1L, 108 -> -1L, 109 -> -1L))
+  }
+
+  test("ST14 expiry: frozen-prefix prune keeps a continuously active user exact; late pre-watermark days are dropped") {
+    val day = 24L * 3600 * 1000L
+    // events at 01:00 of each day so the 10-min watermark delay stays
+    // inside the same day (cutoff day == max seen day)
+    def tsh(d: Int): Timestamp = new Timestamp(d * day + 3600000L)
+    val dIn = MemoryStream[(Long, Timestamp)](spark)
+    val (dq, tagged) = collectStream(Streaming.slidingDauStream(dIn.toDS(), expiry = true))
+    runBatches(dq, dIn, Seq(
+      Seq((7L, tsh(50)), (7L, tsh(51)), (7L, tsh(52))),  // watermark → day 52; state prunes to {52}
+      (53 to 57).map(d => (7L, tsh(d))),                 // → day 57; prunes to {57}
+      Seq((7L, tsh(59)), (7L, tsh(60))),                 // skip 58; prunes to {59,60}
+      Seq((7L, tsh(58)))))                               // LATE: below the day-59 watermark → dropped
+    val summed = tagged.map(_._2).groupBy(_.day).view
+      .mapValues(_.map(_.delta).sum).filter(_._2 != 0L).toMap
+    // the emitted corrections telescope across prunes to the decomposition
+    // of the TRUE day set WITHOUT the dropped late day — if the prune were
+    // unsound (or the late day re-entered against pruned state) the sums
+    // would diverge at the prune boundaries
+    val expected = Streaming.dauDeltas(((50 to 57) ++ Seq(59, 60)).toList)
+      .filter(_._2 != 0L).map { case (d, v) => d -> v }
+    assert(summed == expected, s"got $summed expected $expected")
   }
 
   test("ST2: file-source stream over the real events table matches the batch window") {
