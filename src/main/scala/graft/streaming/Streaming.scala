@@ -465,6 +465,62 @@ object Streaming {
     * cumulative sum (tiny, calendar-bounded) is the live DAU surface.
     * Retraction-as-negative-delta is the standard incremental-view
     * trick: no per-day user set ever exists anywhere. */
+  /** A ±1 correction to the retention cell (cohort week-start epoch
+    * day, week offset). Downstream per-cell sums ARE the live retention
+    * triangle — the streaming form of q32's (cohort, offset) counts. */
+  final case class RetentionDelta(cohort_day: Int, week_offset: Int, delta: Long)
+
+  /** Per-user retention state: distinct active week-start days, sorted.
+    * Calendar-bounded (≤52/yr) like batch q32's collect_set. */
+  final case class RetentionState(weeks: List[Int])
+
+  private[graft] def retentionCells(weeks: List[Int]): Map[(Int, Int), Long] =
+    weeks match {
+      case Nil => Map.empty
+      case ws =>
+        val cohort = ws.min
+        ws.map(w => (cohort, (w - cohort) / 7) -> 1L).toMap
+    }
+
+  /** ST15: streaming cohort retention — the stream twin of
+    * q32_retention. State is the user's distinct active week-start set;
+    * each update emits the DIFFERENCE between new and old retention
+    * cells as ±1 corrections. A LATE earlier first-week changes the
+    * user's cohort: the old cohort's cells retract (−1) and the new
+    * cohort's cells assert (+1) in one correction batch — downstream
+    * per-cell sums stay exactly the batch triangle under any arrival
+    * order. Same retraction-as-negative-delta algebra as ST14. */
+  def retentionStream(events: Dataset[(Long, java.sql.Timestamp)])
+      : Dataset[RetentionDelta] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[RetentionState, RetentionDelta](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (_, batch, state) =>
+          val old = state.getOption.getOrElse(RetentionState(Nil))
+          val newWeeks = batch.map { e =>
+            val epochDay = Math.floorDiv(
+              Math.floorDiv(e._2.getTime, 1000L) * 1000000L +
+                e._2.getNanos / 1000, 86400000000L)
+            // Monday-start week truncation on epoch days (1970-01-01 was
+            // a Thursday → day 0 belongs to the week starting day -3)
+            (epochDay - Math.floorMod(epochDay + 3, 7L)).toInt
+          }.toSet -- old.weeks
+          if (newWeeks.isEmpty) Iterator.empty
+          else {
+            val merged = (old.weeks ++ newWeeks).sorted
+            state.update(RetentionState(merged))
+            val before = retentionCells(old.weeks)
+            val after = retentionCells(merged)
+            (before.keySet ++ after.keySet).iterator
+              .map { case k @ (c, o) =>
+                RetentionDelta(c, o, after.getOrElse(k, 0L) - before.getOrElse(k, 0L)) }
+              .filter(_.delta != 0L)
+          }
+      }
+  }
+
   /** With `expiry = true` a user idle past `window + watermark` of
     * EVENT time drops their day-set state (watermark-clocked, same as
     * [[sessionize]]). Safe for the delta algebra: emitted deltas are

@@ -362,6 +362,56 @@ class StreamingSpec extends SparkTestBase {
     assert(summed == expected, s"got $summed expected $expected")
   }
 
+  test("ST15: streaming retention retracts the old cohort when an earlier first-week arrives late") {
+    val day = 24L * 3600 * 1000L
+    def tsd(d: Int): Timestamp = new Timestamp(d * day)
+    val input = MemoryStream[(Long, Timestamp)](spark)
+    val (q, tagged) = collectStream(Streaming.retentionStream(input.toDS()))
+    // u1 first appears in the week of day 14 (a Wednesday → week starts
+    // day 11), active again week of day 21 (offset 1); THEN a late event
+    // from the week of day 0 arrives: cohort moves to week -3…day 4's
+    // week (day 0 → week start -3), offsets recompute from the new cohort
+    runBatches(q, input, Seq(
+      Seq((1L, tsd(14)), (1L, tsd(21))),
+      Seq((2L, tsd(14))),
+      Seq((1L, tsd(0)))))
+    val summed = tagged.map(_._2)
+      .groupBy(d => (d.cohort_day, d.week_offset)).view
+      .mapValues(_.map(_.delta).sum).filter(_._2 != 0L).toMap
+    // final truth straight off the pure cell function over the full sets
+    val u1 = Streaming.retentionCells(List(-3, 11, 18))
+    val u2 = Streaming.retentionCells(List(11))
+    val expected = (u1.keySet ++ u2.keySet).map(k =>
+      k -> (u1.getOrElse(k, 0L) + u2.getOrElse(k, 0L))).toMap
+    assert(summed == expected, s"got $summed expected $expected")
+    // and the retraction really happened: u1's original (11, 0) cell was
+    // asserted then withdrawn, so it survives only via u2
+    assert(summed((11, 0)) == 1L)
+  }
+
+  test("ST15: scattered replay of the real events table reproduces q32's retention triangle") {
+    val events = graft.Tables(spark, sfDir, "events")
+      .select(col("user_id"), col("ts"))
+      .as[(Long, Timestamp)].collect().toSeq
+    val batches = Seq(
+      events.zipWithIndex.filter(_._2 % 3 == 0).map(_._1),
+      events.zipWithIndex.filter(_._2 % 3 == 1).map(_._1),
+      events.zipWithIndex.filter(_._2 % 3 == 2).map(_._1))
+    val input = MemoryStream[(Long, Timestamp)](spark)
+    val (q, tagged) = collectStream(Streaming.retentionStream(input.toDS()))
+    runBatches(q, input, batches)
+    val summed = tagged.map(_._2)
+      .groupBy(d => (d.cohort_day, d.week_offset)).view
+      .mapValues(_.map(_.delta).sum).filter(_._2 != 0L).toMap
+    val batchTriangle = graft.ops.Relational.q32Retention(spark, sfDir)
+      .as[(String, Long, Long)].collect()
+      .map { case (cw, off, n) =>
+        (java.time.LocalDate.parse(cw).toEpochDay.toInt, off.toInt) -> n }
+      .toMap
+    assert(summed == batchTriangle, s"stream $summed != batch $batchTriangle")
+    assert(summed.nonEmpty)
+  }
+
   test("ST2: file-source stream over the real events table matches the batch window") {
     // readStream from parquet (the production source shape), windows in
     // Complete mode so every window is present for the full comparison
