@@ -286,6 +286,39 @@ class PropertySpec extends AnyFunSuite {
     }, "funnel fold commutes")
   }
 
+  test("retention cells: one per active week, offsets from the min week, telescoping under any split") {
+    import graft.streaming.Streaming.retentionCells
+    val gen = Gen.nonEmptyListOf(Gen.choose(0, 520)).map(_.distinct.map(_ * 7))
+    check(Prop.forAll(gen) { weeks =>
+      val cells = retentionCells(weeks)
+      val cohort = weeks.min
+      cells.size == weeks.size &&
+        cells.keys.forall { case (c, o) => c == cohort && o >= 0 } &&
+        cells.contains((cohort, 0)) && cells.values.forall(_ == 1L)
+    }, "retention cell shape")
+    // per-batch correction diffs telescope to the final cells under any
+    // 2-cut arrival split (the ST15 invariant, pure form)
+    val gen2 = for {
+      weeks <- Gen.nonEmptyListOf(Gen.choose(0, 520)).map(_.distinct.map(_ * 7))
+      seed <- Gen.choose(Long.MinValue, Long.MaxValue)
+      cuts <- Gen.listOfN(2, Gen.choose(0, weeks.size))
+    } yield (new scala.util.Random(seed).shuffle(weeks), cuts.sorted)
+    check(Prop.forAll(gen2) { case (weeks, Seq(c1, c2)) =>
+      val batches = Seq(weeks.take(c1), weeks.slice(c1, c2), weeks.drop(c2))
+      val (_, acc) = batches.foldLeft((List.empty[Int], Map.empty[(Int, Int), Long])) {
+        case ((seen, sums), b) =>
+          val merged = (seen ++ b).distinct.sorted
+          val before = retentionCells(seen)
+          val after = retentionCells(merged)
+          val diff = (before.keySet ++ after.keySet).map(k =>
+            k -> (after.getOrElse(k, 0L) - before.getOrElse(k, 0L))).toMap
+          (merged, (sums.keySet ++ diff.keySet).map(k =>
+            k -> (sums.getOrElse(k, 0L) + diff.getOrElse(k, 0L))).toMap)
+      }
+      acc.filter(_._2 != 0L) == retentionCells(weeks.distinct.sorted)
+    }, "st15 telescoping")
+  }
+
   test("hash-bucket split is a partition: every key lands in exactly one split") {
     // mirrors Sampling.p1's bucket → split mapping
     def split(bucket: Long): String =
