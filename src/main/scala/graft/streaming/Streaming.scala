@@ -387,11 +387,7 @@ object Streaming {
           val M = Long.MaxValue
           val init = state.getOption.getOrElse(FunnelState(M, M, M, M, Long.MinValue))
           val next = batch.foldLeft(init) { (st, e) =>
-            // exact micros: getTime alone floors to millis, which would
-            // collapse distinct micro-stamps and flip strict > vs batch;
-            // floorDiv (not /) so pre-epoch stamps round the same way
-            // unix_micros does in the batch twin
-            val us = Math.floorDiv(e._3.getTime, 1000L) * 1000000L + e._3.getNanos / 1000
+            val us = tsMicros(e._3)
             val touched = e._2 match {
               case "signup"   => st.copy(t1 = math.min(st.t1, us))
               case "view"     => st.copy(t2 = math.min(st.t2, us))
@@ -423,6 +419,26 @@ object Streaming {
 
   /** Sliding-DAU window length in days — shared with batch q31. */
   val DauWindowDays: Int = 7
+
+  /** Exact micros from a Timestamp: getTime alone floors to millis
+    * (collapsing distinct micro-stamps, flipping strict comparisons vs
+    * batch unix_micros), and `/` instead of floorDiv would round
+    * pre-epoch stamps the wrong way. The ONE copy all stateful
+    * operators share — a past review round fixed this subtlety and a
+    * later one found it re-inlined three times. */
+  private[graft] def tsMicros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+
+  /** Epoch day of a Timestamp under the UTC session clock. */
+  private[graft] def tsEpochDay(t: java.sql.Timestamp): Int =
+    Math.floorDiv(tsMicros(t), 86400000000L).toInt
+
+  /** Keyset-union count diff (after − before), zero entries dropped —
+    * the correction-emission algebra ST14/ST15 share. */
+  private[graft] def diffCounts[K](before: Map[K, Long], after: Map[K, Long]): Map[K, Long] =
+    (before.keySet ++ after.keySet).iterator
+      .map(k => k -> (after.getOrElse(k, 0L) - before.getOrElse(k, 0L)))
+      .filter(_._2 != 0L).toMap
 
   /** A ±1 boundary-delta correction for the sliding-DAU count at
     * `day` (epoch days). Downstream, per-day sums + a cumulative sum
@@ -500,9 +516,7 @@ object Streaming {
         (_, batch, state) =>
           val old = state.getOption.getOrElse(RetentionState(Nil))
           val newWeeks = batch.map { e =>
-            val epochDay = Math.floorDiv(
-              Math.floorDiv(e._2.getTime, 1000L) * 1000000L +
-                e._2.getNanos / 1000, 86400000000L)
+            val epochDay = tsEpochDay(e._2).toLong
             // Monday-start week truncation on epoch days (1970-01-01 was
             // a Thursday → day 0 belongs to the week starting day -3)
             (epochDay - Math.floorMod(epochDay + 3, 7L)).toInt
@@ -511,12 +525,8 @@ object Streaming {
           else {
             val merged = (old.weeks ++ newWeeks).sorted
             state.update(RetentionState(merged))
-            val before = retentionCells(old.weeks)
-            val after = retentionCells(merged)
-            (before.keySet ++ after.keySet).iterator
-              .map { case k @ (c, o) =>
-                RetentionDelta(c, o, after.getOrElse(k, 0L) - before.getOrElse(k, 0L)) }
-              .filter(_.delta != 0L)
+            diffCounts(retentionCells(old.weeks), retentionCells(merged))
+              .iterator.map { case ((c, o), d) => RetentionDelta(c, o, d) }
           }
       }
   }
@@ -548,11 +558,7 @@ object Streaming {
             Iterator.empty
           } else {
             val old = state.getOption.getOrElse(DauState(Nil))
-            val newDays = batch.map { e =>
-              Math.floorDiv(
-                Math.floorDiv(e._2.getTime, 1000L) * 1000000L +
-                  e._2.getNanos / 1000, 86400000000L).toInt
-            }.toSet -- old.days
+            val newDays = batch.map(e => tsEpochDay(e._2)).toSet -- old.days
             if (newDays.isEmpty) Iterator.empty
             else {
               val merged = (old.days ++ newDays).sorted
@@ -580,11 +586,8 @@ object Streaming {
                 state.setTimeoutTimestamp(math.max(
                   (merged.last.toLong + 1 + DauWindowDays) * 86400000L,
                   state.getCurrentWatermarkMs() + 1))
-              val before = dauDeltas(old.days)
-              val after = dauDeltas(merged)
-              (before.keySet ++ after.keySet).iterator
-                .map(d => DauDelta(d, after.getOrElse(d, 0L) - before.getOrElse(d, 0L)))
-                .filter(_.delta != 0L)
+              diffCounts(dauDeltas(old.days), dauDeltas(merged))
+                .iterator.map { case (d, v) => DauDelta(d, v) }
             }
           }
       }

@@ -17,14 +17,17 @@ package graft
   */
 class DifferentialSpec extends SparkTestBase {
 
-  private def normalize(v: Any): Any = v match {
+  private def normalize(v: Any, scale: Int): Any = v match {
     case null => "NULL"
-    case d: Double => if (d.isNaN) "NaN" else BigDecimal(d).setScale(9, BigDecimal.RoundingMode.HALF_EVEN)
-    case f: Float => normalize(f.toDouble)
-    case s: Seq[_] => s.map(normalize)
+    case d: Double =>
+      if (d.isNaN) "NaN"
+      else if (d.isInfinite) if (d > 0) "Inf" else "-Inf" // BigDecimal(Infinity) throws
+      else BigDecimal(d).setScale(scale, BigDecimal.RoundingMode.HALF_EVEN)
+    case f: Float => normalize(f.toDouble, scale)
+    case s: Seq[_] => s.map(normalize(_, scale))
     case m: scala.collection.Map[_, _] =>
-      m.toSeq.map { case (k, x) => (normalize(k), normalize(x)) }.sortBy(_.toString)
-    case r: org.apache.spark.sql.Row => r.toSeq.map(normalize)
+      m.toSeq.map { case (k, x) => (normalize(k, scale), normalize(x, scale)) }.sortBy(_.toString)
+    case r: org.apache.spark.sql.Row => r.toSeq.map(normalize(_, scale))
     case b: Array[Byte] => b.toSeq
     case other => other
   }
@@ -32,9 +35,9 @@ class DifferentialSpec extends SparkTestBase {
   // multiset of normalized rows — a sort key like mkString("|") would be
   // ambiguous (a string cell containing the separator can collide), and
   // collect() order is not comparable across the two executions
-  private def rowsOf(name: String): Map[Seq[Any], Int] = {
+  private def rowsOf(name: String, scale: Int = 9): Map[Seq[Any], Int] = {
     val df = SparkEntry.queries(name)(spark, sfDir)
-    df.collect().toSeq.map(_.toSeq.map(normalize))
+    df.collect().toSeq.map(_.toSeq.map(normalize(_, scale)))
       .groupBy(identity).view.mapValues(_.size).toMap
   }
 
@@ -43,14 +46,25 @@ class DifferentialSpec extends SparkTestBase {
     val baseline = keys.map(k => k -> rowsOf(k)).toMap
     val saved = Seq("spark.sql.codegen.wholeStage", "spark.sql.codegen.factoryMode")
       .map(k => k -> spark.conf.getOption(k)).toMap
-    try {
-      spark.conf.set("spark.sql.codegen.wholeStage", "false")
-      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
-      val diverged = keys.filter(k => rowsOf(k) != baseline(k))
-      assert(diverged.isEmpty,
-        s"codegen vs interpreted divergence in: ${diverged.mkString(", ")}")
-    } finally saved.foreach { case (k, vOpt) =>
-      vOpt.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    def interpreted[A](body: => A): A =
+      try {
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
+        spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+        body
+      } finally saved.foreach { case (k, vOpt) =>
+        vOpt.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+      }
+    val diverged9 = interpreted { keys.filter(k => rowsOf(k) != baseline(k)) }
+    // a 1-ULP difference between the paths can straddle a HALF_EVEN
+    // boundary at scale 9 — re-check apparent divergences at scale 6
+    // (codegen baseline recomputed OUTSIDE interpreted mode, else this
+    // would compare interpreted to interpreted and always pass) so only
+    // real drift, not a rounding-boundary artifact, fails
+    val diverged = diverged9.filter { k =>
+      val base6 = rowsOf(k, scale = 6)
+      interpreted { rowsOf(k, scale = 6) } != base6
     }
+    assert(diverged.isEmpty,
+      s"codegen vs interpreted divergence in: ${diverged.mkString(", ")}")
   }
 }

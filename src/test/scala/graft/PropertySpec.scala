@@ -254,8 +254,8 @@ class PropertySpec extends AnyFunSuite {
       val (_, corrections) = batches.foldLeft((List.empty[Int], Map.empty[Int, Long])) {
         case ((seen, acc), b) =>
           val merged = (seen ++ b).distinct.sorted
-          val diff = (dauDeltas(merged).keySet ++ dauDeltas(seen).keySet).map(d =>
-            d -> (dauDeltas(merged).getOrElse(d, 0L) - dauDeltas(seen).getOrElse(d, 0L))).toMap
+          // the PRODUCTION diff (Streaming.diffCounts), not a re-implementation
+          val diff = graft.streaming.Streaming.diffCounts(dauDeltas(seen), dauDeltas(merged))
           (merged, (acc.keySet ++ diff.keySet).map(d =>
             d -> (acc.getOrElse(d, 0L) + diff.getOrElse(d, 0L))).toMap)
       }
@@ -308,10 +308,8 @@ class PropertySpec extends AnyFunSuite {
       val (_, acc) = batches.foldLeft((List.empty[Int], Map.empty[(Int, Int), Long])) {
         case ((seen, sums), b) =>
           val merged = (seen ++ b).distinct.sorted
-          val before = retentionCells(seen)
-          val after = retentionCells(merged)
-          val diff = (before.keySet ++ after.keySet).map(k =>
-            k -> (after.getOrElse(k, 0L) - before.getOrElse(k, 0L))).toMap
+          val diff = graft.streaming.Streaming.diffCounts(
+            retentionCells(seen), retentionCells(merged))
           (merged, (sums.keySet ++ diff.keySet).map(k =>
             k -> (sums.getOrElse(k, 0L) + diff.getOrElse(k, 0L))).toMap)
       }

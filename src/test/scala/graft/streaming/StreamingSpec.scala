@@ -350,7 +350,7 @@ class StreamingSpec extends SparkTestBase {
       Seq((7L, tsh(50)), (7L, tsh(51)), (7L, tsh(52))),  // watermark → day 52; state prunes to {52}
       (53 to 57).map(d => (7L, tsh(d))),                 // → day 57; prunes to {57}
       Seq((7L, tsh(59)), (7L, tsh(60))),                 // skip 58; prunes to {59,60}
-      Seq((7L, tsh(58)))))                               // LATE: below the day-59 watermark → dropped
+      Seq((7L, tsh(58)))))                               // LATE: below the day-60 watermark (60 01:00 − 10 min) → dropped
     val summed = tagged.map(_._2).groupBy(_.day).view
       .mapValues(_.map(_.delta).sum).filter(_._2 != 0L).toMap
     // the emitted corrections telescope across prunes to the decomposition
@@ -367,10 +367,11 @@ class StreamingSpec extends SparkTestBase {
     def tsd(d: Int): Timestamp = new Timestamp(d * day)
     val input = MemoryStream[(Long, Timestamp)](spark)
     val (q, tagged) = collectStream(Streaming.retentionStream(input.toDS()))
-    // u1 first appears in the week of day 14 (a Wednesday → week starts
-    // day 11), active again week of day 21 (offset 1); THEN a late event
-    // from the week of day 0 arrives: cohort moves to week -3…day 4's
-    // week (day 0 → week start -3), offsets recompute from the new cohort
+    // u1 first appears in the week of day 14 (a Thursday — epoch day 0
+    // was a Thursday → week starts day 11), active again in the week of
+    // day 21 (offset 1); THEN a late event from the week of day 0
+    // arrives: the cohort moves to that week (day 0 → Monday start at
+    // day -3) and offsets recompute from the new cohort
     runBatches(q, input, Seq(
       Seq((1L, tsd(14)), (1L, tsd(21))),
       Seq((2L, tsd(14))),
