@@ -35,6 +35,14 @@ object Tables {
       case org.apache.spark.sql.types.TimestampNTZType =>
         df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
           .cast(org.apache.spark.sql.types.TimestampType))
-      case _ => df
+      case org.apache.spark.sql.types.TimestampType => df
+      case other =>
+        // a THIRD physical encoding must fail here, loudly and named —
+        // not flow downstream to surface as opaque per-query errors
+        // (the exact failure mode of the r9 testdata re-encode)
+        throw new IllegalStateException(
+          s"events.ts read as unexpected type $other (expected LONG nanos, " +
+            "TIMESTAMP_NTZ, or TIMESTAMP) — the testdata encoding drifted " +
+            "again; extend Tables.normalizeEventsTs with an exact conversion")
     }
 }

@@ -470,17 +470,6 @@ object Streaming {
       .flatMap { case (s, e) => Seq(s -> 1L, (e + 1) -> -1L) }
       .groupMapReduce(_._1)(_._2)(_ + _)
 
-  /** ST14: streaming sliding-window distinct users — the stream twin of
-    * q31_sliding_dau. Each user's state is their sorted active-day set;
-    * when a micro-batch adds days, the operator emits the DIFFERENCE
-    * between the new and old interval decompositions as ±1 boundary
-    * deltas. Corrections are additive integers, so ANY arrival order —
-    * including a late day landing between two already-seen days, which
-    * re-splits the user's intervals — converges to exactly the batch
-    * decomposition of the final day set; a downstream per-day sum +
-    * cumulative sum (tiny, calendar-bounded) is the live DAU surface.
-    * Retraction-as-negative-delta is the standard incremental-view
-    * trick: no per-day user set ever exists anywhere. */
   /** A ±1 correction to the retention cell (cohort week-start epoch
     * day, week offset). Downstream per-cell sums ARE the live retention
     * triangle — the streaming form of q32's (cohort, offset) counts. */
@@ -505,7 +494,20 @@ object Streaming {
     * user's cohort: the old cohort's cells retract (−1) and the new
     * cohort's cells assert (+1) in one correction batch — downstream
     * per-cell sums stay exactly the batch triangle under any arrival
-    * order. Same retraction-as-negative-delta algebra as ST14. */
+    * order. Same retraction-as-negative-delta algebra as ST14.
+    *
+    * DELIBERATELY no state expiry (unlike ST14's optional one): a
+    * returning user whose week-set state was dropped would re-derive a
+    * fresh cohort from their next event and re-assert `(cohort', 0)`,
+    * double-counting them in the triangle — ST14's non-overlap proof
+    * does not transfer because retention cells are keyed by the user's
+    * LIFETIME first week, not by disjoint time intervals. Expiry here
+    * is inherently lossy; state is bounded per-user anyway (≤52
+    * week-starts/yr, the same calendar bound as batch q32's
+    * collect_set), so total state grows only with lifetime distinct
+    * users — the price of an exact lifetime-cohort metric. Cap it
+    * operationally by restarting from a batch q32 backfill per
+    * quarter if the user population is unbounded. */
   def retentionStream(events: Dataset[(Long, java.sql.Timestamp)])
       : Dataset[RetentionDelta] = {
     import events.sparkSession.implicits._
@@ -531,7 +533,19 @@ object Streaming {
       }
   }
 
-  /** With `expiry = true` a user idle past `window + watermark` of
+  /** ST14: streaming sliding-window distinct users — the stream twin of
+    * q31_sliding_dau. Each user's state is their sorted active-day set;
+    * when a micro-batch adds days, the operator emits the DIFFERENCE
+    * between the new and old interval decompositions as ±1 boundary
+    * deltas. Corrections are additive integers, so ANY arrival order —
+    * including a late day landing between two already-seen days, which
+    * re-splits the user's intervals — converges to exactly the batch
+    * decomposition of the final day set; a downstream per-day sum +
+    * cumulative sum (tiny, calendar-bounded) is the live DAU surface.
+    * Retraction-as-negative-delta is the standard incremental-view
+    * trick: no per-day user set ever exists anywhere.
+    *
+    * With `expiry = true` a user idle past `window + watermark` of
     * EVENT time drops their day-set state (watermark-clocked, same as
     * [[sessionize]]). Safe for the delta algebra: emitted deltas are
     * immutable history, and by the time the timeout fires the watermark

@@ -28,6 +28,16 @@ class TablesSpec extends SparkTestBase {
     assert(s("value") == DoubleType)
   }
 
+  test("a THIRD unexpected ts encoding fails fast with the type named") {
+    import org.apache.spark.sql.functions.col
+    val weird = Tables(spark, sfDir, "events").withColumn("ts", col("ts").cast(StringType))
+    val ex = intercept[IllegalStateException](Tables.normalizeEventsTs(weird))
+    assert(ex.getMessage.contains("events.ts") && ex.getMessage.contains("StringType"))
+    // TimestampType itself passes through unchanged
+    val ok = Tables.normalizeEventsTs(Tables(spark, sfDir, "events"))
+    assert(ok.schema("ts").dataType == TimestampType)
+  }
+
   test("fact/dim tables present the column types operators compile against") {
     val li = normalized("lineitem")
     assert(li("l_orderkey") == LongType && li("l_quantity") == DoubleType)
