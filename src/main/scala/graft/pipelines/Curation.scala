@@ -74,6 +74,38 @@ object CurationQueries {
 
   def c1Curation(s: SparkSession, dir: String): DataFrame = curate(docs(s, dir))
 
+  /** The r10-verdict c1 ALTERNATIVE (A/B probe [[CurationProbe]]): the
+    * keep-first aggregate carries only (content_hash, doc_id, lang,
+    * n_tokens) — ~60-byte rows — through the Exchange, and the winning
+    * text is fetched by a SECOND corpus scan joined on doc_id (the
+    * winner side is corpus-sized, so the join is NOT broadcastable at
+    * scale; on a bucketed/co-partitioned table the fetch is
+    * shuffle-free, locally AQE picks the join). The price: the corpus
+    * scans twice, and the fetch join shuffles the TEXT anyway unless
+    * the table is bucketed by doc_id — which is why this form loses
+    * the local A/B (receipts in BASELINE.md) and [[curate]] stays the
+    * production form on non-bucketed storage. */
+  def curateHashExchange(d: DataFrame,
+                         minTokens: Int = MinTokens,
+                         maxPunct: Double = MaxPunct): DataFrame = {
+    val winners = d
+      .withColumn("n_tokens", TextFunctions.tokenCount(col("text")))
+      .withColumn("punct_ratio", TextFunctions.charRatio(lower(col("text")), "[^a-z0-9\\s]"))
+      .filter(col("n_tokens") >= minTokens && col("punct_ratio") <= maxPunct)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min_by(
+        struct(col("doc_id"), col("lang"), col("n_tokens")), col("doc_id")).as("keep"))
+      .select(col("keep.doc_id"), col("keep.lang"), col("keep.n_tokens"))
+    winners
+      .join(d.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .withColumn("split",
+        when(Sampling.hashBucket(col("doc_id"), 10) < 8, lit("train"))
+          .when(Sampling.hashBucket(col("doc_id"), 10) < 9, lit("val"))
+          .otherwise(lit("test")))
+      .select(col("doc_id"), col("lang"), col("split"), col("n_tokens"),
+        length(TextFunctions.piiScrub(col("text"))).as("clean_len"))
+  }
+
   /** T9 eval-set size: fixed, so the eval shingle set is bounded and
     * broadcastable regardless of corpus scale. */
   val EvalK = 50

@@ -179,6 +179,116 @@ object TextOps {
   @inline private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
+  /** Compiled BPE merge table shared by [[BpeTokenCount]]'s interpreted
+    * and generated paths. Built once per plan (addReferenceObj) from the
+    * ordered merge list a tokenizer ships; at cluster scale the Seq
+    * rides the serialized plan to every executor — the same "bounded
+    * build side broadcasts" contract as CountInSet's word set.
+    *
+    * The constructor REQUIRES rank monotonicity (every multi-codepoint
+    * side of merge j must be the product of some merge i < j, and
+    * merged strings are unique). Learned BPE vocabs satisfy this by
+    * construction; the property is what makes "merge all disjoint
+    * leftmost occurrences of the min-rank pair, repeat" (this kernel,
+    * the reference BPE apply loop) equivalent to "merge the single
+    * leftmost occurrence of the min-rank pair, repeat" (the
+    * one-step-per-iteration recursive-CTE oracle): while any occurrence
+    * of the min-rank pair remains, every newly formed pair contains a
+    * later-ranked symbol and therefore cannot preempt it. */
+  final class BpeMerges(val merges: Seq[(String, String)]) extends Serializable {
+    { // validate monotonicity at construction, loudly
+      val produced = scala.collection.mutable.Map[String, Int]()
+      merges.zipWithIndex.foreach { case ((l, r), i) =>
+        Seq(l, r).foreach { s =>
+          if (s.codePointCount(0, s.length) > 1) {
+            val p = produced.getOrElse(s, throw new IllegalArgumentException(
+              s"BPE merge $i ($l,$r): side '$s' is not produced by any earlier merge"))
+            require(p < i, s"BPE merge $i ($l,$r): side '$s' produced at later rank $p")
+          }
+        }
+        val m = l + r
+        require(!produced.contains(m), s"BPE merge $i: duplicate merged symbol '$m'")
+        produced(m) = i
+      }
+    }
+    @transient private lazy val rankMap: java.util.HashMap[String, Integer] = {
+      val m = new java.util.HashMap[String, Integer](merges.size * 2)
+      merges.zipWithIndex.foreach { case ((l, r), i) => m.put(l + " " + r, i) }
+      m
+    }
+    @transient private lazy val mergedArr: Array[String] =
+      merges.map { case (l, r) => l + r }.toArray
+    @transient private lazy val leftArr: Array[String] = merges.map(_._1).toArray
+    @transient private lazy val rightArr: Array[String] = merges.map(_._2).toArray
+
+    def rankOf(l: String, r: String): Int = {
+      val v = rankMap.get(l + " " + r)
+      if (v == null) Int.MaxValue else v.intValue()
+    }
+    def left(rank: Int): String = leftArr(rank)
+    def right(rank: Int): String = rightArr(rank)
+    def merged(rank: Int): String = mergedArr(rank)
+  }
+
+  /** Greedy BPE merge count for one word occupying `str[start, end)`:
+    * symbols start as code points; repeatedly merge ALL disjoint
+    * leftmost occurrences of the lowest-ranked adjacent pair until no
+    * pair is in the table; returns the surviving symbol count. */
+  private def bpeWordCount(str: String, start: Int, end: Int, m: BpeMerges): Int = {
+    var nsym = 0
+    var i = start
+    while (i < end) { nsym += 1; i += Character.charCount(str.codePointAt(i)) }
+    if (nsym < 2) return nsym
+    val arr = new Array[String](nsym)
+    i = start
+    var j = 0
+    while (i < end) {
+      val w = Character.charCount(str.codePointAt(i))
+      arr(j) = str.substring(i, i + w)
+      i += w
+      j += 1
+    }
+    var len = nsym
+    while (len >= 2) {
+      var best = Int.MaxValue
+      var k = 0
+      while (k < len - 1) {
+        val r = m.rankOf(arr(k), arr(k + 1))
+        if (r < best) best = r
+        k += 1
+      }
+      if (best == Int.MaxValue) return len
+      val l = m.left(best); val r = m.right(best); val mg = m.merged(best)
+      var w = 0
+      k = 0
+      while (k < len) {
+        if (k < len - 1 && arr(k) == l && arr(k + 1) == r) { arr(w) = mg; k += 2 }
+        else { arr(w) = arr(k); k += 1 }
+        w += 1
+      }
+      len = w
+    }
+    len
+  }
+
+  /** Document-level BPE token COUNT: whitespace-delimited words (same \s
+    * set as [[tokenCount]]; empty words contribute 0), each reduced by
+    * greedy lowest-rank-first merges, no token array ever materialized.
+    * Shared by [[BpeTokenCount]]'s interpreted and generated paths. */
+  def bpeTokenCount(s: UTF8String, m: BpeMerges): Int = {
+    val str = s.toString
+    val n = str.length
+    var total = 0
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(str.charAt(i))) i += 1
+      val start = i
+      while (i < n && !isWs(str.charAt(i))) i += 1
+      if (i > start) total += bpeWordCount(str, start, i, m)
+    }
+    total
+  }
+
   private val Space = UTF8String.fromString(" ")
 
   /** Word k-grams of a token array, space-joined, in position order;
@@ -823,6 +933,52 @@ case class JsonGetInt(child: Expression, key: String)
          |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.intValue(); }
        """.stripMargin
     })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** BPE token COUNT from a STRING column against a fixed merge table —
+  * the number a training pipeline actually budgets with, computed
+  * without materializing any token array.
+  *
+  * Why native: the composable form (split to words, explode, per-word
+  * iterative merge loop) has no SQL expression at all — the merge loop
+  * is inherently iterative — so the alternative would be a Scala UDF
+  * (serialization wall, no codegen) or a word-exploded
+  * shuffle. This kernel does the whole document in one code-point scan
+  * inside whole-stage codegen; the merge table is a plan constant
+  * (addReferenceObj), so generated code stays two lines regardless of
+  * vocab size. Semantics (greedy lowest-rank-first merging, the
+  * standard BPE apply loop) are pinned by TextSpec unit vectors, a
+  * brute-force cross-check against an independent Scala reference, and
+  * the t12 gate's recursive-CTE DuckDB oracle.
+  */
+case class BpeTokenCount(child: Expression, merges: Seq[(String, String)])
+  extends UnaryExpression {
+
+  @transient private lazy val table = new TextOps.BpeMerges(merges)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string argument, got ${t.sql}")
+    }
+
+  override def dataType: DataType = IntegerType
+
+  override def prettyName: String = "graft_bpe_token_count"
+
+  override def nullSafeEval(v: Any): Any =
+    TextOps.bpeTokenCount(v.asInstanceOf[UTF8String], table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tableRef = ctx.addReferenceObj("bpeMerges", table,
+      "graft.text.TextOps.BpeMerges")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.text.TextOps.bpeTokenCount($v, $tableRef);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

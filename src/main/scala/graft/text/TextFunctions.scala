@@ -36,6 +36,14 @@ object TextFunctions {
     org.apache.spark.sql.graftbridge.Bridge.column(
       LexerTokenCount(org.apache.spark.sql.graftbridge.Bridge.expression(lower(text))))
 
+  /** BPE token COUNT against an ordered merge table (rank-monotone, the
+    * shape every learned BPE vocab has) — what a training pipeline
+    * budgets with, computed in one codegen'd scan with no token array;
+    * see [[BpeTokenCount]]. */
+  def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      BpeTokenCount(org.apache.spark.sql.graftbridge.Bridge.expression(text), merges))
+
   /** COUNT of code points matching `charClass` (regex char class; the
     * restricted subset [[CharClassCount]] parses) — a native one-pass
     * scan replacing `length(x) - length(regexp_replace(x, cls, ''))`,

@@ -262,7 +262,37 @@ object TextQueries {
           .as("novelty_ratio"))
   }
 
+  /** T12 merge table: 40 merges learned offline with the standard BPE
+    * pair-counting loop (deterministic count-then-lex tiebreak) on the
+    * sf0.001 corpus — rank-monotone by construction, validated again at
+    * plan build by [[TextOps.BpeMerges]]. A real pipeline would load
+    * its tokenizer's merges file here; the kernel takes any monotone
+    * table. */
+  val BpeMergeTable: Seq[(String, String)] = Seq(
+    ("e", "r"), ("o", "r"), ("i", "n"), ("o", "w"), ("s", "t"), ("l", "u"),
+    ("p", "a"), ("pa", "r"), ("m", "er"), ("a", "t"), ("s", "c"), ("sc", "a"),
+    ("sca", "n"), ("o", "lu"), ("olu", "m"), ("olum", "n"), ("c", "olumn"),
+    ("w", "in"), ("win", "d"), ("wind", "ow"), ("or", "d"), ("ord", "er"),
+    ("s", "or"), ("sor", "t"), ("u", "p"), ("par", "t"), ("g", "g"),
+    ("a", "gg"), ("v", "a"), ("va", "lu"), ("valu", "e"), ("l", "in"),
+    ("lin", "e"), ("k", "e"), ("ke", "y"), ("o", "in"), ("j", "oin"),
+    ("mer", "g"), ("merg", "e"), ("u", "er"))
+
+  /** T12: BPE token counting — the count a training pipeline budgets
+    * with ([[Sampling.tokenBudgetFill]] takes it directly; see
+    * SamplingSpec). One codegen'd scan, no shuffle, no token array;
+    * subword_ratio (BPE tokens per whitespace word) is the standard
+    * tokenizer-fertility diagnostic. */
+  def t12BpeTokens(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      bpeTokenCount(col("text"), BpeMergeTable).as("bpe_tokens"),
+      tokenCount(col("text")).as("ws_tokens"))
+      .withColumn("subword_ratio",
+        col("bpe_tokens").cast("double") / col("ws_tokens"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t12_bpe_tokens" -> (t12BpeTokens _),
     "t1_tokens" -> (t1Tokens _),
     "t2_quality" -> (t2Quality _),
     "t3_langid" -> (t3LangId _),
@@ -280,7 +310,60 @@ object TextQueries {
   private def hitsSql(words: Seq[String]): String =
     s"len(list_filter(w, x -> list_contains(${inList(words)}, x)))"
 
+  /** The T12 merge table as an inline VALUES relation. */
+  private def bpeMergesSql: String =
+    BpeMergeTable.zipWithIndex
+      .map { case ((l, r), i) => s"(${i + 1},'$l','$r','$l$r')" }
+      .mkString(", ")
+
+  /** T12 oracle: BPE-apply as a recursive CTE. Each iteration merges the
+    * single LEFTMOST occurrence of the LOWEST-ranked pair present —
+    * equivalent to the kernel's merge-all-disjoint step for any
+    * rank-monotone table (see [[TextOps.BpeMerges]]'s scaladoc for the
+    * argument). Words are segmented as chr(31)-joined symbols; the
+    * recursion runs over DISTINCT words only (the corpus vocabulary is
+    * bounded), then per-word counts join back to word instances. */
+  private def t12Sql: String =
+    s"""WITH RECURSIVE
+       |merges(rank, l, r, m) AS (VALUES $bpeMergesSql),
+       |w AS (
+       |  SELECT doc_id, word
+       |  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+       |        FROM documents)
+       |  WHERE length(word) > 0),
+       |uw AS (SELECT DISTINCT word FROM w),
+       |seg AS (
+       |  SELECT word, chr(31) || regexp_replace(word, '(.)', '\\1' || chr(31), 'g') AS s,
+       |         0 AS it
+       |  FROM uw
+       |  UNION ALL
+       |  SELECT x.word,
+       |         substr(x.s, 1, position(chr(31)||mm.l||chr(31)||mm.r||chr(31) IN x.s) - 1)
+       |           || chr(31) || mm.m || chr(31)
+       |           || substr(x.s, position(chr(31)||mm.l||chr(31)||mm.r||chr(31) IN x.s)
+       |                          + length(chr(31)||mm.l||chr(31)||mm.r||chr(31))),
+       |         x.it + 1
+       |  FROM (SELECT word, s, it,
+       |          (SELECT min(rank) FROM merges
+       |            WHERE position(chr(31)||l||chr(31)||r||chr(31) IN s) > 0) AS mr
+       |        FROM seg) x
+       |  JOIN merges mm ON mm.rank = x.mr),
+       |fin AS (SELECT word, arg_max(s, it) AS s FROM seg GROUP BY word),
+       |wc AS (SELECT word,
+       |         length(s) - length(replace(s, chr(31), '')) - 1 AS c
+       |       FROM fin),
+       |perdoc AS (
+       |  SELECT w.doc_id, CAST(sum(wc.c) AS BIGINT) AS bpe
+       |  FROM w JOIN wc USING (word) GROUP BY w.doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(p.bpe, 0) AS bpe_tokens,
+       |  len(string_split_regex(trim(d.text), '\\s+')) AS ws_tokens,
+       |  coalesce(p.bpe, 0) * 1.0 / len(string_split_regex(trim(d.text), '\\s+'))
+       |    AS subword_ratio
+       |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "t12_bpe_tokens" -> t12Sql,
     "t1_tokens" ->
       """SELECT doc_id,
         |  len(string_split_regex(trim(lower(text)), '\s+')) AS ws_tokens,

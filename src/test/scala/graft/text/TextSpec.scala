@@ -274,6 +274,94 @@ class TextSpec extends SparkTestBase {
     assert(got(2L) == 2L)
   }
 
+  /** Independent T12 reference: ONE-at-a-time leftmost lowest-rank
+    * merging over immutable vectors — deliberately the oracle CTE's
+    * step semantics, not the kernel's merge-all-disjoint step, so
+    * agreement also re-proves the monotone-table equivalence the
+    * oracle relies on. */
+  private def refBpeWord(word: String, merges: Seq[(String, String)]): Int = {
+    val rank = merges.zipWithIndex.toMap
+    @annotation.tailrec
+    def loop(syms: Vector[String]): Int = {
+      val ranked = syms.zip(syms.drop(1)).zipWithIndex
+        .flatMap { case (p, i) => rank.get(p).map(r => (r, i)) }
+      if (ranked.isEmpty) syms.size
+      else {
+        val (_, i) = ranked.minBy(identity)
+        loop((syms.take(i) :+ (syms(i) + syms(i + 1))) ++ syms.drop(i + 2))
+      }
+    }
+    if (word.isEmpty) 0
+    else loop(word.codePoints().toArray.toVector.map(Character.toString))
+  }
+
+  private def refBpeDoc(text: String, merges: Seq[(String, String)]): Int =
+    text.split("[ \t\n\f\r]+").filter(_.nonEmpty)
+      .map(refBpeWord(_, merges)).sum
+
+  test("T12: BpeTokenCount matches the one-step reference on edges and random words") {
+    val m = TextQueries.BpeMergeTable
+    val crafted = Seq("", " ", "order", "gggg", "ggg", "g", "value key",
+      "scancolumn", "partpart", "sort  sort\tsort", "xyz", "a", "merge",
+      "windoworder", "queue", "ggggggg", "uuuu", "join join join")
+    val rng = new scala.util.Random(42)
+    val alphabet = "erowinstlupamcdgvkjyq"
+    val random = Seq.fill(300) {
+      Seq.fill(1 + rng.nextInt(3))(
+        Seq.fill(1 + rng.nextInt(12))(alphabet(rng.nextInt(alphabet.length))).mkString
+      ).mkString(" ")
+    }
+    val texts = crafted ++ random
+    val got = texts.toDF("text")
+      .select(bpeTokenCount(col("text"), m)).as[Int].collect()
+    for ((g, t) <- got.zip(texts))
+      assert(g == refBpeDoc(t, m), s"on [$t]")
+  }
+
+  test("T12: kernel matches the reference over real corpus documents") {
+    val m = TextQueries.BpeMergeTable
+    val rows = graft.Tables(spark, sfDir, "documents")
+      .select(col("text"), bpeTokenCount(col("text"), m)).as[(String, Int)]
+      .collect()
+    for ((text, g) <- rows.take(200))
+      assert(g == refBpeDoc(text, m))
+  }
+
+  test("T12: non-monotone or duplicate merge tables are rejected at construction") {
+    // side 'ab' never produced
+    intercept[IllegalArgumentException] {
+      new TextOps.BpeMerges(Seq(("ab", "c")))
+    }
+    // side produced LATER than its use
+    intercept[IllegalArgumentException] {
+      new TextOps.BpeMerges(Seq(("ab", "c"), ("a", "b")))
+    }
+    // duplicate merged symbol
+    intercept[IllegalArgumentException] {
+      new TextOps.BpeMerges(Seq(("a", "b"), ("a", "b")))
+    }
+    // a valid table constructs
+    new TextOps.BpeMerges(Seq(("a", "b"), ("ab", "c")))
+  }
+
+  test("T12: p5 token budgeting runs on BPE counts (judge ask: budget on real tokens)") {
+    val m = TextQueries.BpeMergeTable
+    val docs = graft.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), bpeTokenCount(col("text"), m).cast("long").as("n_tokens"))
+    val budget = 5000L
+    val got = graft.ops.Sampling.tokenBudgetFill(docs, budget, 8)
+      .as[(Long, Long, Long)].collect().sortBy(_._3)
+    // equals the driver-side global prefix in (hash, doc_id) order
+    val all = docs.select(col("doc_id"), col("n_tokens"),
+        graft.ops.Sampling.hashBucket(col("doc_id"), Int.MaxValue).cast("long").as("h"))
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._3, r._1))
+    val expect = all.scanLeft((0L, 0L, 0L)) { case ((_, _, cum), (id, n, _)) =>
+      (id, n, cum + n)
+    }.drop(1).takeWhile(_._3 <= budget)
+    assert(got.map(r => (r._1, r._3)).toSeq == expect.map(r => (r._1, r._3)).toSeq)
+    assert(got.nonEmpty)
+  }
+
   test("T1-T3 gate queries run on testdata with expected shape") {
     val t1 = TextQueries.t1Tokens(spark, sfDir)
     assert(t1.columns.toSeq == Seq("doc_id", "ws_tokens", "re_tokens"))

@@ -1,0 +1,181 @@
+#!/usr/bin/env python3
+"""Scale the driver-generated testdata by integer replication with
+key-space shifting — the sf1.0 receipts generator (round-11 judge ask).
+
+Usage: python3 tools/scale_data.py <src_sf_dir> <dst_dir> [REP=10]
+
+Method (documented in BASELINE.md "sf1 scale sweep"):
+- dims region/nation copy verbatim (TPC-H dims don't scale);
+- every other table is replicated REP times with each key column
+  shifted by r * stride (stride = max(key)+1), and FK columns shifted
+  by the SAME stride as their parent, so referential structure and
+  per-key fan-outs are exactly preserved at 10x cardinality;
+- name-like unique text columns get a '#r<r>' suffix for r>0 so
+  name-grouped results stay 10x, not merged;
+- documents: replica r>0 passes every token through a replica-specific
+  VOCABULARY ROTATION (a bijection on the corpus vocabulary). This
+  preserves, per replica, the exact token-frequency shape, document
+  lengths (up to token-length drift), boilerplate/near-dup planted
+  structure, and chunk repetition — while making cross-replica Jaccard
+  ~0, so the corpus dup-RATE stays constant as the corpus grows 10x
+  (replicating text verbatim would instead turn every doc into a
+  10-way duplicate cluster and blow the pair count quadratically);
+- embeddings: replica r>0 applies an ORTHOGONAL transform (component
+  rotation by r + deterministic sign flips keyed on (r, i)). Within a
+  replica all norms and pairwise cosines are exactly preserved (planted
+  near-dup pairs and cluster geometry scale 10x); across replicas the
+  sign flips decorrelate even structured directions, so near-dup pair
+  counts scale linearly, not quadratically.
+
+Everything is deterministic — no RNG, all seeds are (r, index) hashes —
+so the dataset is reproducible byte-for-byte from the sf0.1 inputs.
+Writes through DuckDB => TIMESTAMP(MICROS, no-UTC) parquet, the same
+family the round-10 testdata ships and graft.Tables normalizes.
+"""
+import os
+import re
+import sys
+import hashlib
+
+import duckdb
+
+REP_DEFAULT = 10
+
+
+def copy(con, src, dst, table):
+    con.sql(f"COPY (SELECT * FROM read_parquet('{src}/{table}.parquet')) "
+            f"TO '{dst}/{table}.parquet' (FORMAT PARQUET)")
+
+
+def stride(con, src, table, key):
+    return con.sql(
+        f"SELECT max({key})+1 FROM read_parquet('{src}/{table}.parquet')"
+    ).fetchone()[0]
+
+
+def replicate(con, src, dst, table, select_exprs, rep):
+    """Write REP key-shifted replicas; `r` ranges over 0..REP-1 in exprs."""
+    sql = (f"COPY (SELECT {select_exprs} "
+           f"FROM read_parquet('{src}/{table}.parquet') "
+           f"CROSS JOIN range({rep}) t(r)) "
+           f"TO '{dst}/{table}.parquet' (FORMAT PARQUET)")
+    con.sql(sql)
+
+
+def suffixed(col):
+    """name#r<r> for r>0 — keeps name-keyed groupings 10x, not merged."""
+    return f"CASE WHEN r = 0 THEN {col} ELSE {col} || '#r' || r END AS {col}"
+
+
+TOKEN_SPLIT = re.compile(r"(\s+)")
+
+
+def write_documents(con, src, dst, rep, sd):
+    rows = con.sql(
+        f"SELECT doc_id, text, lang, source FROM "
+        f"read_parquet('{src}/documents.parquet') ORDER BY doc_id").fetchall()
+    vocab = sorted({t for _, text, _, _ in rows
+                    for t in TOKEN_SPLIT.split(text)[::2] if t})
+    index = {t: i for i, t in enumerate(vocab)}
+    n = len(vocab)
+    import pandas as pd
+    recs = []
+    for r in range(rep):
+        off = (r * 7919) % n
+        for doc_id, text, lang, source in rows:
+            if r == 0 or off == 0:
+                new = text
+            else:
+                parts = TOKEN_SPLIT.split(text)
+                for i in range(0, len(parts), 2):
+                    if parts[i]:
+                        parts[i] = vocab[(index[parts[i]] + off) % n]
+                new = "".join(parts)
+            recs.append((doc_id + r * sd, new, lang, source, len(new)))
+    df = pd.DataFrame.from_records(
+        recs, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    con.register("docs_py", df)
+    con.sql(f"COPY (SELECT doc_id, text, lang, source, n_chars FROM docs_py) "
+            f"TO '{dst}/documents.parquet' (FORMAT PARQUET)")
+    con.unregister("docs_py")
+
+
+def sign(r, i):
+    """Deterministic ±1 from (r, i); ~half negative. r=0 => +1."""
+    if r == 0:
+        return 1.0
+    h = hashlib.md5(f"{r}:{i}".encode()).digest()[0]
+    return 1.0 if h & 1 else -1.0
+
+
+def write_embeddings(con, src, dst, rep, sv):
+    rows = con.sql(
+        f"SELECT vec_id, embedding, label FROM "
+        f"read_parquet('{src}/embeddings.parquet') ORDER BY vec_id").fetchall()
+    import pandas as pd
+    import numpy as np
+    recs = []
+    for r in range(rep):
+        dim = len(rows[0][1])
+        signs = np.array([sign(r, i) for i in range(dim)], dtype=np.float32)
+        for vec_id, emb, label in rows:
+            v = np.asarray(emb, dtype=np.float32)
+            if r > 0:
+                v = np.roll(v, r % dim) * signs
+            recs.append((vec_id + r * sv, v.tolist(), label))
+    df = pd.DataFrame.from_records(recs, columns=["vec_id", "embedding", "label"])
+    con.register("emb_py", df)
+    con.sql(f"COPY (SELECT vec_id, CAST(embedding AS FLOAT[]) AS embedding, "
+            f"label FROM emb_py) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)")
+    con.unregister("emb_py")
+
+
+def main():
+    src, dst = sys.argv[1], sys.argv[2]
+    rep = int(sys.argv[3]) if len(sys.argv) > 3 else REP_DEFAULT
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    con.sql("SET threads TO 16")
+
+    sc = stride(con, src, "customer", "c_custkey")
+    ss = stride(con, src, "supplier", "s_suppkey")
+    sp = stride(con, src, "part", "p_partkey")
+    so = stride(con, src, "orders", "o_orderkey")
+    se = stride(con, src, "events", "event_id")
+    su = stride(con, src, "events", "user_id")
+    sd = stride(con, src, "documents", "doc_id")
+    sv = stride(con, src, "embeddings", "vec_id")
+
+    copy(con, src, dst, "region")
+    copy(con, src, dst, "nation")
+    replicate(con, src, dst, "customer",
+              f"c_custkey + r*{sc} AS c_custkey, {suffixed('c_name')}, "
+              "c_nationkey, c_acctbal, c_mktsegment", rep)
+    replicate(con, src, dst, "supplier",
+              f"s_suppkey + r*{ss} AS s_suppkey, {suffixed('s_name')}, "
+              "s_nationkey, s_acctbal", rep)
+    replicate(con, src, dst, "part",
+              f"p_partkey + r*{sp} AS p_partkey, {suffixed('p_name')}, "
+              "p_brand, p_type, p_size, p_retailprice", rep)
+    replicate(con, src, dst, "orders",
+              f"o_orderkey + r*{so} AS o_orderkey, o_custkey + r*{sc} AS o_custkey, "
+              "o_orderstatus, o_totalprice, o_orderdate, o_orderpriority", rep)
+    replicate(con, src, dst, "lineitem",
+              f"l_orderkey + r*{so} AS l_orderkey, l_partkey + r*{sp} AS l_partkey, "
+              f"l_suppkey + r*{ss} AS l_suppkey, l_linenumber, l_quantity, "
+              "l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, "
+              "l_shipdate", rep)
+    replicate(con, src, dst, "events",
+              f"event_id + r*{se} AS event_id, ts, user_id + r*{su} AS user_id, "
+              "event_type, value, props", rep)
+    write_documents(con, src, dst, rep, sd)
+    write_embeddings(con, src, dst, rep, sv)
+
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"]:
+        n = con.sql(f"SELECT count(*) FROM read_parquet('{dst}/{t}.parquet')").fetchone()[0]
+        print(f"{t}: {n}")
+
+
+if __name__ == "__main__":
+    main()
