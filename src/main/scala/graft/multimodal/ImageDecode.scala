@@ -77,4 +77,41 @@ object ImageIoDecoder extends MediaDecoder {
     val n = math.max(1, w * h).toDouble
     counts.map(_ / n)
   }
+
+  /** (sum, count) luminance grid over the decoded pixels — pixel (x, y)
+    * lands in cell (y·rows/h, x·cols/w); integer BT.601 luma like
+    * [[luminanceHistogram]]. Feeds [[Multimodal.dHashBits]] for the
+    * REAL-pixel perceptual hash (X5's production path; the gate query
+    * uses the payload-byte grid for oracle reproducibility). */
+  def luminanceGrid(img: java.awt.image.BufferedImage,
+                    rows: Int = Multimodal.DHashRows,
+                    cols: Int = Multimodal.DHashCols): (Array[Long], Array[Long]) = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val sums = new Array[Long](rows * cols)
+    val counts = new Array[Long](rows * cols)
+    var y = 0
+    while (y < h) {
+      val r = ((y.toLong * rows) / h).toInt
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+        val k = r * cols + ((x.toLong * cols) / w).toInt
+        sums(k) += lum
+        counts(k) += 1
+        x += 1
+      }
+      y += 1
+    }
+    (sums, counts)
+  }
+
+  /** Perceptual dHash of a decoded image — [[luminanceGrid]] through
+    * [[Multimodal.dHashBits]]; None for undecodable bytes. */
+  def dHash(payload: Array[Byte]): Option[Long] =
+    decode(payload).map { img =>
+      val (s, c) = luminanceGrid(img)
+      Multimodal.dHashBits(s, c)
+    }
 }

@@ -124,6 +124,89 @@ object Multimodal {
       .take(maxFrames)
       .map(off => payload.slice(off, math.min(off + frameLen, payload.length)))
 
+  /** dHash grid shape: 8 rows × 9 cols of cells → 8 comparisons per row
+    * × 8 rows = 64 hash bits. */
+  val DHashRows = 8
+  val DHashCols = 9
+
+  /** (sum, count) byte grid over a payload — [[resizeStub]]'s positional
+    * bucketing at dHash shape: position i of n lands in cell i·72/n.
+    * Integer sums, no floats, so both engines agree bit-for-bit. */
+  def byteGrid(payload: Array[Byte]): (Array[Long], Array[Long]) = {
+    val cells = DHashRows * DHashCols
+    val sums = new Array[Long](cells)
+    val counts = new Array[Long](cells)
+    val n = payload.length
+    var i = 0
+    while (i < n) {
+      val k = (i.toLong * cells / n).toInt
+      sums(k) += payload(i) & 0xff
+      counts(k) += 1
+      i += 1
+    }
+    (sums, counts)
+  }
+
+  /** 64-bit difference hash from a (sum, count) grid: bit r·8+c is set
+    * iff cell(r,c)'s mean exceeds cell(r,c+1)'s — compared by integer
+    * cross-multiplication (s₁·c₂ > s₂·c₁), so no float ever decides a
+    * bit. Empty cells (count 0 — payload shorter than the grid) compare
+    * as mean 0. Shared by the payload path ([[dHash]]) and the real
+    * pixel path ([[ImageIoDecoder]]'s luminance grid). */
+  def dHashBits(sums: Array[Long], counts: Array[Long]): Long = {
+    var h = 0L
+    var r = 0
+    while (r < DHashRows) {
+      var c = 0
+      while (c < DHashCols - 1) {
+        val k1 = r * DHashCols + c
+        val k2 = k1 + 1
+        if (sums(k1) * counts(k2) > sums(k2) * counts(k1))
+          h |= 1L << (r * (DHashCols - 1) + c)
+        c += 1
+      }
+      r += 1
+    }
+    h
+  }
+
+  /** Perceptual difference hash of a media payload (the stub-decode
+    * analogue; a real image pipeline feeds [[dHashBits]] the decoded
+    * luminance grid instead — see ImageDecode.luminanceGrid). */
+  def dHash(payload: Array[Byte]): Long = {
+    val (s, c) = byteGrid(payload)
+    dHashBits(s, c)
+  }
+
+  /** X5 pair-search parameters: 4 bands of 16 bits (any pair within
+    * hamming 3 is guaranteed a shared band; beyond that recall decays,
+    * the same contract as d3), bucket cap shared with the dedup pack.
+    * The gate corpus is text-derived with no planted image near-dups
+    * (min candidate hamming measured 14 at sf0.01), so like d5 the gate
+    * threshold (16) is chosen to surface real positives and prove PAIR
+    * semantics, not an empty intersection; planted-duplicate semantics
+    * at a production threshold (≤6) are covered in MultimodalSpec on
+    * the REAL ImageIO pixel path. */
+  val DHashBands = 4
+  val DHashMaxHamming = 16
+
+  /** X5 gate query: image near-duplicate detection — dHash per record
+    * (map-side, decoder-seam shape) then the EXACT banding machinery d3
+    * uses ([[graft.dedup.Dedup.simhashPairs]]): band buckets via one
+    * grouped aggregate (no self-join, no all-pairs), hamming verify on
+    * in-bucket pairs only. The multimodal pack's features now feed the
+    * dedup pack — X joins D. */
+  def x5ImageNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = buildMedia(Tables(s, dir, "documents")).as[MediaRecord]
+    val sig = media
+      .mapPartitions(it => it.map(m => (m.doc_id, dHash(m.payload))))
+      .toDF("doc_id", "simhash")
+    graft.dedup.Dedup.simhashPairs(sig, "doc_id", bits = 64,
+      numBands = DHashBands, maxHamming = DHashMaxHamming,
+      maxBucket = graft.dedup.DedupQueries.MaxBucket)
+  }
+
   /** X1 gate query: metadata plumbing end-to-end (oracle-checked — the
     * md5-derived dims and byte lengths reproduce in DuckDB exactly). */
   def x1MultimodalMeta(s: SparkSession, dir: String): DataFrame =
@@ -179,7 +262,52 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_multimodal_meta" -> (x1MultimodalMeta _),
     "x2_multimodal_features" -> (x2MultimodalFeatures _),
-    "x3_frame_sample" -> (x3FrameSample _))
+    "x3_frame_sample" -> (x3FrameSample _),
+    "x5_image_near_dup" -> (x5ImageNearDup _))
+
+  /** X5 oracle: the dHash + banding pipeline in integer SQL — per-cell
+    * (sum, count) via FILTERed aggregates over byte positions (corpus
+    * is ASCII, pinned like x2/x3), cross-multiplied mean comparisons
+    * into the 64-bit signature, then d3's band/bucket/hamming chain.
+    * Bit 63's power is written as the two's-complement min literal; the
+    * term order keeps every partial sum in BIGINT range. */
+  private def x5Sql: String = {
+    val cells = DHashRows * DHashCols
+    val aggCols = (0 until cells).map(k =>
+      s"coalesce(sum(v) FILTER (WHERE k = $k), 0) AS s$k, " +
+        s"count(*) FILTER (WHERE k = $k) AS c$k").mkString(",\n    ")
+    val bitTerms = (for (r <- 0 until DHashRows; c <- 0 until DHashCols - 1) yield {
+      val k1 = r * DHashCols + c
+      val k2 = k1 + 1
+      val j = r * (DHashCols - 1) + c
+      val pow = if (j == 63) "(-9223372036854775807 - 1)" else s"${1L << j}"
+      s"(CASE WHEN s$k1 * c$k2 > s$k2 * c$k1 THEN $pow ELSE 0 END)"
+    }).mkString("\n      + ")
+    val bandSelects = (0 until DHashBands).map { b =>
+      s"SELECT doc_id, s, $b AS band_idx, (s >> ${b * 16}) & 65535 AS band_val FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH pos AS (
+       |  SELECT doc_id, text, length(text) AS n, unnest(range(0, length(text))) AS i
+       |  FROM documents),
+       |ch AS (SELECT doc_id, (i * $cells) // n AS k,
+       |    unicode(substr(text, (i + 1)::INT, 1)) AS v FROM pos),
+       |g AS (SELECT doc_id,
+       |    $aggCols
+       |  FROM ch GROUP BY doc_id),
+       |sig AS (SELECT doc_id, CAST($bitTerms AS BIGINT) AS s FROM g),
+       |bands AS (
+       |  $bandSelects),
+       |sized AS (SELECT band_idx, band_val FROM bands GROUP BY 1, 2
+       |  HAVING count(*) BETWEEN 2 AND ${graft.dedup.DedupQueries.MaxBucket})
+       |SELECT a, b, hamming FROM (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+       |    bit_count(xor(x.s, y.s)) AS hamming
+       |  FROM bands x
+       |  JOIN sized z ON x.band_idx = z.band_idx AND x.band_val = z.band_val
+       |  JOIN bands y ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+       |  WHERE x.doc_id < y.doc_id)
+       |WHERE hamming <= $DHashMaxHamming""".stripMargin
+  }
 
   /** DuckDB reproduction of the 16-bin byte histogram: document text is
     * ASCII in this corpus (verified at every SF), so unicode(char) ==
@@ -208,6 +336,7 @@ object Multimodal {
         |  octet_length(encode(text)) AS n_bytes
         |FROM documents""".stripMargin,
     "x2_multimodal_features" -> histOracle,
+    "x5_image_near_dup" -> x5Sql,
     "x3_frame_sample" ->
       s"""WITH f AS (SELECT doc_id, text,
          |    unnest(range(0, octet_length(encode(text)), $FrameStride)[1:$MaxFrames]) AS off

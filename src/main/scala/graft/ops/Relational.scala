@@ -86,13 +86,19 @@ object Relational {
   /** R6: conditional aggregation (TPC-H Q14 flavour). part is SF-scaled
     * (SF×200k rows) so no broadcast hint — shuffle join on partkey, AQE
     * free to pick broadcast only when runtime stats say the side is small. */
+  /** Revenue in exact scaled-integer space like q4: the float-sum form
+    * diverged from DuckDB in the 11th significant digit at sf1 (3e11
+    * magnitude, summation-order rounding) — integers cannot. */
   def q6CondAgg(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .withColumn("rev_e4",
+        round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long")))
       .agg(
-        round(sum(when(col("p_type") === lit("PROMO"),
-          col("l_extendedprice") * (lit(1.0) - col("l_discount"))).otherwise(lit(0.0))), 2).as("promo_revenue"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("total_revenue"))
+        (sum(when(col("p_type") === lit("PROMO"), col("rev_e4")).otherwise(lit(0L)))
+          / lit(10000.0)).as("promo_revenue"),
+        (sum(col("rev_e4")) / lit(10000.0)).as("total_revenue"))
 
   /** R7: windowed rank per bounded partition (per-customer, never global). */
   def q7WindowRank(s: SparkSession, dir: String): DataFrame = {
@@ -706,11 +712,15 @@ object Relational {
         |  JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name""".stripMargin,
     "q6_cond_agg" ->
-      """SELECT
-        |  round(sum(CASE WHEN p_type = 'PROMO'
-        |    THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END), 2) AS promo_revenue,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue
-        |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin,
+      """WITH r AS (SELECT p_type,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_e4
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey)
+        |SELECT
+        |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_e4 ELSE 0 END) AS BIGINT)
+        |    / 10000.0 AS promo_revenue,
+        |  CAST(sum(rev_e4) AS BIGINT) / 10000.0 AS total_revenue
+        |FROM r""".stripMargin,
     "q7_window_rank" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

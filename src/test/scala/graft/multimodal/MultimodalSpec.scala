@@ -122,4 +122,54 @@ class MultimodalSpec extends SparkTestBase {
     for (y <- 0 until 3; x <- 0 until 5)
       assert((img.getRGB(x, y) & 0xffffff) == ((x * 40 << 16) | (y * 80 << 8) | 7))
   }
+
+  private def gray(v: Int): Int = { val g = v & 0xff; (g << 16) | (g << 8) | g }
+
+  test("X5: real-pixel dHash — near-identical PNGs collide, inverted PNG is far") {
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val base = pngBytes(64, 48)((x, y) => gray(x * 7 + y * 13))
+    // same image with a small corner patch changed — perceptually near-identical
+    val near = pngBytes(64, 48)((x, y) =>
+      if (x < 3 && y < 3) gray(255) else gray(x * 7 + y * 13))
+    val inverted = pngBytes(64, 48)((x, y) => gray(255 - (x * 7 + y * 13) % 256))
+    val hb = ImageIoDecoder.dHash(base).get
+    val hn = ImageIoDecoder.dHash(near).get
+    val hi = ImageIoDecoder.dHash(inverted).get
+    assert(ImageIoDecoder.dHash(base.clone()).get == hb) // deterministic
+    assert(ham(hb, hn) <= 6, s"near-identical pair at hamming ${ham(hb, hn)}")
+    assert(ham(hb, hi) >= 32, s"inverted image too close: ${ham(hb, hi)}")
+    // undecodable bytes: None, not a throw
+    assert(ImageIoDecoder.dHash(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("X5: banding finds planted near-dups at the production threshold; plan has no join") {
+    import spark.implicits._
+    // planted: 1 and 2 differ by one bit (guaranteed shared band), 3 is far
+    val sigs = Seq(
+      (1L, 0x0123456789abcdefL),
+      (2L, 0x0123456789abcdeeL),
+      (3L, 0x7edcba9876543210L),
+      (4L, 0x0123456789abcdefL)) // exact dup of 1
+      .toDF("doc_id", "simhash")
+    val pairs = graft.dedup.Dedup.simhashPairs(sigs, "doc_id", bits = 64,
+      numBands = Multimodal.DHashBands, maxHamming = 6, maxBucket = 100)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((1L, 2L, 1), (1L, 4L, 0), (2L, 4L, 1)))
+    // grouped-bucket shape: no join operator anywhere in the plan
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("join"), s"unexpected join in:\n$plan")
+  }
+
+  test("X5: gate query pairs are upper-triangle within threshold; exact payloads hash equal") {
+    val out = Multimodal.x5ImageNearDup(spark, sfDir).collect()
+    out.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getInt(2) <= Multimodal.DHashMaxHamming)
+    }
+    val p = "some payload bytes".getBytes("UTF-8")
+    assert(Multimodal.dHash(p) == Multimodal.dHash(p.clone()))
+    // payload grid: sums/counts cover every byte exactly once
+    val (s, c) = Multimodal.byteGrid(p)
+    assert(c.sum == p.length && s.sum == p.map(_ & 0xff).map(_.toLong).sum)
+  }
 }
