@@ -54,8 +54,8 @@ object PureExpr {
     case "lambda" =>
       val params = elems(n, "parameters").map(p => p.get("name").asText())
       val body = elems(n, "body")
-      require(body.size == 1, s"expected single-expression lambda body, got ${body.size}")
-      PLambda(params, parse(body.head))
+      require(body.nonEmpty, "expected non-empty lambda body")
+      PLambda(params, desugarLets(body.map(parse)))
     case "func" =>
       PFunc(n.get("function").asText(), elems(n, "parameters").map(parse))
     case "property" =>
@@ -84,6 +84,57 @@ object PureExpr {
   }
 
   def quote(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** Substitute every free occurrence of the variable `$v` in `e` with
+    * `repl`. Lambdas whose parameter list rebinds `v` keep their own
+    * binding (standard capture-avoiding scoping; the replacement itself
+    * is already fully resolved by [[desugarLets]], so it can never
+    * capture a lambda parameter of `e`). */
+  def substVar(e: PureExpr, v: String, repl: PureExpr): PureExpr = e match {
+    case PVar(`v`)       => repl
+    case PProperty(r, n) => PProperty(substVar(r, v, repl), n)
+    case PFunc(f, ps)    => PFunc(f, ps.map(substVar(_, v, repl)))
+    case PCollection(vs) => PCollection(vs.map(substVar(_, v, repl)))
+    case PLambda(params, b) if !params.contains(v) =>
+      PLambda(params, substVar(b, v, repl))
+    case other => other
+  }
+
+  /** Desugar a multi-statement lambda body — `let` bindings followed by
+    * one result expression — into that single expression with every
+    * binding inlined (round-11 widening: the protocol emits one
+    * `letFunction` node per `let x = ...;` statement, with the variable
+    * name as a string literal first parameter).
+    *
+    * Each binding's value is resolved against the bindings before it, so
+    * sequential references (`let b = $a + 1`) and rebinding (`let a =
+    * $a * 2`) both work; the final environment therefore holds fully
+    * let-free values, and the result expression substitutes them in any
+    * order. Inlining duplicates a value used N times — safe because the
+    * translated subset is query-deterministic (see PureToSql.at()), and
+    * bounded because constraint/derivation bodies are small by
+    * construction. Anything other than a letFunction before the last
+    * statement is a statement whose value is discarded — PURE allows
+    * side-effecting statements there, graft's subset has none, so that
+    * shape rejects loudly. */
+  def desugarLets(stmts: Seq[PureExpr]): PureExpr = {
+    require(stmts.nonEmpty, "empty statement sequence")
+    var env = Vector.empty[(String, PureExpr)]
+    def resolve(e: PureExpr): PureExpr =
+      env.foldLeft(e) { case (acc, (v, value)) => substVar(acc, v, value) }
+    stmts.init.foreach {
+      case PFunc("letFunction", Seq(PLit(name), value)) =>
+        val v = name.stripPrefix("'").stripSuffix("'")
+        env = env.filterNot(_._1 == v) :+ (v -> resolve(value))
+      case other => throw new IllegalArgumentException(
+        s"only `let` statements may precede a lambda body's result expression, got $other")
+    }
+    stmts.last match {
+      case PFunc("letFunction", _) => throw new IllegalArgumentException(
+        "a lambda body must end in a result expression, not a `let` statement")
+      case last => resolve(last)
+    }
+  }
 }
 
 /** Scalar-expression renderer: PURE AST → entity-space Spark SQL. */
@@ -159,12 +210,38 @@ object PureToSql {
     // (mod(-12, 5) = 3) — Spark's pmod
     case "rem" => call("mod", ps, rv)
     case "mod" => call("pmod", ps, rv)
-    // scalar max/min over a pair or collection literal → greatest/least
+    // scalar max/min: over a pair or collection literal → greatest/least;
+    // over a single collection-typed value (a [0..*] property, an
+    // ArrayType column in table space) → array_max/array_min
     // (the aggregation forms are handled by the service translator)
     case "max" | "min" =>
-      val flat = ps.flatMap { case PCollection(vs) => vs; case other => Seq(other) }
-      require(flat.size >= 2, s"scalar $f needs at least two values")
-      call(if (f == "max") "greatest" else "least", flat, rv)
+      ps match {
+        case Seq(PCollection(Seq(one))) => scalar(one, rv) // max of one value
+        case Seq(one) if !one.isInstanceOf[PCollection] =>
+          s"array_$f(${scalar(one, rv)})"
+        case _ =>
+          val flat = ps.flatMap { case PCollection(vs) => vs; case other => Seq(other) }
+          call(if (f == "max") "greatest" else "least", flat, rv)
+      }
+    // round-11 widening: collection folds over a [0..*] property in
+    // scalar context (`$this.scores->sum() > 10`), rendered as Spark's
+    // codegen'd higher-order aggregate. The accumulator is DOUBLE —
+    // graft has no static type context here, and a DOUBLE seed accepts
+    // every numeric element type (an integer-typed PURE sum would stay
+    // integral in the engine; the difference can't change a comparison's
+    // truth value). average of an empty collection is NULL by an
+    // explicit size guard — PURE errors there, but a row-level error
+    // would abort the whole validation scan under graft's ANSI-default
+    // sessions, so the per-row NULL verdict (row excluded by WHERE
+    // three-valued logic) is the faithful relational rendering.
+    case "sum" =>
+      require(ps.size == 1, "scalar sum(collection)")
+      s"aggregate(${scalar(ps.head, rv)}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    case "average" | "mean" =>
+      require(ps.size == 1, s"scalar $f(collection)")
+      val arr = scalar(ps.head, rv) // inlined thrice — deterministic subset, see at()
+      s"(CASE WHEN size($arr) = 0 THEN CAST(NULL AS DOUBLE) " +
+        s"ELSE aggregate($arr, CAST(0 AS DOUBLE), (acc, x) -> acc + x) / size($arr) END)"
     // multiplicity [0..1] properties map to nullable columns, so PURE's
     // emptiness checks are null checks in table space
     case "isEmpty" => s"(${scalar(ps.head, rv)} IS NULL)"

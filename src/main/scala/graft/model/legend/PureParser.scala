@@ -32,9 +32,10 @@ import graft.model.{GraftModel, GraftService}
   *              | IDENT '(' args ')'                   @ prefix call
   *              | path                                 @ element pointer
   *   args      := (lambda | expr) (',' (lambda | expr))*
-  *   lambda    := IDENT (',' IDENT)* '|' expr
-  *              | '{' IDENT (',' IDENT)* '|' expr '}'
-  *              | '|' expr                             @ zero-arg thunk
+  *   lambda    := IDENT (',' IDENT)* '|' body
+  *              | '{' IDENT (',' IDENT)* '|' body '}'
+  *              | '|' body                             @ zero-arg thunk
+  *   body      := ('let' IDENT '=' expr ';')* expr ';'?  @ lets inlined
   *   collection:= '[' args? ']'
   *   path      := IDENT ('::' IDENT)*
   *   literal   := INT | FLOAT | STRING | 'true' | 'false' | '%' DATE
@@ -182,16 +183,16 @@ object PureParser {
         eat("{")
         lambdaTail(closeBrace = true) match {
           case Some(l) => l
-          case None    => pos = save; expr() // not a lambda: no `{` form in exprs → will fail loudly
+          case None    => pos = save; bodyExpr() // not a lambda: no `{` form in exprs → will fail loudly
         }
       } else if (peekIs("|")) { // zero-arg thunk (if-branches)
         eat("|")
-        PLambda(Nil, expr())
+        PLambda(Nil, bodyExpr())
       } else {
         val save = pos
         lambdaTail(closeBrace = false) match {
           case Some(l) => l
-          case None    => pos = save; expr()
+          case None    => pos = save; bodyExpr()
         }
       }
     }
@@ -217,9 +218,40 @@ object PureParser {
       // `||` is the or-operator, not a lambda separator: `false || x`
       // must backtrack to an expression, not commit to params=[false]
       if (peekIs("||") || !eat("|")) return None
-      val body = expr()
+      val body = bodyExpr()
       if (closeBrace) expect("}")
       Some(PLambda(params.toSeq, body))
+    }
+
+    /** A lambda body: `let` statements followed by one result expression
+      * (round-11 widening, mirroring the protocol's multi-statement
+      * bodies — desugared through the same [[PureExpr.desugarLets]], so
+      * both front ends inline bindings identically). An optional
+      * trailing `;` after the result expression is accepted (PURE's
+      * multi-statement blocks terminate every statement). A bare `let`
+      * identifier followed by `(` is a prefix call, not a binding. */
+    private def bodyExpr(): PureExpr = {
+      val stmts = scala.collection.mutable.ArrayBuffer.empty[PureExpr]
+      while ({
+        skipWs()
+        identAt(pos).contains("let") && {
+          val after = pos + 3
+          var i = after
+          while (i < text.length && text(i).isWhitespace) i += 1
+          i > after && identAt(i).isDefined // `let x` — not `let(`, not `lettuce`
+        }
+      }) {
+        pos += 3
+        val name = ident()
+        expect("=")
+        val value = expr()
+        expect(";")
+        stmts += PureExpr.PFunc("letFunction",
+          Seq(PureExpr.PLit(PureExpr.quote(name)), value))
+      }
+      stmts += expr()
+      eat(";") // optional terminator on the result statement
+      PureExpr.desugarLets(stmts.toSeq)
     }
 
     private def expr(): PureExpr = or()

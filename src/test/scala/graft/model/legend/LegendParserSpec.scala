@@ -229,4 +229,93 @@ class LegendParserSpec extends SparkTestBase {
       s"$Employee->getAll()->filter(x|$$x.sme == databricks::entity::sme.Scala)")
     assert(sql.contains("sme = 'Scala'"), sql)
   }
+
+  // ------------------------------------------------------------------ //
+  // round-11 widening: let bindings + scalar collection aggregates
+  // (the two highest-frequency constructs beyond the vendored corpus —
+  // see SURVEY §2.1 M13/M16 rejection-frontier note)
+  // ------------------------------------------------------------------ //
+
+  test("let bindings: textual statements desugar by inlining, both front ends agree") {
+    // sequential reference and rebinding, per PURE's sequencing
+    val ast = PureParser.parse("{x | let a = $x.qty + 1; let b = $a * 2; $b - $a}")
+    val aPlus1 = PFunc("plus", Seq(PProperty(PVar("x"), "qty"), PLit("1")))
+    assert(ast == PLambda(Seq("x"), PFunc("minus",
+      Seq(PFunc("times", Seq(aPlus1, PLit("2"))), aPlus1))), ast)
+
+    // the protocol front end (one letFunction node per statement) parses
+    // to the IDENTICAL desugared AST — one AST, two front ends
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+    val wire = mapper.readTree(
+      """{"_type":"lambda","parameters":[{"name":"x"}],"body":[
+        |{"_type":"func","function":"letFunction","parameters":[
+        |  {"_type":"string","values":["a"]},
+        |  {"_type":"func","function":"plus","parameters":[
+        |    {"_type":"property","property":"qty","parameters":[{"_type":"var","name":"x"}]},
+        |    {"_type":"integer","values":[1]}]}]},
+        |{"_type":"func","function":"letFunction","parameters":[
+        |  {"_type":"string","values":["b"]},
+        |  {"_type":"func","function":"times","parameters":[
+        |    {"_type":"var","name":"a"},{"_type":"integer","values":[2]}]}]},
+        |{"_type":"func","function":"minus","parameters":[
+        |  {"_type":"var","name":"b"},{"_type":"var","name":"a"}]}]}""".stripMargin)
+    assert(PureExpr.parse(wire) == ast)
+
+    // rebinding resolves against the prior binding, not itself
+    // (top-level unbraced statement form, as entity JSON carries bodies)
+    assert(PureParser.parse("let a = 1; let a = $a + 1; $a") ==
+      PFunc("plus", Seq(PLit("1"), PLit("1"))))
+
+    // a body may not END in a let, and only lets may precede the result
+    intercept[IllegalArgumentException](PureParser.parse("{x | let a = 1;}"))
+    // `let(` is a prefix call, `lettuce` an identifier — not bindings
+    assert(PureParser.parse("lettuce(1)") == PFunc("lettuce", Seq(PLit("1"))))
+  }
+
+  test("let bindings execute end-to-end in a constraint position") {
+    // top-level (unbraced) constraint-body form, as entity JSON carries it
+    val sql = PureToSql.lambda(PureParser.parse(
+      "let lo = 10; let hi = $lo * 20; $this.highFives >= $lo && $this.highFives <= $hi"))
+    val rows = Seq(5, 10, 150, 200, 201).toDF("highFives")
+    assert(rows.filter(sql).collect().map(_.getInt(0)).toSeq == Seq(10, 150, 200))
+  }
+
+  test("scalar collection aggregates render to codegen'd array functions and evaluate") {
+    val df = Seq((Seq(3, 1, 2), 1), (Seq.empty[Int], 2)).toDF("scores", "id")
+    def sqlOf(p: String) = PureToSql.lambda(PureParser.parse(p))
+    assert(sqlOf("$this.scores->max()") == "array_max(scores)")
+    assert(sqlOf("$this.scores->min()") == "array_min(scores)")
+    val out = df.selectExpr(
+      s"${sqlOf("$this.scores->sum()")} AS s",
+      s"${sqlOf("$this.scores->average()")} AS m",
+      s"${sqlOf("$this.scores->max()")} AS mx").orderBy("id").collect()
+    assert(out(0).getDouble(0) == 6.0 && out(0).getDouble(1) == 2.0 && out(0).getInt(2) == 3)
+    // empty collection: sum 0 (fold seed), average NULL (0/0), max NULL
+    assert(out(1).getDouble(0) == 0.0 && out(1).isNullAt(1) && out(1).isNullAt(2))
+    // the pairwise/collection-literal forms keep their greatest/least
+    // rendering, and max of a one-element literal is the element
+    assert(sqlOf("max([$this.a, $this.b, 3])") == "greatest(a, b, 3)")
+    assert(sqlOf("max([$this.a])") == "a")
+  }
+
+  test("rejection frontier: the documented still-unsupported constructs fail loudly") {
+    // The round-11 frontier survey (every corpus lambda + every
+    // reference test string parses clean — proven above and in
+    // LegendRealCorpusSpec). What real-world PURE remains OUTSIDE the
+    // subset is pinned here so the boundary is executable documentation:
+    // each construct must reject at load time, not mistranslate.
+    val stillRejected = Seq(
+      "$this.items->fold({a, b | $a + $b}, 0)",       // explicit fold (use sum)
+      "meta::pure::functions::lang::eval(f, 1)",      // function-pointer eval
+      "$this->cast(@databricks::entity::sme)",        // @-type cast
+      "$this.sme->subType(@SomeClass)",               // subtype narrowing
+      "Person.all($businessDate)")                    // milestoned getAll
+    for (s <- stillRejected) {
+      val r = scala.util.Try {
+        val ast = PureParser.parse(s)
+        PureToSql.lambda(ast) // must throw by this point if parse allowed it
+      }
+      assert(r.isFailure, s"expected [$s] to reject, got ${r.getOrElse("")}")
+    }
+  }
 }
