@@ -177,25 +177,68 @@ object Streaming {
     * out to both destinations (the micro-batch is cached for the two
     * writes, then released). Violation rules ride along in the
     * quarantine table so reprocessing knows WHY each row was held.
-    * Append-only writes: each micro-batch lands atomically per sink,
-    * and a replayed batch appends duplicates rather than corrupting —
-    * pair with ST4 dedup upstream for exactly-once-per-content. */
+    *
+    * EXACTLY-ONCE (round-11): both sinks are partitioned by
+    * [[BatchIdColumn]] and written with dynamic partition overwrite, so
+    * a batch replayed after a sink-completed-but-checkpoint-uncommitted
+    * failure REWRITES its own partition instead of appending
+    * duplicates — idempotent at any crash point, because overwrite of
+    * the same partition with the same (deterministic) batch content is
+    * a no-op. The batch-id partition column doubles as ingest lineage
+    * and keeps the overwrite file-local (a replay touches only that
+    * partition's files, never the table). StreamingSpec replays a batch
+    * through [[governedIngestBatch]] and asserts zero duplicates. */
   def governedIngest(stream: DataFrame,
                      rules: Seq[(String, String)],
                      cleanTable: String,
-                     quarantineTable: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+                     quarantineTable: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      governedIngestBatch(batch, batchId, rules, cleanTable, quarantineTable)
+    }
+
+  /** The batch-id lineage/idempotence partition column of ST8's sinks. */
+  val BatchIdColumn = "_batch_id"
+
+  /** ST8's per-micro-batch body, exposed so the replay contract is
+    * directly testable: calling this twice with the same `batchId` and
+    * the same rows — exactly what Spark does when a failure lands
+    * between sink completion and checkpoint commit — leaves both
+    * tables unchanged after the second call. */
+  private[graft] def governedIngestBatch(batch: DataFrame, batchId: Long,
+      rules: Seq[(String, String)], cleanTable: String,
+      quarantineTable: String): Unit = {
     import graft.model.Validator
-    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      val validated = Validator.validate(batch, rules).cache()
-      try {
-        validated
-          .filter(size(col(Validator.ViolationColumn)) === 0)
-          .drop(Validator.ViolationColumn)
-          .write.mode("append").format("parquet").saveAsTable(cleanTable)
-        validated
-          .filter(size(col(Validator.ViolationColumn)) > 0)
-          .write.mode("append").format("parquet").saveAsTable(quarantineTable)
-      } finally { validated.unpersist(); () }
+    val validated = Validator.validate(batch, rules)
+      .withColumn(BatchIdColumn, lit(batchId)).cache()
+    try {
+      landBatchPartition(validated
+        .filter(size(col(Validator.ViolationColumn)) === 0)
+        .drop(Validator.ViolationColumn), cleanTable)
+      landBatchPartition(validated
+        .filter(size(col(Validator.ViolationColumn)) > 0), quarantineTable)
+    } finally { validated.unpersist(); () }
+  }
+
+  /** Land one micro-batch's rows (already carrying [[BatchIdColumn]])
+    * idempotently: first batch creates the partitioned table, later
+    * batches INSERT OVERWRITE only the partitions present in the data
+    * (dynamic mode), so a replay replaces its own earlier attempt. */
+  private def landBatchPartition(df: DataFrame, table: String): Unit = {
+    val spark = df.sparkSession
+    if (!spark.catalog.tableExists(table))
+      df.write.partitionBy(BatchIdColumn).format("parquet").saveAsTable(table)
+    else {
+      // session-conf form: the per-write option spelling is not honored
+      // on this insertInto path, and a static overwrite would wipe every
+      // earlier batch's partition — restore the previous value after
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "dynamic")
+      try df.write.mode("overwrite").insertInto(table)
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
     }
   }
 
@@ -207,17 +250,43 @@ object Streaming {
     * search — results stay consistent mid-stream) and every append
     * writes under the table's bucket spec, so probe-side bucket pruning
     * keeps firing as the corpus grows. The operator carries NO streaming
-    * state: the bucketed index table IS the state, and a replayed batch
-    * appends duplicate rows rather than corrupting the layout (pair
-    * with ST4 upstream for exactly-once-per-vector). Centroid drift
-    * under a shifting stream shows up in [[graft.sim.IvfIndex.listSizes]]
-    * skew — the rebuild trigger, exactly as in the batch world. */
+    * state: the bucketed index table IS the state.
+    *
+    * IDEMPOTENT REPLAY (round-11): applied batch ids are recorded in a
+    * tiny side table (`<index>_ingest_log`, one row per batch) written
+    * AFTER the data append; a replayed batch id is skipped, so the
+    * standard failure mode — sink completed, checkpoint commit did not —
+    * appends nothing twice. The residual window is a crash BETWEEN the
+    * data append and the log append within one micro-batch, which
+    * replays that one batch's rows (at-least-once for exactly that
+    * window); duplicate index rows degrade probe ranking not at all
+    * (same neighbor twice) and the window closes for real only with a
+    * transactional table format — the TableFormat/Delta seam (M9/M14)
+    * is where that lands. The log check is O(batches), not O(corpus).
+    * Centroid drift under a shifting stream shows up in
+    * [[graft.sim.IvfIndex.listSizes]] skew — the rebuild trigger,
+    * exactly as in the batch world. */
   def ivfMaintain(vectors: DataFrame, index: graft.sim.IvfIndex.Handle,
                   idCol: String, vecCol: String):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    vectors.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      graft.sim.IvfIndex.append(index, batch, idCol, vecCol)
+    vectors.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      ivfMaintainBatch(batch, batchId, index, idCol, vecCol)
     }
+
+  /** ST10's per-micro-batch body (see [[ivfMaintain]]); exposed so the
+    * replay contract is directly testable. */
+  private[graft] def ivfMaintainBatch(batch: DataFrame, batchId: Long,
+      index: graft.sim.IvfIndex.Handle, idCol: String, vecCol: String): Unit = {
+    val spark = batch.sparkSession
+    val log = index.table + "_ingest_log"
+    val applied = spark.catalog.tableExists(log) &&
+      !spark.table(log).filter(col("batch_id") === batchId).isEmpty
+    if (!applied) {
+      graft.sim.IvfIndex.append(index, batch, idCol, vecCol)
+      spark.range(1).select(lit(batchId).as("batch_id"))
+        .write.mode("append").format("parquet").saveAsTable(log)
+    }
+  }
 
   /** ST7: stream-static enrichment join — every streamed row picks up
     * its dimension attributes. The static side is broadcast (explicit

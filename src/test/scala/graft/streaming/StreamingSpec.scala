@@ -540,6 +540,20 @@ class StreamingSpec extends SparkTestBase {
     assert(quarantined.keySet == Set(2L, 4L))
     assert(quarantined(2L) == Seq("[name] is mandatory"))
     assert(quarantined(4L) == Seq("positive balance"))
+    // batch-id lineage rides in the sink's partition column
+    assert(spark.table("st8_clean").select(Streaming.BatchIdColumn)
+      .as[Long].collect().toSet == Set(0L, 1L))
+
+    // EXACTLY-ONCE: replay micro-batch 1 — the post-failure rerun Spark
+    // performs when the sink completed but the checkpoint didn't — and
+    // assert both tables are byte-identical, not doubled
+    val before = (spark.table("st8_clean").count(), spark.table("st8_quarantine").count())
+    Streaming.governedIngestBatch(
+      Seq((3L, "fine", 1.0), (4L, "neg", -2.0)).toDF("id", "name", "bal"),
+      batchId = 1L, rules, "st8_clean", "st8_quarantine")
+    assert((spark.table("st8_clean").count(), spark.table("st8_quarantine").count()) == before,
+      "replayed batch must overwrite its own partition, not append duplicates")
+    assert(spark.table("st8_clean").select("id").as[Long].collect().toSet == Set(1L, 3L))
     spark.sql("DROP TABLE IF EXISTS st8_clean")
     spark.sql("DROP TABLE IF EXISTS st8_quarantine")
   }
@@ -552,7 +566,7 @@ class StreamingSpec extends SparkTestBase {
       loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
       ()
     }
-    resetTable("st10_ivf")
+    resetTable("st10_ivf"); resetTable("st10_ivf_ingest_log")
     val vecs = graft.Tables(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
     val base = vecs.filter(col("vec_id") % 5 =!= 0)
@@ -601,7 +615,19 @@ class StreamingSpec extends SparkTestBase {
     // streamed vectors are actually probe-visible (some neighbor id % 5 == 0
     // exists in the corpus-wide top-k of some query or at least the table)
     assert(baseCount < vecs.count())
+
+    // IDEMPOTENT REPLAY: re-running an already-logged batch id appends
+    // nothing (the ingest log recorded it), a NEW batch id appends once
+    val total = spark.table(idx.table).count()
+    val replay = late.take(3).toDF("vec_id", "embedding")
+    Streaming.ivfMaintainBatch(replay, batchId = 0L, idx, "vec_id", "embedding")
+    assert(spark.table(idx.table).count() == total, "replayed batch id must be skipped")
+    Streaming.ivfMaintainBatch(replay, batchId = 99L, idx, "vec_id", "embedding")
+    assert(spark.table(idx.table).count() == total + 3)
+    assert(spark.table("st10_ivf_ingest_log").select("batch_id").as[Long]
+      .collect().toSet.contains(99L))
     spark.sql("DROP TABLE IF EXISTS st10_ivf")
+    spark.sql("DROP TABLE IF EXISTS st10_ivf_ingest_log")
   }
 
   test("ST7: stream-static enrichment matches the batch join; unmatched rows survive") {
