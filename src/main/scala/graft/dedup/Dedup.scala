@@ -142,13 +142,17 @@ object Dedup {
 
   /** Duplicate-group resolution (D6): connected components over the
     * near-dup pair graph, so each duplicate cluster elects one canonical
-    * keeper (the minimum id). Iterative min-label propagation — the
-    * standard distributed-CC shape (each round: every node takes the min
-    * label among itself and its neighbours; converges in O(diameter)
-    * rounds, and near-dup clusters have tiny diameters). Per round: one
-    * join + one aggregate; `localCheckpoint` cuts the growing lineage so
-    * round N doesn't replan rounds 1..N-1. The driver-side loop only
-    * ever moves one scalar (the convergence count). */
+    * keeper (the minimum id). Iterative min-label propagation WITH
+    * synchronous pointer jumping — each round every node takes the min
+    * of its own label, its neighbours' labels, and its label's label,
+    * so convergence is O(log diameter) rounds for ANY topology (plain
+    * neighbor-min is O(diameter): fine for clique-shaped near-dup
+    * buckets, catastrophic for a drifting chain of versioned documents
+    * — DedupSpec pins both counts on a planted path). Per round: two
+    * joins + one aggregate; `localCheckpoint` cuts the growing lineage
+    * so round N doesn't replan rounds 1..N-1. The driver-side loop only
+    * ever moves one scalar (the convergence count), and a cap-out
+    * throws instead of returning partially merged labels. */
   /** The min-label fixpoint of [[duplicateGroups]] as a raw (id, label)
     * relation — the input to both the group summary and the APPLY pass
     * (label == id ⟺ the id is its cluster's canonical keeper). */
@@ -188,7 +192,14 @@ object Dedup {
     * when the application's checkpoint dir is removed. */
   val ReliableCheckpointKey = "graft.dedup.reliableCheckpoint"
 
-  private def labelPropagation(pairs: DataFrame, maxIterations: Int): DataFrame = {
+  private def labelPropagation(pairs: DataFrame, maxIterations: Int): DataFrame =
+    labelPropagationCounted(pairs, maxIterations)._1
+
+  /** [[labelPropagation]] plus the round count it converged in — the
+    * round-11 worst-case receipt surface (DedupSpec pins the count on a
+    * planted path graph, the diameter-maximal topology). */
+  private[graft] def labelPropagationCounted(
+      pairs: DataFrame, maxIterations: Int): (DataFrame, Int) = {
     val spark = pairs.sparkSession
     val sc = spark.sparkContext
     val reliable = spark.conf.get(ReliableCheckpointKey, "false").toBoolean
@@ -224,6 +235,19 @@ object Dedup {
         .join(labels, edges("b") === labels("id"))
         .groupBy(edges("a").as("nid"))
         .agg(min(col("label")).as("nlabel"))
+      // Synchronous pointer jumping (round-11): alongside the one-hop
+      // neighbor min, every node also takes its label's label —
+      // L'(v) = min(L(v), min_{u∈N(v)} L(u), L(L(v))). The jump doubles
+      // the distance a min has traveled per round, so convergence is
+      // O(log diameter) instead of O(diameter) — the difference between
+      // 12 rounds and 4096 on a drifting-near-dup chain (DedupSpec pins
+      // this on a planted path). The lookup side is the label table
+      // itself (unique pid per row); the label-keyed shuffle of the
+      // left side concentrates a converged component's members on its
+      // min-label key — AQE's skew-join split handles that, and the
+      // per-round win dominates. `labels` is checkpointed, so scanning
+      // it twice costs block-manager reads, not plan re-execution.
+      val jumped = labels.select(col("id").as("pid"), col("label").as("plabel"))
       // The convergence count rides the SAME job that materializes the
       // new labels: observe() attaches a zero-shuffle aggregate to the
       // plan, and the eager localCheckpoint inside `checkpointed` is the
@@ -233,9 +257,13 @@ object Dedup {
       val (updated, updatedBlocks) = checkpointed(
         labels
           .join(neighborMin, labels("id") === col("nid"), "left")
-          .select(col("id"),
-            least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
-            (coalesce(col("nlabel"), col("label")) < col("label")).as("changed"))
+          .join(jumped, labels("label") === col("pid"), "left")
+          .select(labels("id"),
+            labels("label").as("old_label"),
+            least(labels("label"),
+              coalesce(col("nlabel"), labels("label")),
+              coalesce(col("plabel"), labels("label"))).as("label"))
+          .withColumn("changed", col("label") < col("old_label"))
           .observe(obs, sum(col("changed").cast("long")).as("n_changed"))
           .select(col("id"), col("label")))
       // sum over zero rows is SQL NULL → converged (empty graph)
@@ -248,10 +276,17 @@ object Dedup {
       labelBlocks = updatedBlocks
       iter += 1
     }
+    // Round-11: a silent cap-out returned labels that LOOK converged but
+    // aren't (partially merged components) — the worst failure mode.
+    // With pointer jumping, maxIterations=20 covers diameters ~2^20, so
+    // hitting the cap means something is genuinely wrong; say so.
+    require(converged, s"connected components did not converge within " +
+      s"$maxIterations rounds — raise maxIterations (labels would be " +
+      "partially merged, silently wrong)")
     // the final labels checkpoint is self-contained, so the edge blocks
     // are no longer reachable from the returned (lazy) plan
     edgeBlocks.foreach(_.unpersist(blocking = false))
-    labels
+    (labels, iter)
   }
 
   /** (doc_id, pos, chunk): one row per fixed-width non-overlapping token

@@ -273,28 +273,34 @@ object Multimodal {
     * term order keeps every partial sum in BIGINT range. */
   private def x5Sql: String = {
     val cells = DHashRows * DHashCols
-    val aggCols = (0 until cells).map(k =>
-      s"coalesce(sum(v) FILTER (WHERE k = $k), 0) AS s$k, " +
-        s"count(*) FILTER (WHERE k = $k) AS c$k").mkString(",\n    ")
-    val bitTerms = (for (r <- 0 until DHashRows; c <- 0 until DHashCols - 1) yield {
-      val k1 = r * DHashCols + c
-      val k2 = k1 + 1
-      val j = r * (DHashCols - 1) + c
-      val pow = if (j == 63) "(-9223372036854775807 - 1)" else s"${1L << j}"
-      s"(CASE WHEN s$k1 * c$k2 > s$k2 * c$k1 THEN $pow ELSE 0 END)"
-    }).mkString("\n      + ")
+    // Bits come from an adjacent-cell SELF-JOIN on (doc_id, k+1), not a
+    // 2×cells-column FILTERed pivot: the pivot form ran each of its 144
+    // FILTER clauses over every character row (~500 s and a memory spike
+    // at sf1); this form aggregates once per (doc, cell) then joins the
+    // 72-cell relation to itself (~0.6 s at sf0.01, linear in corpus
+    // size). A missing neighbor cell (doc shorter than the grid) drops
+    // the pair from the inner join → bit 0, exactly the old
+    // coalesce(0)-pivot's 0*c > s*0 = false. The disjoint bit weights
+    // sum in HUGEINT and fold back to the signed BIGINT bit pattern
+    // (the j=63 weight is the sign bit).
     val bandSelects = (0 until DHashBands).map { b =>
       s"SELECT doc_id, s, $b AS band_idx, (s >> ${b * 16}) & 65535 AS band_val FROM sig"
     }.mkString("\n  UNION ALL ")
-    s"""WITH pos AS (
-       |  SELECT doc_id, text, length(text) AS n, unnest(range(0, length(text))) AS i
-       |  FROM documents),
-       |ch AS (SELECT doc_id, (i * $cells) // n AS k,
-       |    unicode(substr(text, (i + 1)::INT, 1)) AS v FROM pos),
-       |g AS (SELECT doc_id,
-       |    $aggCols
-       |  FROM ch GROUP BY doc_id),
-       |sig AS (SELECT doc_id, CAST($bitTerms AS BIGINT) AS s FROM g),
+    s"""WITH ch AS (
+       |  SELECT doc_id, (i * $cells) // length(text) AS k,
+       |    unicode(substr(text, (i + 1)::INT, 1)) AS v
+       |  FROM documents, LATERAL unnest(range(0, length(text))) AS u(i)),
+       |cell AS (SELECT doc_id, k, sum(v) AS sv, count(*) AS cv FROM ch GROUP BY doc_id, k),
+       |bit AS (SELECT a.doc_id,
+       |    CASE WHEN a.sv * b.cv > b.sv * a.cv
+       |      THEN CAST(1 AS HUGEINT) << ((a.k // $DHashCols) * ${DHashCols - 1} + (a.k % $DHashCols))
+       |      ELSE CAST(0 AS HUGEINT) END AS bitval
+       |  FROM cell a JOIN cell b ON a.doc_id = b.doc_id AND b.k = a.k + 1
+       |  WHERE a.k % $DHashCols < ${DHashCols - 1}),
+       |sig AS (SELECT doc_id,
+       |    CAST(CASE WHEN t >= CAST(9223372036854775808 AS HUGEINT)
+       |      THEN t - CAST(18446744073709551616 AS HUGEINT) ELSE t END AS BIGINT) AS s
+       |  FROM (SELECT doc_id, coalesce(sum(bitval), 0) AS t FROM bit GROUP BY doc_id)),
        |bands AS (
        |  $bandSelects),
        |sized AS (SELECT band_idx, band_val FROM bands GROUP BY 1, 2

@@ -190,6 +190,43 @@ class DedupSpec extends SparkTestBase {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("D6: giant-component worst case — path diameter converges in O(log n) rounds") {
+    // The round-11 scale receipt: a single giant component in its
+    // diameter-MAXIMAL shape (a path — the drifting-near-dup chain LSH
+    // really produces under template/version drift), 4096 nodes. Plain
+    // neighbor-min label propagation needs diameter≈4095 rounds here;
+    // the synchronous pointer jump doubles the distance the min has
+    // traveled per round, so the fixpoint must land in ~log2(4096)=12
+    // improving rounds (+slack) — and state per round is CONSTANT:
+    // exactly one (id, label) row per node and the 2|E| edge rows,
+    // regardless of round number or component size.
+    val n = 4096
+    val path = spark.range(n - 1).select(col("id").as("a"), (col("id") + 1).as("b"))
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.size
+    val (labels, rounds) = Dedup.labelPropagationCounted(path, maxIterations = 20)
+    val byLabel = labels.groupBy("label").count().as[(Long, Long)].collect().toMap
+    assert(byLabel == Map(0L -> n.toLong), "one component, min-id keeper")
+    assert(rounds <= 16, s"pointer jumping should converge in ~log2($n)+slack rounds, took $rounds")
+    assert(rounds >= 5, s"a $n-path cannot converge in $rounds rounds — receipt is broken")
+    // freed-blocks receipt: each round unpersists the previous round's
+    // labels, so the session does not accumulate per-round state
+    assert(spark.sparkContext.getPersistentRDDs.size <= persistedBefore + 4,
+      "per-round label blocks must be freed, not accumulated")
+
+    // the common LSH shape at the same scale — one giant BUCKET component
+    // (star pairs around the bucket min) — stays O(1) rounds
+    val star = spark.range(1, n).select(lit(0L).as("a"), col("id").as("b"))
+    val (starLabels, starRounds) = Dedup.labelPropagationCounted(star, maxIterations = 20)
+    assert(starLabels.filter(col("label") =!= 0L).isEmpty)
+    assert(starRounds <= 3, s"star component took $starRounds rounds")
+
+    // silent-cap-out is gone: an impossible budget now throws loudly
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.labelPropagationCounted(path, maxIterations = 3)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("D8: apply keeps cluster keepers and untouched docs, drops other members") {
     val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (5L, "f"), (7L, "d"), (9L, "e"))
       .toDF("doc_id", "text")

@@ -47,6 +47,10 @@ def main():
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    # out-of-core safety at the bigger SFs: an in-memory duckdb cannot
+    # spill without a temp_directory, so a heavy oracle dies on the
+    # memory_limit instead of degrading to disk
+    con.sql("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
