@@ -49,9 +49,16 @@ object CurationQueries {
     * regex chain over the duplicate fraction costs far more than
     * shuffling their text, because regex throughput (~tens of MB/s per
     * core) is an order below shuffle bandwidth. Scrub-once-per-winner
-    * is the right shape at any duplicate rate; the text-bearing
-    * Exchange is the honest price of keep-first semantics and carries
-    * each surviving document exactly once. */
+    * is the right shape at any duplicate rate.
+    *
+    * ROLE CHANGE (round 11): this single-scan text-bearing-Exchange
+    * form is now the documented ALTERNATIVE — the hash-only-Exchange
+    * form ([[curateHashExchange]]) won the r11 20×-probe A/B (2.27 vs
+    * 2.35 s median, identical results) and is the production c1. This
+    * form remains the right choice when a second scan is expensive
+    * (cold object storage) — its one Exchange still ships each
+    * surviving text exactly once (min_by partials combine duplicate
+    * groups map-side before the wire). */
   def curate(d: DataFrame,
              minTokens: Int = MinTokens,
              maxPunct: Double = MaxPunct): DataFrame = {
@@ -72,19 +79,22 @@ object CurationQueries {
         length(TextFunctions.piiScrub(col("text"))).as("clean_len"))
   }
 
-  def c1Curation(s: SparkSession, dir: String): DataFrame = curate(docs(s, dir))
+  def c1Curation(s: SparkSession, dir: String): DataFrame =
+    curateHashExchange(docs(s, dir))
 
-  /** The r10-verdict c1 ALTERNATIVE (A/B probe [[CurationProbe]]): the
-    * keep-first aggregate carries only (content_hash, doc_id, lang,
+  /** PRODUCTION c1 (promoted round 11; A/B probe [[CurationProbe]]):
+    * the keep-first aggregate carries only (content_hash, doc_id, lang,
     * n_tokens) — ~60-byte rows — through the Exchange, and the winning
-    * text is fetched by a SECOND corpus scan joined on doc_id (the
-    * winner side is corpus-sized, so the join is NOT broadcastable at
-    * scale; on a bucketed/co-partitioned table the fetch is
-    * shuffle-free, locally AQE picks the join). The price: the corpus
-    * scans twice, and the fetch join shuffles the TEXT anyway unless
-    * the table is bucketed by doc_id — which is why this form loses
-    * the local A/B (receipts in BASELINE.md) and [[curate]] stays the
-    * production form on non-bucketed storage. */
+    * text is fetched by a SECOND corpus scan joined on doc_id. It won
+    * the r11 interleaved 20×-probe A/B against the text-bearing form
+    * (2.27 vs 2.35 s median, result-hash-equal) even on flat parquet,
+    * where the fetch join still shuffles text once: the md5+struct
+    * shuffle write of full text costs more than a rescan. The scale
+    * case is stronger than the local one — on a corpus table bucketed
+    * by doc_id the fetch join is SHUFFLE-FREE, so the only corpus-wide
+    * Exchange left in the c1 pipeline carries ~60-byte rows; that is
+    * the 100 TB shape. [[curate]] remains the single-scan alternative
+    * for cold storage where a second scan dominates. */
   def curateHashExchange(d: DataFrame,
                          minTokens: Int = MinTokens,
                          maxPunct: Double = MaxPunct): DataFrame = {
