@@ -56,18 +56,30 @@ object DedupQueries {
 
   /** D5: embedding-cosine near-dup via hyperplane LSH buckets. The gate
     * corpus is synthetic with no planted near-dups (max pairwise cosine
-    * ≈ 0.51), so the operating point (4 planes, τ=0.4) is chosen to
+    * ≈ 0.51), so the operating point (min 4 planes, τ=0.4) is chosen to
     * surface real positives — the gate then proves pair semantics, not
     * just an empty intersection. Planted-pair semantics at a production
-    * threshold are covered in DedupSpec. */
-  val EmbedPlanes = 4
+    * threshold are covered in DedupSpec.
+    *
+    * Plane count is CORPUS-SIZED ([[Similarity.autoPlanes]], round 11):
+    * at sf0.01/sf0.1 the floor of 4 planes keeps the historical gate
+    * results bit-identical; at sf1 (20k vectors) 8 planes hold bucket
+    * occupancy at the target, turning the measured ×34-on-×10-data
+    * quadratic back to linear. The count() that sizes it is a parquet
+    * metadata read, not a data scan. */
+  val EmbedPlanes = 4 // floor; autoPlanes raises it with the corpus
   val EmbedThreshold = 0.4
+  val EmbedTargetBucket = 150
+  val EmbedMaxPlanes = 12
 
-  def d5EmbedDedup(s: SparkSession, dir: String): DataFrame =
+  def d5EmbedDedup(s: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val planes = Similarity.autoPlanes(vecs.count(), EmbedTargetBucket,
+      EmbedPlanes, EmbedMaxPlanes)
     Similarity.embeddingDupPairs(
-      Tables(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding")),
-      "vec_id", "embedding", numPlanes = EmbedPlanes, threshold = EmbedThreshold)
+      vecs, "vec_id", "embedding", numPlanes = planes, threshold = EmbedThreshold)
+  }
 
   /** D6: duplicate clusters from the D2 candidate graph — connected
     * components elect each cluster's canonical keeper. */
@@ -145,12 +157,22 @@ object DedupQueries {
 
   /** d5's hyperplane buckets inlined as literal ±1 arrays (deterministic
     * constants shared with Similarity.hyperplanes) — upgrades d5 from a
-    * rows-only check to an exact oracle. */
+    * rows-only check to an exact oracle. All EmbedMaxPlanes planes are
+    * inlined; bits at p ≥ np (the corpus-sized count) are masked off, so
+    * the oracle reproduces [[Similarity.autoPlanes]] for any SF. */
   private def d5BucketSql: String =
-    Similarity.hyperplanes(EmbedPlanes, 64).zipWithIndex.map { case (plane, p) =>
+    Similarity.hyperplanes(EmbedMaxPlanes, 64).zipWithIndex.map { case (plane, p) =>
       val arr = plane.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
-      s"(CASE WHEN list_dot_product(v, $arr) >= 0 THEN ${1L << p} ELSE 0 END)"
+      s"(CASE WHEN $p < np AND list_dot_product(v, $arr) >= 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString(" + ")
+
+  /** The integer CASE ladder mirroring [[Similarity.autoPlanes]] —
+    * n ≤ target·2^p picks p, exact integer comparisons on both sides. */
+  private def d5PlanesSql: String = {
+    val ladder = (EmbedPlanes until EmbedMaxPlanes).map(p =>
+      s"WHEN n <= ${EmbedTargetBucket.toLong << p} THEN $p").mkString(" ")
+    s"SELECT CASE $ladder ELSE $EmbedMaxPlanes END AS np FROM (SELECT count(*) AS n FROM embeddings)"
+  }
 
   /** d3's SimHash reproduced in SQL: per-token md5 → 60-bit int, 60
     * bit-vote sums per doc, sign → signature bit, 15-bit band buckets,
@@ -246,7 +268,8 @@ object DedupQueries {
     "d3_simhash" -> d3Sql,
     "d5_embed_dedup" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |b AS (SELECT vec_id, v, $d5BucketSql AS bucket FROM e)
+         |params AS ($d5PlanesSql),
+         |b AS (SELECT vec_id, v, $d5BucketSql AS bucket FROM e, params)
          |SELECT a, b, cos_sim FROM (
          |  SELECT x.vec_id AS a, y.vec_id AS b,
          |    round(list_dot_product(x.v, y.v) /

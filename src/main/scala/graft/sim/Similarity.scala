@@ -48,6 +48,24 @@ object Similarity {
     }
   }
 
+  /** Corpus-sized hyperplane count (round-11 scale fix): the smallest
+    * P ≥ minPlanes with expected bucket occupancy n / 2^P ≤ target,
+    * capped at maxPlanes. With FIXED planes, bucket occupancy grows
+    * linearly with the corpus and the within-bucket pair join goes
+    * QUADRATIC (measured: d5 scaled ×34 on ×10 data at sf1). Holding
+    * occupancy constant makes candidate pairs ∝ n·target — linear.
+    * Integer arithmetic only (n ≤ target·2^P), so the SQL oracle's
+    * CASE ladder reproduces the choice exactly, no FP-log edge cases.
+    * Recall at a fixed similarity drops as planes grow — the standard
+    * LSH trade; recall-sensitive callers should band like D2/S2
+    * instead of raising target. */
+  def autoPlanes(n: Long, target: Int = 150,
+                 minPlanes: Int = 4, maxPlanes: Int = 12): Int = {
+    var p = minPlanes
+    while (p < maxPlanes && n > (target.toLong << p)) p += 1
+    p
+  }
+
   /** Bit-signature bucket id: bit p set iff dot(v, plane_p) >= 0.
     * Vectors on the same side of every plane share a bucket; cosine-close
     * vectors agree on most planes, so prefix buckets group them. */

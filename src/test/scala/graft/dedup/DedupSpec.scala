@@ -190,6 +190,25 @@ class DedupSpec extends SparkTestBase {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("D5: corpus-sized plane count holds bucket occupancy constant") {
+    import graft.sim.Similarity.autoPlanes
+    // the floor keeps every historical gate SF on 4 planes (bit-identical
+    // results): sf0.01 = 200 vectors, sf0.1 = 2000
+    assert(autoPlanes(200) == 4 && autoPlanes(2000) == 4)
+    // sf1 = 20k → 8 planes: occupancy 20000/256 ≈ 78 ≤ 150 (7 planes
+    // would sit at 156 > target); sf 20x = 40k → 9
+    assert(autoPlanes(20000) == 8 && autoPlanes(40000) == 9)
+    // cap: beyond target·2^max the count stops growing (callers size
+    // planes explicitly past local scale)
+    assert(autoPlanes(Long.MaxValue) == 12)
+    // hyperplanes are per-(plane, dim) seeded, so a bigger corpus only
+    // APPENDS planes — the first 4 stay identical (prefix stability is
+    // what makes the floor's bit-identical-results claim true)
+    val p4 = graft.sim.Similarity.hyperplanes(4, 64)
+    val p12 = graft.sim.Similarity.hyperplanes(12, 64)
+    assert(p12.take(4).map(_.toSeq).toSeq == p4.map(_.toSeq).toSeq)
+  }
+
   test("D6: giant-component worst case — path diameter converges in O(log n) rounds") {
     // The round-11 scale receipt: a single giant component in its
     // diameter-MAXIMAL shape (a path — the drifting-near-dup chain LSH
