@@ -117,6 +117,38 @@ object Dedup {
       .withColumnsRenamed(Map("pos" -> "band_idx", "col" -> "band_val"))
   }
 
+  /** (id, band_key, sig) — one row per doc per band, carrying the FULL
+    * minhash signature beside each band key (round 11, the persisted
+    * dedup-index row shape: the signature rides the band row so a probe
+    * verifies estimated Jaccard AT the band join, no second join to a
+    * signature table). `band_key` is the band index and its minhash
+    * values pipe-joined into one string — a single join/bucket column,
+    * injective because every component is a decimal integer. Same
+    * one-aggregate codegen shape as [[bands]]: map-side partial mins
+    * combine the exploded shingle stream before its single shuffle. */
+  def bandSigRows(rows: DataFrame, idCol: String,
+                  numHashes: Int, numBands: Int): DataFrame = {
+    val rowsPerBand = numHashes / numBands
+    val hashed = rows.select(col(idCol), shingleBaseHash(col("shingle")).as("h"))
+    val mins = (0 until numHashes).map { i =>
+      min((col("h") * mixA(i) + mixB(i)) % MinhashPrime).as(s"mh$i")
+    }
+    val sig = hashed.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+      .select(col(idCol),
+        array((0 until numHashes).map(i => col(s"mh$i")): _*).as("sig"))
+    val bandKeys = (0 until numBands).map { b =>
+      concat_ws("|", (lit(b) +: (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => col("sig")(i))): _*)
+    }
+    sig.select(col(idCol), col("sig"), explode(array(bandKeys: _*)).as("band_key"))
+  }
+
+  /** Fraction of equal components between two equal-length minhash
+    * signatures — the standard unbiased estimate of Jaccard similarity. */
+  def estimatedJaccard(a: Column, b: Column, numHashes: Int): Column =
+    aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / numHashes
+
   /** All (a < b) pairs from a sorted id array — upper-triangle expansion
     * as a pure expression, bounded by the bucket cap (≤ cap²/2 pairs). */
   private def trianglePairs(sortedIds: Column): Column =

@@ -1,0 +1,111 @@
+package graft.dedup
+
+import graft.sources.Bucketed
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistent incremental dedup index (SURVEY §2.3 D9, round 11) — the
+  * operator a production ingest pipeline actually runs at 100 TB.
+  *
+  * D1–D8 dedup a corpus against ITSELF: every run rescans everything,
+  * which is the wrong shape once the historical corpus is three orders
+  * larger than a day's ingest. This is the dedup analog of
+  * [[graft.sim.IvfIndex]] (reference capability: the governed-table
+  * pattern of Legend.scala applied to dedup state): pay the signature
+  * pass over the history ONCE, persist it in join-ready layout, and
+  * from then on dedup each incoming batch against the index without
+  * touching the corpus.
+  *
+  * Index row = (index_id, band_key, sig): one row per document per LSH
+  * band, carrying the full minhash signature ([[Dedup.bandSigRows]]).
+  * The table is BUCKETED by band_key, so a probe joins the (small)
+  * batch against the index with NO index-side Exchange — Spark reads
+  * bucket files straight into correctly-partitioned tasks and shuffles
+  * only the batch (DedupSpec pins the plan property). At 100 TB the
+  * index is ~0.5% the corpus size (bands × (key + signature) per doc)
+  * and the per-batch cost is the batch's own signature pass + one
+  * batch-sized shuffle — independent of corpus size.
+  *
+  * Candidates verify by ESTIMATED Jaccard (fraction of equal signature
+  * components — the unbiased MinHash estimate) AT the band join; exact
+  * Jaccard would need document text the index deliberately does not
+  * carry. That is the standard scale trade: the estimate's resolution
+  * is 1/numHashes, and the banding threshold already concentrates
+  * candidates near high similarity.
+  *
+  * Degenerate-bucket guard: each WRITE (build or append) drops band
+  * rows whose bucket exceeds `maxBucket` within that write — the same
+  * boilerplate-band cap as D2. A bucket that only crosses the cap
+  * ACROSS appends is not re-dropped (the index is append-only);
+  * compaction (periodic rebuild) is where that debt clears, exactly as
+  * for IVF centroid drift.
+  */
+object DedupIndex {
+
+  /** Handle: the catalog table plus the signature geometry appends and
+    * probes must reproduce. */
+  final case class Handle(table: String, numBuckets: Int, k: Int,
+                          numHashes: Int, numBands: Int)
+
+  /** Build the index over the base corpus: one signature pass, one
+    * write bucketed by band_key. */
+  def build(docs: DataFrame, idCol: String, textCol: String, table: String,
+            numBuckets: Int, k: Int, numHashes: Int, numBands: Int,
+            maxBucket: Int): Handle = {
+    // build = overwrite: clear both the catalog entry AND any orphaned
+    // warehouse location (a fresh in-memory catalog does not know about
+    // a previous session's directory, and saveAsTable refuses to adopt
+    // one — LOCATION_ALREADY_EXISTS)
+    val spark = docs.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table)
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+    val h = Handle(table, numBuckets, k, numHashes, numBands)
+    write(h, docs, idCol, textCol, maxBucket, SaveMode.Overwrite)
+    h
+  }
+
+  /** Append a new batch's signatures under the same bucket spec —
+    * typically called AFTER [[probe]] has flagged (and the caller
+    * dropped) the batch's duplicates, so the index stays canonical. */
+  def append(index: Handle, docs: DataFrame, idCol: String, textCol: String,
+             maxBucket: Int): Unit =
+    write(index, docs, idCol, textCol, maxBucket, SaveMode.Append)
+
+  private def write(index: Handle, docs: DataFrame, idCol: String,
+                    textCol: String, maxBucket: Int, mode: SaveMode): Unit = {
+    val rows = Dedup.shingleRows(docs, idCol, textCol, index.k)
+    val bandRows = Dedup.bandSigRows(rows, idCol, index.numHashes, index.numBands)
+      .select(col(idCol).as("index_id"), col("band_key"), col("sig"))
+    // per-write degenerate-bucket cap: window count, no join
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band_key"))
+    val capped = bandRows
+      .withColumn("graft_bn", count(lit(1)).over(w))
+      .filter(col("graft_bn") <= maxBucket)
+      .drop("graft_bn")
+    Bucketed.writeBucketed(capped, index.table, "band_key", index.numBuckets,
+      mode = mode)
+  }
+
+  /** Dedup an incoming batch against the index: (batch_id, index_id,
+    * est_jaccard) for every batch document whose estimated Jaccard
+    * against an indexed document reaches `threshold`. The index side is
+    * a bucket-co-located scan (no Exchange); only the batch shuffles.
+    * A pair sharing several bands yields one row (the estimate is a
+    * pure function of the two signatures, identical from any band). */
+  def probe(index: Handle, batch: DataFrame, idCol: String, textCol: String,
+            threshold: Double): DataFrame = {
+    val spark = batch.sparkSession
+    val rows = Dedup.shingleRows(batch, idCol, textCol, index.k)
+    val b = Dedup.bandSigRows(rows, idCol, index.numHashes, index.numBands)
+      .select(col(idCol).as("batch_id"), col("band_key"), col("sig").as("b_sig"))
+    spark.table(index.table).join(b, "band_key")
+      .select(col("batch_id"), col("index_id"),
+        Dedup.estimatedJaccard(col("sig"), col("b_sig"), index.numHashes)
+          .as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .groupBy(col("batch_id"), col("index_id"))
+      .agg(max(col("est_jaccard")).as("est_jaccard"))
+  }
+}

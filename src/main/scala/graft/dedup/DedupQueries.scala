@@ -103,7 +103,27 @@ object DedupQueries {
     Dedup.applyDedup(docs(s, dir), "doc_id", d2MinhashPairs(s, dir))
       .select(col("doc_id"), col("lang"), col("source"))
 
+  /** D9: incremental dedup against a PERSISTED signature index — build
+    * the index over the 80% "historical" slice (doc_id % 5 != 0), then
+    * dedup the 20% "incoming batch" against it with no corpus rescan.
+    * The split is deterministic so the DuckDB oracle reproduces both
+    * sides; threshold ½ = at least half the signature components agree. */
+  val IndexThreshold = 0.5
+  val IndexBuckets = 16
+
+  def d9IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val idx = DedupIndex.build(d.filter(col("doc_id") % 5 =!= 0),
+      "doc_id", "text", "graft_d9_index", IndexBuckets,
+      ShingleK, NumHashes, NumBands, MaxBucket)
+    DedupIndex.probe(idx, d.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", IndexThreshold)
+      .select(col("batch_id"), col("index_id"),
+        round(col("est_jaccard"), 6).as("est_jaccard"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d9_incremental_dedup" -> (d9IncrementalDedup _),
     "d8_dedup_apply" -> (d8DedupApply _),
     "d1_exact_dedup" -> (d1ExactDedup _),
     "d2_minhash_pairs" -> (d2MinhashPairs _),
@@ -261,7 +281,47 @@ object DedupQueries {
        |SELECT doc_id, lang, source FROM documents
        |WHERE doc_id NOT IN (SELECT id FROM drops)""".stripMargin
 
+  /** d9 reproduced in SQL: the same minhash/banding CTEs as d2, split
+    * into the deterministic base/batch halves; the per-write bucket cap
+    * equals a global cap at the gate (one build = one write); estimated
+    * Jaccard = fraction of equal signature components. */
+  private def d9Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    range(1, greatest(len(w) - ${ShingleK - 1}, 0) + 1),
+       |    i -> array_to_string(w[i:i+${ShingleK - 1}], ' '))) AS s
+       |  FROM toks WHERE len(w) >= $ShingleK),
+       |hs AS (
+       |  SELECT doc_id, list_transform(s,
+       |    x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % $P) AS h FROM sh),
+       |sig AS (
+       |  SELECT doc_id, [
+       |    $sigEntries
+       |  ] AS g FROM hs),
+       |bands AS (
+       |  $bandSelects),
+       |base AS (SELECT * FROM bands WHERE doc_id % 5 != 0),
+       |sized AS (SELECT band_idx, band_val FROM base GROUP BY 1, 2
+       |  HAVING count(*) <= $MaxBucket),
+       |batch AS (SELECT * FROM bands WHERE doc_id % 5 = 0),
+       |cand AS (
+       |  SELECT DISTINCT y.doc_id AS batch_id, x.doc_id AS index_id
+       |  FROM base x
+       |  JOIN sized z ON x.band_idx = z.band_idx AND x.band_val = z.band_val
+       |  JOIN batch y ON x.band_idx = y.band_idx AND x.band_val = y.band_val)
+       |SELECT batch_id, index_id, est_jaccard FROM (
+       |  SELECT c.batch_id, c.index_id,
+       |    round(len(list_filter(range(1, ${NumHashes + 1}),
+       |      i -> sx.g[i] = sy.g[i])) / ${NumHashes}.0, 6) AS est_jaccard
+       |  FROM cand c
+       |  JOIN sig sx ON sx.doc_id = c.index_id
+       |  JOIN sig sy ON sy.doc_id = c.batch_id)
+       |WHERE est_jaccard >= $IndexThreshold""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "d9_incremental_dedup" -> d9Sql,
     "d8_dedup_apply" -> d8Sql,
     "d7_passage_dedup" -> d7Sql,
     "d6_dup_groups" -> d6Sql,

@@ -42,30 +42,46 @@ object SkewJoin {
     * scales — uniform salting replicates the ENTIRE build side
     * ×saltParts, hot-key salting replicates only the hot keys' build
     * rows. Costs one extra aggregation pass over the probe side to find
-    * the heavy hitters (broadcast back as a tiny set). Results are
-    * provably identical to the plain join (q20's oracle). */
+    * the heavy hitters (map-side-combined (key, count) partials — the
+    * wire never carries data rows), broadcast back as a tiny set.
+    * Results are provably identical to the plain join (q20's oracle).
+    *
+    * The hot set is capped at the `maxHotKeys` HEAVIEST keys (r11): a
+    * salting decision never changes results, only which keys spread, so
+    * the cap bounds the set by construction — on a low-skew input an
+    * absolute threshold can otherwise capture a large fraction of the
+    * key space (measured at sf1: ~29% of orderkeys "hot"). The
+    * TakeOrdered tiebreak on the key keeps the set deterministic.
+    *
+    * Because the cap makes the hot set PROVABLY bounded, it collects to
+    * the driver (one detection job) and both sides test membership with
+    * an `InSet` literal — plan-audited at sf1, the earlier
+    * broadcast-join formulation planned the detection subtree TWICE
+    * (once per side's left join, no ReuseExchange across broadcast
+    * subtrees), i.e. two extra full probe-side aggregations. This is
+    * the fifth documented bounded collect (≤ maxHotKeys keys), beside
+    * the histogram/centroid/prefix/bucket-id sites. */
   def saltedHotKeyJoin(skewed: DataFrame, other: DataFrame,
                        skewedKey: String, otherKey: String,
-                       saltParts: Int, hotThreshold: Long): DataFrame = {
-    val hot = skewed.groupBy(col(skewedKey)).agg(count(lit(1)).as("graft_kn"))
+                       saltParts: Int, hotThreshold: Long,
+                       maxHotKeys: Int = 1000): DataFrame = {
+    val hotKeys = skewed.groupBy(col(skewedKey)).agg(count(lit(1)).as("graft_kn"))
       .filter(col("graft_kn") > hotThreshold)
-      .select(col(skewedKey).as("graft_hot_key"))
-    val salted = skewed
-      .join(broadcast(hot), skewed(skewedKey) === col("graft_hot_key"), "left")
-      .withColumn("graft_salt",
-        when(col("graft_hot_key").isNotNull,
-          pmod(xxhash64(skewed.columns.map(col).toIndexedSeq: _*), lit(saltParts)))
-          .otherwise(lit(0)))
-      .drop("graft_hot_key")
-    val replicated = other
-      .join(broadcast(hot), other(otherKey) === col("graft_hot_key"), "left")
-      // generators can't sit inside CASE: explode a conditional array
-      // instead — hot keys fan out ×saltParts, cold keys stay single
-      .withColumn("graft_salt", explode(
-        when(col("graft_hot_key").isNotNull,
-          array((0 until saltParts).map(lit(_)): _*))
-          .otherwise(array(lit(0)))))
-      .drop("graft_hot_key")
+      .orderBy(col("graft_kn").desc, col(skewedKey))
+      .limit(maxHotKeys)
+      .select(col(skewedKey))
+      .collect().map(_.get(0)).toIndexedSeq
+    def isHot(c: org.apache.spark.sql.Column) =
+      if (hotKeys.isEmpty) lit(false) else c.isin(hotKeys: _*)
+    val salted = skewed.withColumn("graft_salt",
+      when(isHot(col(skewedKey)),
+        pmod(xxhash64(skewed.columns.map(col).toIndexedSeq: _*), lit(saltParts)))
+        .otherwise(lit(0)))
+    // generators can't sit inside CASE: explode a conditional array
+    // instead — hot keys fan out ×saltParts, cold keys stay single
+    val replicated = other.withColumn("graft_salt", explode(
+      when(isHot(col(otherKey)), array((0 until saltParts).map(lit(_)): _*))
+        .otherwise(array(lit(0)))))
     salted.join(replicated,
         salted(skewedKey) === replicated(otherKey)
           && salted("graft_salt") === replicated("graft_salt"))

@@ -246,6 +246,67 @@ class DedupSpec extends SparkTestBase {
     assert(ex.getMessage.contains("did not converge"))
   }
 
+  test("D9: persisted dedup index — probe finds cross-split dups, append extends, no index-side Exchange") {
+    spark.sql("DROP TABLE IF EXISTS d9_spec_index")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), "d9_spec_index"))
+    val base = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight"),
+      (4L, "totally different words entirely unrelated content here now"))
+      .toDF("doc_id", "text")
+    val idx = DedupIndex.build(base, "doc_id", "text", "d9_spec_index",
+      numBuckets = 8, k = 3, numHashes = 16, numBands = 4, maxBucket = 100)
+
+    // exact dup of doc 1 is flagged at estimate 1.0; novel text is not
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (11L, "unique fresh material nothing shared with anything else at all"))
+      .toDF("doc_id", "text")
+    val hits = DedupIndex.probe(idx, batch, "doc_id", "text", threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(hits == Set((10L, 1L, 1.0)), hits)
+
+    // append-then-probe: the index grows without a corpus rescan and a
+    // later batch deduplicates against the appended document
+    DedupIndex.append(idx,
+      Seq((20L, "brand new appended document text for the growing index"))
+        .toDF("doc_id", "text"), "doc_id", "text", maxBucket = 100)
+    val later = DedupIndex.probe(idx,
+      Seq((30L, "brand new appended document text for the growing index"))
+        .toDF("doc_id", "text"), "doc_id", "text", threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(later == Set((30L, 20L, 1.0)), later)
+
+    // plan contract: the index side is a bucketed scan with NO Exchange —
+    // only the batch shuffles, so per-batch cost is independent of
+    // corpus size (the in-memory batch has no file scan, making the
+    // index table's scan subtree unambiguous)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val old = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val plan = DedupIndex.probe(idx, batch, "doc_id", "text", threshold = 0.5)
+        .queryExecution.executedPlan
+      val join = plan.collectFirst {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }
+      assert(join.nonEmpty, s"no join in probe plan:\n$plan")
+      val indexSide = join.get.children.find(
+        _.exists(_.isInstanceOf[FileSourceScanExec]))
+      assert(indexSide.nonEmpty, s"no file-scan side under the probe join:\n$plan")
+      assert(indexSide.get.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"index side must not shuffle:\n${indexSide.get}")
+      val scan = indexSide.get.collectFirst { case s: FileSourceScanExec => s }.get
+      assert(scan.relation.bucketSpec.nonEmpty, "index scan lost its bucket spec")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", old)
+    spark.sql("DROP TABLE IF EXISTS d9_spec_index")
+  }
+
   test("D8: apply keeps cluster keepers and untouched docs, drops other members") {
     val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (5L, "f"), (7L, "d"), (9L, "e"))
       .toDF("doc_id", "text")
