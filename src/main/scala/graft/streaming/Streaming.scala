@@ -288,6 +288,63 @@ object Streaming {
     }
   }
 
+  /** ST16: streaming ingest dedup against the PERSISTED dedup index
+    * (round 11 — the streaming face of [[graft.dedup.DedupIndex]], and
+    * the shape a 100 TB/day ingest pipeline actually runs): every
+    * micro-batch (1) probes the index — estimated-Jaccard candidates
+    * with NO index-side Exchange, per-batch cost independent of corpus
+    * size; (2) lands only NOVEL documents in `cleanTable`; (3) appends
+    * the novel documents' signatures, so later batches dedup against
+    * earlier ones too, not just the build-time history. WITHIN-batch
+    * duplicates of a novel document all land (the index only knows a
+    * document after its batch commits) — pair with ST4 upstream for
+    * intra-batch exactness, the same layering as ST10's contract.
+    *
+    * Idempotence mirrors ST10: applied batch ids are recorded in the
+    * index's ingest log AFTER the clean-write + signature append, and a
+    * replayed id is skipped whole. The clean write itself is
+    * batch-id-partitioned with dynamic overwrite (ST8's mechanism), so
+    * the one crash window — after the clean write, before the log row —
+    * replays into a partition REWRITE plus a signature re-append (the
+    * only at-least-once residue, same as ST10's, and duplicate
+    * signature rows only cost probe work, never correctness). */
+  def indexedIngest(stream: DataFrame, index: graft.dedup.DedupIndex.Handle,
+                    idCol: String, textCol: String, threshold: Double,
+                    maxBucket: Int, cleanTable: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      indexedIngestBatch(batch, batchId, index, idCol, textCol, threshold,
+        maxBucket, cleanTable)
+    }
+
+  /** ST16's per-micro-batch body (see [[indexedIngest]]); exposed so
+    * the replay contract is directly testable. */
+  private[graft] def indexedIngestBatch(batch: DataFrame, batchId: Long,
+      index: graft.dedup.DedupIndex.Handle, idCol: String, textCol: String,
+      threshold: Double, maxBucket: Int, cleanTable: String): Unit = {
+    val spark = batch.sparkSession
+    val log = index.table + "_ingest_log"
+    val applied = spark.catalog.tableExists(log) &&
+      !spark.table(log).filter(col("batch_id") === batchId).isEmpty
+    if (applied) return
+    val dups = graft.dedup.DedupIndex.probe(
+        index, batch, idCol, textCol, threshold)
+      .select(col("batch_id").as("graft_dup_id")).distinct()
+    // the dup id set is bounded by the batch (small side by contract)
+    val novel = batch.join(broadcast(dups),
+        batch(idCol) === col("graft_dup_id"), "left_anti")
+      .withColumn(BatchIdColumn, lit(batchId))
+      // one pass feeds both the clean write and the signature append
+      .cache()
+    try {
+      landBatchPartition(novel, cleanTable)
+      graft.dedup.DedupIndex.append(index, novel.drop(BatchIdColumn),
+        idCol, textCol, maxBucket)
+      spark.range(1).select(lit(batchId).as("batch_id"))
+        .write.mode("append").format("parquet").saveAsTable(log)
+    } finally { novel.unpersist(); () }
+  }
+
   /** ST7: stream-static enrichment join — every streamed row picks up
     * its dimension attributes. The static side is broadcast (explicit
     * hint: dims are fixed-cardinality, never SF-scaled) and re-planned

@@ -630,6 +630,56 @@ class StreamingSpec extends SparkTestBase {
     spark.sql("DROP TABLE IF EXISTS st10_ivf_ingest_log")
   }
 
+  test("ST16: streaming ingest dedup against the persisted index — cross-batch growth, replay-safe") {
+    def resetTable(name: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir") + s"/$name")
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+      ()
+    }
+    Seq("st16_index", "st16_index_ingest_log", "st16_clean").foreach(resetTable)
+    val base = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val idx = graft.dedup.DedupIndex.build(base, "doc_id", "text", "st16_index",
+      numBuckets = 8, k = 3, numHashes = 16, numBands = 4, maxBucket = 100)
+
+    val input = MemoryStream[(Long, String)](spark)
+    val q = Streaming.indexedIngest(input.toDF().toDF("doc_id", "text"), idx,
+        "doc_id", "text", threshold = 0.5, maxBucket = 100, "st16_clean")
+      .start()
+    // batch 0: one dup of the build-time history, one novel doc
+    input.addData(Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (11L, "novel streaming document content appearing for the first time")))
+    q.processAllAvailable()
+    // batch 1: a dup of batch 0's NOVEL doc — proves the index grew
+    // across batches — plus another novel doc
+    input.addData(Seq(
+      (20L, "novel streaming document content appearing for the first time"),
+      (21L, "yet another entirely original piece of streaming text here")))
+    q.processAllAvailable(); q.stop()
+
+    val clean = spark.table("st16_clean").select("doc_id").as[Long].collect().toSet
+    assert(clean == Set(11L, 21L), s"only novel docs land: $clean")
+    // the index now also knows the streamed novel docs
+    assert(spark.table(idx.table).select("index_id").distinct()
+      .as[Long].collect().toSet == Set(1L, 2L, 11L, 21L))
+
+    // replay batch 1 (the post-failure rerun): logged id → skipped whole
+    val before = (spark.table("st16_clean").count(), spark.table(idx.table).count())
+    Streaming.indexedIngestBatch(
+      Seq((20L, "novel streaming document content appearing for the first time"),
+          (21L, "yet another entirely original piece of streaming text here"))
+        .toDF("doc_id", "text"),
+      batchId = 1L, idx, "doc_id", "text", 0.5, 100, "st16_clean")
+    assert((spark.table("st16_clean").count(), spark.table(idx.table).count()) == before,
+      "replayed batch must change nothing")
+    Seq("st16_index", "st16_index_ingest_log", "st16_clean").foreach(n =>
+      spark.sql(s"DROP TABLE IF EXISTS $n"))
+  }
+
   test("ST7: stream-static enrichment matches the batch join; unmatched rows survive") {
     val input = MemoryStream[(Long, String)](spark)
     val events = input.toDF().toDF("event_id", "nation_key")
