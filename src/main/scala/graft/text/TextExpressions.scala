@@ -368,6 +368,158 @@ object TextOps {
     */
   def jsonGetInt(doc: UTF8String, key: UTF8String): java.lang.Integer =
     new JsonIntScan(doc.getBytes, key).run()
+
+  // ---- PII scrub kernel (round 11) -------------------------------- //
+  // Hand lexers replicating java.util.regex leftmost-greedy semantics
+  // for EXACTLY the three TextFunctions.PiiPatterns, applied in the
+  // same sequential order as the regexp_replace chain they replace.
+  // Every character class involved is pure ASCII, so the scans run on
+  // UTF-8 BYTES: continuation/lead bytes are negative as Byte and never
+  // satisfy any class test, and match boundaries always fall on ASCII
+  // bytes, so splices can never cut a multibyte sequence. The regex
+  // chain itself stays in TextFunctions (piiScrubComposable) as the
+  // pinned reference; TextSpec cross-checks the two on corpus text,
+  // adversarial strings, and random fuzz.
+
+  private val EmailTok = "<EMAIL>".getBytes("UTF-8")
+  private val UrlTok = "<URL>".getBytes("UTF-8")
+  private val NumberTok = "<NUMBER>".getBytes("UTF-8")
+
+  @inline private def isAsciiLetter(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z')
+  @inline private def isAsciiDigit(b: Byte): Boolean = b >= '0' && b <= '9'
+  // [a-zA-Z0-9._%+-]
+  @inline private def isLocalChar(b: Byte): Boolean =
+    isAsciiLetter(b) || isAsciiDigit(b) ||
+      b == '.' || b == '_' || b == '%' || b == '+' || b == '-'
+  // [a-zA-Z0-9.-]
+  @inline private def isDomainChar(b: Byte): Boolean =
+    isAsciiLetter(b) || isAsciiDigit(b) || b == '.' || b == '-'
+  // [0-9 ()+.-]
+  @inline private def isNumberChar(b: Byte): Boolean =
+    isAsciiDigit(b) || b == ' ' || b == '(' || b == ')' ||
+      b == '+' || b == '.' || b == '-'
+  // Java regex \s
+  @inline private def isJavaWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  /** One pass of `[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}` →
+    * `<EMAIL>`. A match is: the maximal local-char run immediately
+    * before an '@' (the engine's first successful attempt is the run
+    * start), a non-empty domain-char run, and — greedy domain+ giving
+    * back — the LARGEST '.' position inside the run followed by ≥2
+    * letters. A failed '@' cannot be rescued by a shorter local part
+    * (the failure is domain-side), so the scan moves to the next '@'. */
+  private def scrubEmails(in: Array[Byte]): Array[Byte] = {
+    val n = in.length
+    var out: java.io.ByteArrayOutputStream = null
+    var last = 0
+    var a = 0
+    while (a < n) {
+      if (in(a) == '@') {
+        var s = a
+        while (s > last && isLocalChar(in(s - 1))) s -= 1
+        var e = a + 1
+        while (e < n && isDomainChar(in(e))) e += 1
+        var end = -1
+        if (s < a && e > a + 1) {
+          var j = e - 1
+          while (end < 0 && j >= a + 2) {
+            if (in(j) == '.') {
+              var t = j + 1
+              while (t < e && isAsciiLetter(in(t))) t += 1
+              if (t - (j + 1) >= 2) end = t
+            }
+            j -= 1
+          }
+        }
+        if (end >= 0) {
+          if (out == null) out = new java.io.ByteArrayOutputStream(n)
+          out.write(in, last, s - last)
+          out.write(EmailTok, 0, EmailTok.length)
+          last = end
+          a = end
+        } else a += 1
+      } else a += 1
+    }
+    if (out == null) in
+    else { out.write(in, last, n - last); out.toByteArray }
+  }
+
+  /** One pass of `https?://[^\s]+` → `<URL>`: literal prefix with the
+    * optional-s backtrack, then the maximal non-whitespace run (≥1). */
+  private def scrubUrls(in: Array[Byte]): Array[Byte] = {
+    val n = in.length
+    var out: java.io.ByteArrayOutputStream = null
+    var last = 0
+    var i = 0
+    while (i < n) {
+      var end = -1
+      if (in(i) == 'h' && i + 6 < n && in(i + 1) == 't' && in(i + 2) == 't'
+          && in(i + 3) == 'p') {
+        // greedy s?: try with 's', fall back without
+        var rest = -1
+        if (i + 7 < n && in(i + 4) == 's' && in(i + 5) == ':' &&
+            in(i + 6) == '/' && in(i + 7) == '/') rest = i + 8
+        else if (in(i + 4) == ':' && in(i + 5) == '/' && in(i + 6) == '/')
+          rest = i + 7
+        if (rest >= 0 && rest < n && !isJavaWs(in(rest))) {
+          var t = rest
+          while (t < n && !isJavaWs(in(t))) t += 1
+          end = t
+        }
+      }
+      if (end >= 0) {
+        if (out == null) out = new java.io.ByteArrayOutputStream(n)
+        out.write(in, last, i - last)
+        out.write(UrlTok, 0, UrlTok.length)
+        last = end
+        i = end
+      } else i += 1
+    }
+    if (out == null) in
+    else { out.write(in, last, n - last); out.toByteArray }
+  }
+
+  /** One pass of `[0-9][0-9 ()+.-]{8,}[0-9]` → `<NUMBER>`: starting
+    * digit, maximal number-char run, and — greedy {8,} giving back —
+    * the LARGEST digit position ≥ 9 chars past the start. A start that
+    * fails dooms every later start inside the same run (its window is a
+    * subset), so the scan jumps to the run end; a match resumes right
+    * after its own end, inside the run, exactly like the engine. */
+  private def scrubNumbers(in: Array[Byte]): Array[Byte] = {
+    val n = in.length
+    var out: java.io.ByteArrayOutputStream = null
+    var last = 0
+    var i = 0
+    while (i < n) {
+      if (isAsciiDigit(in(i))) {
+        var e = i + 1
+        while (e < n && isNumberChar(in(e))) e += 1
+        var q = e - 1
+        while (q >= i + 9 && !isAsciiDigit(in(q))) q -= 1
+        if (q >= i + 9) {
+          if (out == null) out = new java.io.ByteArrayOutputStream(n)
+          out.write(in, last, i - last)
+          out.write(NumberTok, 0, NumberTok.length)
+          last = q + 1
+          i = q + 1
+        } else i = e
+      } else i += 1
+    }
+    if (out == null) in
+    else { out.write(in, last, n - last); out.toByteArray }
+  }
+
+  /** The full three-pass scrub (email → URL → number, the chain's
+    * order). Returns the input object unchanged when nothing matched. */
+  def piiScrub(s: UTF8String): UTF8String = {
+    val in = s.getBytes
+    val a = scrubEmails(in)
+    val b = scrubUrls(a)
+    val c = scrubNumbers(b)
+    if (c eq in) s else UTF8String.fromBytes(c)
+  }
 }
 
 /** One-pass recursive-descent scanner behind [[TextOps.jsonGetInt]].
@@ -622,6 +774,40 @@ private object JsonIntScan {
   * never match, exactly matching the HOF form and the DuckDB
   * `len(list_filter(w, x -> list_contains(...)))` oracle.
   */
+/** Single-kernel PII scrub (round 11) — the three-pattern
+  * `regexp_replace` chain of [[TextFunctions.PiiPatterns]] as three
+  * hand-rolled linear byte scans ([[TextOps.piiScrub]]), inside
+  * whole-stage codegen. Why native: the chain walks the full text
+  * through three java.util.regex engines (plus their per-row matcher
+  * state); the scans replicate the exact leftmost-greedy semantics with
+  * plain byte arithmetic. Measured at sf1: t8 2.25 s → see BASELINE —
+  * and c1/c2's scrub stage rides the same kernel. Semantics pinned by
+  * TextSpec's kernel-vs-chain cross-check (corpus + adversarial +
+  * fuzz) and the all-query differential sweep. */
+case class PiiScrub(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string argument, got ${t.sql}")
+    }
+
+  override def dataType: DataType = StringType
+
+  override def prettyName: String = "graft_pii_scrub"
+
+  override def nullSafeEval(v: Any): Any =
+    TextOps.piiScrub(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.text.TextOps.piiScrub($v);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class CountInSet(child: Expression, words: Seq[String])
   extends UnaryExpression {
 

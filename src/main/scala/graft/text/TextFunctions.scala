@@ -94,6 +94,12 @@ object TextFunctions {
     "[0-9][0-9 ()+.-]{8,}[0-9]" -> "<NUMBER>")
 
   def piiScrub(text: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      PiiScrub(org.apache.spark.sql.graftbridge.Bridge.expression(text)))
+
+  /** The regexp_replace chain [[PiiScrub]] replaces — kept as the
+    * pinned reference the TextSpec cross-check compares against. */
+  def piiScrubComposable(text: Column): Column =
     PiiPatterns.foldLeft(text) { case (c, (pattern, token)) =>
       regexp_replace(c, pattern, token)
     }

@@ -362,6 +362,39 @@ class TextSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("T8: PiiScrub kernel is byte-identical to the regexp_replace chain it replaces") {
+    // adversarial shapes: backtracking domains, multiple '@', tokens
+    // abutting matches, URL s?-backtrack, number-run resumption,
+    // multibyte text around and inside candidate spans, empty/degenerate
+    val crafted = Seq(
+      "", " ", "@", "@@", "a@b", "a@b.co", "a@b.c", "a@b.c@d.com",
+      "a@b.co.uk.x9", "x@y.commmm", "no pii here at all",
+      "pre a.b-c%d+e_f@g-h.i.jk post", ".@.", "a@-.ab",
+      "http://", "https://", "http://x", "https://x y", "hhttps://x",
+      "httpsx://y", "xhttp://ok", "http://a@b.com/path",
+      "https://ex.com/123456789012 tail",
+      "0800 5550 123", "123456789", "12345678", "1234567890",
+      "1 (800) 555-0199!", "12 34 56 78 90 12 34", "+33 1 23 45 67 89",
+      "9        9", "9       9", "café@münchen.de", "héllo 0800 5550 123",
+      "a@b.com0800 5550 123", "https://x/<EMAIL>", "1&2345678901",
+      "end with digit run 123456789012", "«12345678901»",
+      "mail a@b.com then https://c.d/e then 0123 456 789 done",
+      "a@b.com a@b.com", "http://x http://y", "double@at@sign.com")
+    val rng = new scala.util.Random(7)
+    val alphabet = "ab1 .@:/-+()%_h<>tpsé"
+    val random = Seq.fill(500)(
+      Seq.fill(rng.nextInt(40))(alphabet(rng.nextInt(alphabet.length))).mkString)
+    val corpus = graft.Tables(spark, sfDir, "documents")
+      .select(col("text")).as[String].take(200).toSeq
+    val texts = crafted ++ random ++ corpus
+    val out = texts.toDF("text")
+      .select(piiScrub(col("text")).as("k"),
+        TextFunctions.piiScrubComposable(col("text")).as("r"))
+      .as[(String, String)].collect()
+    for (((k, r), t) <- out.zip(texts))
+      assert(k == r, s"kernel diverged from the regex chain on [$t]")
+  }
+
   test("T1-T3 gate queries run on testdata with expected shape") {
     val t1 = TextQueries.t1Tokens(spark, sfDir)
     assert(t1.columns.toSeq == Seq("doc_id", "ws_tokens", "re_tokens"))
