@@ -87,17 +87,38 @@ object PureExpr {
 
   /** Substitute every free occurrence of the variable `$v` in `e` with
     * `repl`. Lambdas whose parameter list rebinds `v` keep their own
-    * binding (standard capture-avoiding scoping; the replacement itself
-    * is already fully resolved by [[desugarLets]], so it can never
-    * capture a lambda parameter of `e`). */
+    * binding. Descending into a lambda whose parameters INTERSECT the
+    * replacement's free variables would capture them (e.g. a let value
+    * referencing the outer row variable `$x`, inlined into an inner HOF
+    * lambda that also names its element `x`) — that shape REJECTS
+    * loudly instead of silently rebinding (review r11); renaming the
+    * inner lambda's parameter is the caller's fix. */
   def substVar(e: PureExpr, v: String, repl: PureExpr): PureExpr = e match {
     case PVar(`v`)       => repl
     case PProperty(r, n) => PProperty(substVar(r, v, repl), n)
     case PFunc(f, ps)    => PFunc(f, ps.map(substVar(_, v, repl)))
     case PCollection(vs) => PCollection(vs.map(substVar(_, v, repl)))
     case PLambda(params, b) if !params.contains(v) =>
+      if (freeVars(b).contains(v)) { // only guard where a substitution will occur
+        val captured = params.toSet.intersect(freeVars(repl))
+        require(captured.isEmpty,
+          s"let-bound value for [$$$v] references ${captured.map("$" + _).mkString(", ")}, " +
+            "which an inner lambda parameter of the same name would capture — " +
+            "rename the inner lambda's parameter")
+      }
       PLambda(params, substVar(b, v, repl))
     case other => other
+  }
+
+  /** Free lambda-variable names of `e` (parameters of inner lambdas are
+    * bound and excluded). */
+  def freeVars(e: PureExpr): Set[String] = e match {
+    case PVar(v)            => Set(v)
+    case PProperty(r, _)    => freeVars(r)
+    case PFunc(_, ps)       => ps.flatMap(freeVars).toSet
+    case PCollection(vs)    => vs.flatMap(freeVars).toSet
+    case PLambda(params, b) => freeVars(b) -- params
+    case _                  => Set.empty
   }
 
   /** Desugar a multi-statement lambda body — `let` bindings followed by

@@ -189,6 +189,11 @@ object Multimodal {
     * the REAL ImageIO pixel path. */
   val DHashBands = 4
   val DHashMaxHamming = 16
+  /** Minimum payload bytes for a meaningful dHash: one full grid (every
+    * cell populated). Shorter payloads are skipped by x5 on both the
+    * kernel and oracle sides (review r11: under ~37 bytes no adjacent
+    * cell pair is populated and the hash degenerates to 0). */
+  val DHashMinBytes = 72
 
   /** X5 gate query: image near-duplicate detection — dHash per record
     * (map-side, decoder-seam shape) then the EXACT banding machinery d3
@@ -200,6 +205,12 @@ object Multimodal {
     import s.implicits._
     val media = buildMedia(Tables(s, dir, "documents")).as[MediaRecord]
     val sig = media
+      // payloads shorter than the grid carry no stable perceptual
+      // signal: below DHashMinBytes the 8×9 grid has empty cells (and
+      // under ~37 bytes NO adjacent pair is populated, hashing every
+      // such payload to 0 — all mutually "identical"). Skip them on
+      // both sides; the oracle applies the same length floor.
+      .filter(m => m.payload.length >= DHashMinBytes)
       .mapPartitions(it => it.map(m => (m.doc_id, dHash(m.payload))))
       .toDF("doc_id", "simhash")
     graft.dedup.Dedup.simhashPairs(sig, "doc_id", bits = 64,
@@ -286,10 +297,13 @@ object Multimodal {
     val bandSelects = (0 until DHashBands).map { b =>
       s"SELECT doc_id, s, $b AS band_idx, (s >> ${b * 16}) & 65535 AS band_val FROM sig"
     }.mkString("\n  UNION ALL ")
-    s"""WITH ch AS (
+    s"""WITH eligible AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE octet_length(encode(text)) >= $DHashMinBytes),
+       |ch AS (
        |  SELECT doc_id, (i * $cells) // length(text) AS k,
        |    unicode(substr(text, (i + 1)::INT, 1)) AS v
-       |  FROM documents, LATERAL unnest(range(0, length(text))) AS u(i)),
+       |  FROM eligible, LATERAL unnest(range(0, length(text))) AS u(i)),
        |cell AS (SELECT doc_id, k, sum(v) AS sv, count(*) AS cv FROM ch GROUP BY doc_id, k),
        |bit AS (SELECT a.doc_id,
        |    CASE WHEN a.sv * b.cv > b.sv * a.cv

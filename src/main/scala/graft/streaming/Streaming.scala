@@ -303,11 +303,18 @@ object Streaming {
     * Idempotence mirrors ST10: applied batch ids are recorded in the
     * index's ingest log AFTER the clean-write + signature append, and a
     * replayed id is skipped whole. The clean write itself is
-    * batch-id-partitioned with dynamic overwrite (ST8's mechanism), so
-    * the one crash window — after the clean write, before the log row —
-    * replays into a partition REWRITE plus a signature re-append (the
-    * only at-least-once residue, same as ST10's, and duplicate
-    * signature rows only cost probe work, never correctness). */
+    * batch-id-partitioned with dynamic overwrite (ST8's mechanism).
+    * The crash window — after the signature append, before the log
+    * row — replays the batch against an index that ALREADY holds the
+    * batch's own signatures; the probe therefore excludes self-matches
+    * (same document id on both sides), so the replayed `novel` set is
+    * identical, the partition rewrite is a no-op, and the only residue
+    * is duplicate signature rows (probe cost, never correctness —
+    * StreamingSpec replays against a lost log and asserts the clean
+    * table unchanged). The id spaces of the stream and the index must
+    * be disjoint-for-distinct-documents (the pipeline's id contract);
+    * a NEW document reusing an indexed id would be misread as a
+    * self-match and land without dedup against that one id. */
   def indexedIngest(stream: DataFrame, index: graft.dedup.DedupIndex.Handle,
                     idCol: String, textCol: String, threshold: Double,
                     maxBucket: Int, cleanTable: String):
@@ -329,6 +336,11 @@ object Streaming {
     if (applied) return
     val dups = graft.dedup.DedupIndex.probe(
         index, batch, idCol, textCol, threshold)
+      // self-match exclusion: a replayed batch (crash between signature
+      // append and log write) finds its own signatures in the index —
+      // without this, every replayed doc looks like a duplicate and the
+      // partition rewrite would drop it from the clean table
+      .filter(col("batch_id") =!= col("index_id"))
       .select(col("batch_id").as("graft_dup_id")).distinct()
     // the dup id set is bounded by the batch (small side by contract)
     val novel = batch.join(broadcast(dups),

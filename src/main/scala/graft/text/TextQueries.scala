@@ -288,8 +288,12 @@ object TextQueries {
       col("doc_id"),
       bpeTokenCount(col("text"), BpeMergeTable).as("bpe_tokens"),
       tokenCount(col("text")).as("ws_tokens"))
+      // empty/whitespace-only doc: ws_tokens 0 → ratio NULL (an
+      // unguarded division would abort the query under the
+      // ANSI-default session the first time the corpus has one)
       .withColumn("subword_ratio",
-        col("bpe_tokens").cast("double") / col("ws_tokens"))
+        when(col("ws_tokens") === 0, lit(null).cast("double"))
+          .otherwise(col("bpe_tokens").cast("double") / col("ws_tokens")))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t12_bpe_tokens" -> (t12BpeTokens _),
@@ -355,12 +359,15 @@ object TextQueries {
        |perdoc AS (
        |  SELECT w.doc_id, CAST(sum(wc.c) AS BIGINT) AS bpe
        |  FROM w JOIN wc USING (word) GROUP BY w.doc_id)
-       |SELECT d.doc_id,
-       |  coalesce(p.bpe, 0) AS bpe_tokens,
-       |  len(string_split_regex(trim(d.text), '\\s+')) AS ws_tokens,
-       |  coalesce(p.bpe, 0) * 1.0 / len(string_split_regex(trim(d.text), '\\s+'))
-       |    AS subword_ratio
-       |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id""".stripMargin
+       |SELECT doc_id, bpe_tokens, ws_tokens,
+       |  CASE WHEN ws_tokens = 0 THEN NULL
+       |       ELSE bpe_tokens * 1.0 / ws_tokens END AS subword_ratio
+       |FROM (
+       |  SELECT d.doc_id,
+       |    coalesce(p.bpe, 0) AS bpe_tokens,
+       |    CASE WHEN trim(d.text) = '' THEN 0
+       |         ELSE len(string_split_regex(trim(d.text), '\\s+')) END AS ws_tokens
+       |  FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "t12_bpe_tokens" -> t12Sql,

@@ -268,6 +268,15 @@ class LegendParserSpec extends SparkTestBase {
 
     // a body may not END in a let, and only lets may precede the result
     intercept[IllegalArgumentException](PureParser.parse("{x | let a = 1;}"))
+    // capture guard: a let value referencing the outer row variable may
+    // not inline into an inner HOF lambda that shadows that name — the
+    // binding would silently change; reject loudly instead
+    val cap = intercept[IllegalArgumentException](PureParser.parse(
+      "{x | let a = $x.qty; $x.items->exists(x | $x.q > $a)}"))
+    assert(cap.getMessage.contains("capture"), cap.getMessage)
+    // the same shape with distinct names inlines fine
+    assert(PureParser.parse(
+      "{x | let a = $x.qty; $x.items->exists(y | $y.q > $a)}") != null)
     // `let(` is a prefix call, `lettuce` an identifier — not bindings
     assert(PureParser.parse("lettuce(1)") == PFunc("lettuce", Seq(PLit("1"))))
   }

@@ -669,13 +669,33 @@ class StreamingSpec extends SparkTestBase {
 
     // replay batch 1 (the post-failure rerun): logged id → skipped whole
     val before = (spark.table("st16_clean").count(), spark.table(idx.table).count())
-    Streaming.indexedIngestBatch(
+    val batch1 =
       Seq((20L, "novel streaming document content appearing for the first time"),
           (21L, "yet another entirely original piece of streaming text here"))
-        .toDF("doc_id", "text"),
+        .toDF("doc_id", "text")
+    Streaming.indexedIngestBatch(batch1,
       batchId = 1L, idx, "doc_id", "text", 0.5, 100, "st16_clean")
     assert((spark.table("st16_clean").count(), spark.table(idx.table).count()) == before,
       "replayed batch must change nothing")
+
+    // the CRASH WINDOW: signatures appended but the log row lost (worst
+    // case: the whole log gone). The replayed batch finds its own
+    // signatures in the index — self-match exclusion must keep the
+    // clean table's rows intact, not rewrite partition 1 empty
+    spark.sql("DROP TABLE st16_index_ingest_log")
+    Streaming.indexedIngestBatch(batch1,
+      batchId = 1L, idx, "doc_id", "text", 0.5, 100, "st16_clean")
+    assert(spark.table("st16_clean").select("doc_id").as[Long].collect().toSet
+      == Set(11L, 21L), "lost-log replay must not drop landed docs")
+    // duplicate signature rows are the documented residue; distinct ids
+    // are unchanged and a fresh true-duplicate is still caught
+    assert(spark.table(idx.table).select("index_id").distinct()
+      .as[Long].collect().toSet == Set(1L, 2L, 11L, 21L))
+    val lateDup = graft.dedup.DedupIndex.probe(idx,
+      Seq((40L, "yet another entirely original piece of streaming text here"))
+        .toDF("doc_id", "text"), "doc_id", "text", threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(lateDup == Set((40L, 21L, 1.0)), lateDup)
     Seq("st16_index", "st16_index_ingest_log", "st16_clean").foreach(n =>
       spark.sql(s"DROP TABLE IF EXISTS $n"))
   }

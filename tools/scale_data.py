@@ -79,11 +79,19 @@ def write_documents(con, src, dst, rep, sd):
     index = {t: i for i, t in enumerate(vocab)}
     n = len(vocab)
     import pandas as pd
+    if n < 2 and rep > 1:
+        sys.exit("documents vocabulary too small to rotate — cannot scale "
+                 "without creating cross-replica duplicates")
     recs = []
     for r in range(rep):
         off = (r * 7919) % n
+        if r > 0 and off == 0:
+            # a zero rotation would copy text verbatim and turn every doc
+            # into a cross-replica exact-duplicate cluster — the precise
+            # blowup this tool exists to avoid; nudge deterministically
+            off = (r % (n - 1)) + 1
         for doc_id, text, lang, source in rows:
-            if r == 0 or off == 0:
+            if r == 0:
                 new = text
             else:
                 parts = TOKEN_SPLIT.split(text)
