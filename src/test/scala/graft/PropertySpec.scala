@@ -317,6 +317,28 @@ class PropertySpec extends AnyFunSuite {
     }, "st15 telescoping")
   }
 
+  test("PiiScrub kernel equals the java.util.regex chain on fragment-fuzzed strings") {
+    // the byte-scan kernel claims exact java.util.regex leftmost-greedy
+    // parity with the three-pattern chain; fuzz with strings assembled
+    // from pattern FRAGMENTS so boundary shapes (partial prefixes,
+    // adjacent matches, backtracking domains, multibyte) occur densely,
+    // with scalacheck shrinking any counterexample to a minimal one
+    import graft.text.{TextFunctions, TextOps}
+    val compiled = TextFunctions.PiiPatterns.map { case (p, t) =>
+      (java.util.regex.Pattern.compile(p), t) }
+    def chain(s: String): String =
+      compiled.foldLeft(s) { case (acc, (p, t)) =>
+        p.matcher(acc).replaceAll(java.util.regex.Matcher.quoteReplacement(t)) }
+    val atoms = Gen.oneOf("a", "b9", "1", "234567", " ", ".", "@", "http",
+      "https", "://", "s", "-", "+", "(", ")", "%", "_", "é", "\t", "\n",
+      "<EMAIL>", "x.y", "com", "co", "0800 5550", "..", "@@", "12 34 56 7")
+    val gen = Gen.listOf(atoms).map(_.mkString)
+    check(Prop.forAll(gen) { s =>
+      TextOps.piiScrub(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s)).toString == chain(s)
+    }, "pii scrub kernel ≡ regex chain", cases = 3000)
+  }
+
   test("hash-bucket split is a partition: every key lands in exactly one split") {
     // mirrors Sampling.p1's bucket → split mapping
     def split(bucket: Long): String =
