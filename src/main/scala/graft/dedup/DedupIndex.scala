@@ -52,15 +52,31 @@ object DedupIndex {
   def build(docs: DataFrame, idCol: String, textCol: String, table: String,
             numBuckets: Int, k: Int, numHashes: Int, numBands: Int,
             maxBucket: Int): Handle = {
-    // build = overwrite: clear both the catalog entry AND any orphaned
-    // warehouse location (a fresh in-memory catalog does not know about
-    // a previous session's directory, and saveAsTable refuses to adopt
-    // one — LOCATION_ALREADY_EXISTS)
+    // build = overwrite: clear the catalog entry (a managed-table DROP
+    // removes its own storage, wherever the catalog resolved it — also
+    // the only correct path for qualified names, whose layout is
+    // db.db/tbl, not <warehouse>/<db.tbl>) AND, for unqualified names
+    // only, any ORPHANED warehouse directory a previous session's
+    // in-memory catalog left behind (saveAsTable refuses to adopt one —
+    // LOCATION_ALREADY_EXISTS). The orphan delete verifies the
+    // directory actually looks like a table dir (only part-*/_*/.*
+    // entries) before removing it, so a user directory that merely
+    // shares the name fails loudly instead of vanishing.
     val spark = docs.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table)
-    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+    if (!table.contains(".")) {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) {
+        val entries = fs.listStatus(loc).map(_.getPath.getName)
+        val tableLike = entries.forall(n =>
+          n.startsWith("part-") || n.startsWith("_") || n.startsWith("."))
+        require(tableLike, s"refusing to overwrite $loc: directory does " +
+          s"not look like a table location (entries: ${entries.take(5).mkString(", ")})")
+        fs.delete(loc, true)
+      }
+    }
     val h = Handle(table, numBuckets, k, numHashes, numBands)
     write(h, docs, idCol, textCol, maxBucket, SaveMode.Overwrite)
     h

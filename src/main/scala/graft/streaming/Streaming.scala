@@ -223,11 +223,19 @@ object Streaming {
     * idempotently: first batch creates the partitioned table, later
     * batches INSERT OVERWRITE only the partitions present in the data
     * (dynamic mode), so a replay replaces its own earlier attempt. */
+  /** Serializes the session-global partitionOverwriteMode flip below:
+    * ST8 and ST16 share [[landBatchPartition]], and two concurrent
+    * streams (or any other writer flipping the same conf) could
+    * otherwise interleave a write under the wrong mode or clobber each
+    * other's finally-restore. Coarse (JVM-wide, not per-session) but
+    * the flip lasts only for the insertInto. */
+  private object OverwriteModeLock
+
   private def landBatchPartition(df: DataFrame, table: String): Unit = {
     val spark = df.sparkSession
     if (!spark.catalog.tableExists(table))
       df.write.partitionBy(BatchIdColumn).format("parquet").saveAsTable(table)
-    else {
+    else OverwriteModeLock.synchronized {
       // session-conf form: the per-write option spelling is not honored
       // on this insertInto path, and a static overwrite would wipe every
       // earlier batch's partition — restore the previous value after
@@ -306,12 +314,15 @@ object Streaming {
     * batch-id-partitioned with dynamic overwrite (ST8's mechanism).
     * The crash window — after the signature append, before the log
     * row — replays the batch against an index that ALREADY holds the
-    * batch's own signatures; the probe therefore excludes self-matches
-    * (same document id on both sides), so the replayed `novel` set is
+    * batch's own signatures; the probe therefore excludes EVERY match
+    * whose index side is one of the batch's own ids (not merely
+    * identical-id self-matches: two mutually-near novel docs in one
+    * batch would otherwise each flag the other on replay and both be
+    * dropped by the partition rewrite), so the replayed `novel` set is
     * identical, the partition rewrite is a no-op, and the only residue
     * is duplicate signature rows (probe cost, never correctness —
-    * StreamingSpec replays against a lost log and asserts the clean
-    * table unchanged). The id spaces of the stream and the index must
+    * StreamingSpec replays against a lost log, including an intra-batch
+    * near-dup pair, and asserts the clean table unchanged). The id spaces of the stream and the index must
     * be disjoint-for-distinct-documents (the pipeline's id contract);
     * a NEW document reusing an indexed id would be misread as a
     * self-match and land without dedup against that one id. */
@@ -334,13 +345,20 @@ object Streaming {
     val applied = spark.catalog.tableExists(log) &&
       !spark.table(log).filter(col("batch_id") === batchId).isEmpty
     if (applied) return
+    // batch-match exclusion: a replayed batch (crash between signature
+    // append and log write) finds the batch's OWN signatures in the
+    // index — not just each doc's own (self-match) but also those of
+    // its within-batch near-duplicates: two mutually-near novel docs
+    // would each flag the other and BOTH vanish from the rewritten
+    // partition. Excluding every probe match whose index_id is in the
+    // batch's id set makes the replayed novel set identical to the
+    // original for every shape (within-batch matches are ST4's layer,
+    // exactly as on the first run, when the index couldn't see them).
+    val batchIds = batch.select(col(idCol).as("graft_batch_id"))
     val dups = graft.dedup.DedupIndex.probe(
         index, batch, idCol, textCol, threshold)
-      // self-match exclusion: a replayed batch (crash between signature
-      // append and log write) finds its own signatures in the index —
-      // without this, every replayed doc looks like a duplicate and the
-      // partition rewrite would drop it from the clean table
-      .filter(col("batch_id") =!= col("index_id"))
+      .join(broadcast(batchIds), col("index_id") === col("graft_batch_id"),
+        "left_anti")
       .select(col("batch_id").as("graft_dup_id")).distinct()
     // the dup id set is bounded by the batch (small side by contract)
     val novel = batch.join(broadcast(dups),

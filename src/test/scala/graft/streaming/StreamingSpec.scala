@@ -700,6 +700,56 @@ class StreamingSpec extends SparkTestBase {
       spark.sql(s"DROP TABLE IF EXISTS $n"))
   }
 
+  test("ST16: lost-log replay of a batch holding an INTRA-batch near-dup pair keeps both docs") {
+    // round-11 advice (medium): two mutually-near novel docs in ONE
+    // batch. On first run neither is in the index, both land (within-
+    // batch dups are ST4's layer). After a crash between the signature
+    // append and the log write, the replay probes an index holding the
+    // batch's OWN signatures: each doc finds its partner (distinct ids,
+    // so an identical-id self-match filter does NOT fire), both get
+    // flagged dup, and the dynamic partition overwrite would rewrite
+    // the batch partition WITHOUT them — silent data loss. The fix
+    // excludes every probe match whose index side is in the batch's own
+    // id set; this test pins it.
+    def resetTable(name: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir") + s"/$name")
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+      ()
+    }
+    Seq("st16b_index", "st16b_index_ingest_log", "st16b_clean").foreach(resetTable)
+    val base = Seq(
+      (1L, "historical corpus document number one in the index")).toDF("doc_id", "text")
+    val idx = graft.dedup.DedupIndex.build(base, "doc_id", "text", "st16b_index",
+      numBuckets = 8, k = 3, numHashes = 16, numBands = 4, maxBucket = 100)
+    // 10 and 11: mutually near-duplicate (identical text), both novel
+    // vs the index; 12: a dup of the HISTORY, must still be dropped
+    val batch = Seq(
+      (10L, "twin streaming payload shared by two distinct documents"),
+      (11L, "twin streaming payload shared by two distinct documents"),
+      (12L, "historical corpus document number one in the index"))
+      .toDF("doc_id", "text")
+    Streaming.indexedIngestBatch(batch,
+      batchId = 0L, idx, "doc_id", "text", 0.5, 100, "st16b_clean")
+    assert(spark.table("st16b_clean").select("doc_id").as[Long].collect().toSet
+      == Set(10L, 11L), "both within-batch twins land; the history dup does not")
+
+    // crash window: signatures are in the index, the log row is lost
+    spark.sql("DROP TABLE st16b_index_ingest_log")
+    Streaming.indexedIngestBatch(batch,
+      batchId = 0L, idx, "doc_id", "text", 0.5, 100, "st16b_clean")
+    assert(spark.table("st16b_clean").select("doc_id").as[Long].collect().toSet
+      == Set(10L, 11L),
+      "replay must not drop mutually-near-dup twins it landed before the crash")
+    // the history dup is still recognized as a dup on replay (the
+    // batch-id exclusion must not whitelist INDEX ids outside the batch)
+    assert(!spark.table("st16b_clean").select("doc_id").as[Long].collect()
+      .contains(12L))
+    Seq("st16b_index", "st16b_index_ingest_log", "st16b_clean").foreach(n =>
+      spark.sql(s"DROP TABLE IF EXISTS $n"))
+  }
+
   test("ST7: stream-static enrichment matches the batch join; unmatched rows survive") {
     val input = MemoryStream[(Long, String)](spark)
     val events = input.toDF().toDF("event_id", "nation_key")

@@ -38,18 +38,24 @@ def main():
         a, b = s01[k], s1[k]
         dd = d1.get(k)
         scale = b / a if a > 0 else float("nan")
-        ratio = (b / dd) if dd else float("nan")
-        sum01 += a; sum1 += b; sumd1 += dd or 0.0
+        sum01 += a; sum1 += b
         mark = " **superlinear**" if scale > 10 else ""
         if scale > 10:
             flagged.append(k)
-        print(f"| {k} | {a:.2f} | {b:.2f} | {scale:.1f}×{mark} | "
-              f"{dd:.2f} | {ratio:.2f}× " if dd else
-              f"| {k} | {a:.2f} | {b:.2f} | {scale:.1f}×{mark} | - | - |",
-              sep="")
-    print(f"\nsums: spark sf0.1 {sum01:.1f}s, spark sf1 {sum1:.1f}s "
-          f"({sum1/sum01:.2f}x on 10x data), duckdb sf1 {sumd1:.1f}s, "
-          f"sf1 summed ratio {sum1/sumd1:.2f}x" if sumd1 else "")
+        # `dd is not None`, not truthiness: a 0.00s duckdb min-median is
+        # a real measurement, not a missing one (round-11 advice)
+        if dd is not None:
+            sumd1 += dd
+            ratio = b / dd if dd > 0 else float("inf")
+            print(f"| {k} | {a:.2f} | {b:.2f} | {scale:.1f}×{mark} | "
+                  f"{dd:.2f} | {ratio:.2f}× |")
+        else:
+            print(f"| {k} | {a:.2f} | {b:.2f} | {scale:.1f}×{mark} | - | - |")
+    line = (f"\nsums: spark sf0.1 {sum01:.1f}s, spark sf1 {sum1:.1f}s "
+            f"({sum1/sum01:.2f}x on 10x data), duckdb sf1 {sumd1:.1f}s")
+    if sumd1 > 0:
+        line += f", sf1 summed ratio {sum1/sumd1:.2f}x"
+    print(line)
     # data-dominated cut at sf1: duckdb >= 1.5s (10x the sf0.1 cutoff)
     dd_keys = [k for k in keys if d1.get(k, 0) >= 1.5]
     if dd_keys:
