@@ -205,7 +205,16 @@ final case class GraftService(
     groupBy: Seq[String] = Nil,
     orderBy: Seq[String] = Nil,
     limit: Option[Int] = None,
-    doc: Option[String] = None)
+    doc: Option[String] = None,
+    /** Business-temporal as-of date (a SQL date/timestamp literal, e.g.
+      * `DATE '1996-06-15'`) from PURE `.all(date)` — Legend's flagship
+      * temporal feature in the reference's financial domain. ServiceGen
+      * compiles it to `from <= d AND d < thru` on every MILESTONED table
+      * the service touches (WHERE for the main table — scan-pushable —
+      * and inside the JOIN ON for navigated hops, so LEFT-JOIN
+      * semantics are unchanged). Milestone columns are declared by the
+      * store ([[GraftModel.milestoning]]). */
+    businessDate: Option[String] = None)
 
 final case class GraftModel(
     classes: Map[String, GraftClass],
@@ -213,7 +222,14 @@ final case class GraftModel(
     mappings: Map[String, GraftMapping],
     services: Map[String, GraftService],
     associations: Map[String, GraftAssociation] = Map.empty,
-    joins: Map[String, GraftJoinDef] = Map.empty) {
+    joins: Map[String, GraftJoinDef] = Map.empty,
+    /** Business milestoning declared by relational stores: table name →
+      * (fromCol, thruCol). A row of a milestoned table is valid for
+      * business dates `from <= d AND d < thru` (thru exclusive — the
+      * Legend default; `thruIsInclusive` rejects at load). Queries touch
+      * such tables only through `.all(date)` ([[GraftService.businessDate]]);
+      * ServiceGen rejects a date-less read of a milestoned table. */
+    milestoning: Map[String, (String, String)] = Map.empty) {
 
   def clazz(name: String): GraftClass =
     classes.getOrElse(name, throw new IllegalArgumentException(s"unknown class [$name]"))
@@ -342,7 +358,24 @@ final case class GraftModel(
   def merge(other: GraftModel): GraftModel = GraftModel(
     classes ++ other.classes, enums ++ other.enums,
     mappings ++ other.mappings, services ++ other.services,
-    associations ++ other.associations, joins ++ other.joins)
+    associations ++ other.associations, joins ++ other.joins,
+    milestoning ++ other.milestoning)
+
+  /** The business-milestoning columns declared by a store for `table`:
+    * exact name first, then the same unambiguous bare-name fallback
+    * [[GraftJoinDef.orient]] uses (a mapping's mainTable is often
+    * unqualified while the store writes schema-qualified names). */
+  def milestoningOf(table: String): Option[(String, String)] =
+    milestoning.get(table).orElse {
+      def bare(t: String) = t.split('.').last
+      val hits = milestoning.collect {
+        case (t, cols) if bare(t) == bare(table) => (t, cols)
+      }
+      require(hits.size <= 1,
+        s"table [$table]: milestoning is declared for multiple tables " +
+          s"matching its bare name (${hits.keys.mkString(", ")}) — qualify the table")
+      hits.headOption.map(_._2)
+    }
 }
 
 object GraftModel {

@@ -104,6 +104,28 @@ object ServiceGen {
         e => compileJoined(svc, navHeads, navSubs ++ mainSubs, e)
       }
 
+    // business milestoning: a milestoned table may only be read as-of a
+    // date, and `.all(date)` is only meaningful on a milestoned entity —
+    // both directions reject loudly (Legend's compile-time contract).
+    // The main table's as-of predicate lands in WHERE (scan-pushable);
+    // a navigated hop's lands INSIDE its JOIN ON (resolveNavigations),
+    // so a LEFT JOIN still yields the row with nulls when no version is
+    // current — outer-join semantics unchanged.
+    val msMain = model.milestoningOf(m.table)
+    (msMain, svc.businessDate) match {
+      case (Some((f, t)), None) => throw new IllegalArgumentException(
+        s"service [${svc.name}]: table [${m.table}] is business-temporal " +
+          s"(milestoned $f/$t) — query the entity with .all(<date>)")
+      case (None, Some(_)) => throw new IllegalArgumentException(
+        s"service [${svc.name}]: .all(<date>) given but table [${m.table}] " +
+          "declares no business milestoning in its store")
+      case _ => ()
+    }
+    val mainAsOf = for { (f, t) <- msMain; d <- svc.businessDate } yield {
+      val p = if (navs.isEmpty) "" else s"$MainAlias."
+      s"$p${quoteIfNeeded(f)} <= $d AND $d < $p${quoteIfNeeded(t)}"
+    }
+
     val select = svc.select
       .map { case (alias, e) => s"${compile(e)} AS ${quoteIfNeeded(alias)}" }
       .mkString(", ")
@@ -114,12 +136,18 @@ object ServiceGen {
         // hop joining against its PARENT's alias
         val joins = navs.map { case (_, n) =>
           s"${n.joinKeyword} ${n.mapping.table} AS ${n.alias} ON " +
-            s"${n.parentAlias}.${quoteIfNeeded(n.myCol)} = ${n.alias}.${quoteIfNeeded(n.otherCol)}"
+            s"${n.parentAlias}.${quoteIfNeeded(n.myCol)} = ${n.alias}.${quoteIfNeeded(n.otherCol)}" +
+            n.asOf.map(p => s" AND $p").getOrElse("")
         }.mkString(" ")
         s"${m.table} AS $MainAlias $joins"
       }
     val sb = new StringBuilder(s"SELECT $select FROM $from")
-    svc.where.foreach(w => sb.append(s" WHERE ${compile(w)}"))
+    (mainAsOf, svc.where.map(compile)) match {
+      case (Some(a), Some(w)) => sb.append(s" WHERE ($a) AND ($w)")
+      case (Some(a), None)    => sb.append(s" WHERE $a")
+      case (None, Some(w))    => sb.append(s" WHERE $w")
+      case (None, None)       => ()
+    }
     if (svc.groupBy.nonEmpty)
       sb.append(s" GROUP BY ${svc.groupBy.map(compile).mkString(", ")}")
     if (svc.orderBy.nonEmpty) {
@@ -144,7 +172,10 @@ object ServiceGen {
     * field→expression substitutions (already alias-prefixed). */
   private final case class Nav(alias: String, parentAlias: String,
       joinKeyword: String, mapping: GraftMapping, myCol: String, otherCol: String,
-      subs: Map[String, org.apache.spark.sql.catalyst.expressions.Expression])
+      subs: Map[String, org.apache.spark.sql.catalyst.expressions.Expression],
+      /** As-of predicate for a MILESTONED target table, alias-prefixed,
+        * emitted inside the JOIN ON (preserves LEFT JOIN semantics). */
+      asOf: Option[String] = None)
 
   /** Find every association navigation CHAIN the service's expressions
     * use and resolve each hop (parents before children) to its join +
@@ -275,8 +306,18 @@ object ServiceGen {
         if (navProp.multiplicity.isNullable || parentOptional) "LEFT JOIN" else "JOIN"
       val targetSubs = model.tableSubstitutions(tm.name)
         .map { case (f, sql) => f -> prefixAttrs(CatalystSqlParser.parseExpression(sql), alias) }
+      // milestoned navigation target: requires the service's as-of date
+      // (a date-less read of a temporal table is a compile error), and
+      // the predicate joins the hop's ON clause, not WHERE
+      val hopAsOf = model.milestoningOf(tm.table).map { case (f, t) =>
+        val d = svc.businessDate.getOrElse(throw new IllegalArgumentException(
+          s"service [${svc.name}]: navigated table [${tm.table}] is business-" +
+            s"temporal (milestoned $f/$t) — query the entity with .all(<date>)"))
+        import org.apache.spark.sql.catalyst.util.quoteIfNeeded
+        s"$alias.${quoteIfNeeded(f)} <= $d AND $d < $alias.${quoteIfNeeded(t)}"
+      }
       resolved += path.mkString(".") -> Nav(alias, fromAlias, joinKeyword, tm,
-        myCol, otherCol, targetSubs)
+        myCol, otherCol, targetSubs, hopAsOf)
     }
     resolved.toSeq
   }

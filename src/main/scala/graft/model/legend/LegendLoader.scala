@@ -91,9 +91,12 @@ object LegendLoader {
       case "service"     => GraftModel(Map.empty, Map.empty, Map.empty, Map(parseService(content)))
       case "association" => GraftModel.empty.copy(associations = Map(parseAssociation(content)))
       // a relational Database (store) entity: the model only needs its
-      // named FK joins (association navigation); schemas/DDL stay with
-      // the execution environment
-      case "relational"  => GraftModel.empty.copy(joins = parseStoreJoins(content))
+      // named FK joins (association navigation) and each table's
+      // business-milestoning declaration; schemas/DDL stay with the
+      // execution environment
+      case "relational"  => GraftModel.empty.copy(
+        joins = parseStoreJoins(content),
+        milestoning = parseStoreMilestoning(content))
       case _             => GraftModel.empty
     }
   }
@@ -184,6 +187,41 @@ object LegendLoader {
       val (lt, lc) = side(params(0))
       val (rt, rc) = side(params(1))
       s"$path::$name" -> GraftJoinDef(name, lt, lc, rt, rc)
+    }.toMap
+  }
+
+  /** Business-milestoning declarations from a relational store's tables
+    * (protocol: `schemas[].tables[].milestoning` — the reference's
+    * vendored corpus carries the array empty, e.g.
+    * src/test/resources/entities/databricks/table/employee.json:129;
+    * the populated shape is the legend-engine grammar's
+    * `businessMilestoning(from=..., thru=...)`). Keyed by table name as
+    * the store writes it (the same convention as join sides — bare
+    * within the store). `thruIsInclusive` and processing/bitemporal
+    * milestoning reject loudly — outside the supported frontier, never
+    * silently misread as-of semantics. */
+  private def parseStoreMilestoning(c: JsonNode): Map[String, (String, String)] = {
+    val path = fullPath(c)
+    elems(c, "schemas").flatMap { s =>
+      elems(s, "tables").flatMap { t =>
+        val tname = t.path("name").asText()
+        elems(t, "milestoning").map { m =>
+          m.path("_type").asText() match {
+            case "businessMilestoning" =>
+              require(!m.path("thruIsInclusive").asBoolean(false),
+                s"store [$path] table [$tname]: thruIsInclusive business " +
+                  "milestoning is not supported (thru is exclusive)")
+              val from = m.path("from").asText()
+              val thru = m.path("thru").asText()
+              require(from.nonEmpty && thru.nonEmpty,
+                s"store [$path] table [$tname]: businessMilestoning needs from + thru columns")
+              tname -> (from, thru)
+            case other => sys.error(
+              s"store [$path] table [$tname]: unsupported milestoning type " +
+                s"[$other] — only businessMilestoning is supported")
+          }
+        }
+      }
     }.toMap
   }
 
@@ -388,6 +426,7 @@ object LegendLoader {
     var groupBy: Seq[String] = Nil
     var orderBy: Seq[String] = Nil
     var limit: Option[Int] = None
+    var businessDate: Option[String] = None
 
     def rowSql(e: PureExpr): String = e match {
       case l: PLambda => PureToSql.lambda(l)
@@ -462,6 +501,21 @@ object LegendLoader {
       case PFunc("filter", Seq(src, pred)) =>
         where = Some(rowSql(pred)); walk(src)
       case PFunc("getAll", Seq(PPtr(_))) => () // the mapping names the table
+      // business-temporal `.all(date)` / `->getAll(%date)`: the as-of
+      // date rides the service; ServiceGen compiles it against the
+      // store's milestoning declaration
+      case PFunc("getAll", Seq(PPtr(_), dateArg)) =>
+        businessDate = Some(dateArg match {
+          case PLit(sql) if sql.startsWith("DATE ") ||
+                            sql.startsWith("TIMESTAMP ") => sql
+          case PVar(nm) => sys.error(
+            s"service [$path]: milestoned getAll parameter [$$$nm] is unbound — " +
+              "bind it to a date literal (PureParser.compileQuery params) before compiling")
+          case other => sys.error(
+            s"service [$path]: unsupported getAll date argument $other — expected a strict date literal")
+        })
+      case PFunc("getAll", PPtr(_) +: rest) if rest.size >= 2 => sys.error(
+        s"service [$path]: bitemporal getAll (business + processing dates) is not supported")
       case other =>
         sys.error(s"service [$path]: unsupported pipeline step $other")
     }
@@ -475,6 +529,7 @@ object LegendLoader {
       groupBy = groupBy,
       orderBy = orderBy,
       limit = limit,
-      doc = doc)
+      doc = doc,
+      businessDate = businessDate)
   }
 }

@@ -292,15 +292,104 @@ object LegendQueries {
     ServiceGen.runService(s, model, "gate::service::orderNation")
   }
 
+  // --- M18: business milestoning (round 12) ---
+
+  /** The milestoned model: a versioned order entity over `orders_hist`,
+    * whose store declares business milestoning (from_z/thru_z). Same
+    * protocol wire format as everything above. */
+  private val milestoneStoreJson =
+    s"""{"classifierPath":"meta::relational::metamodel::Database","content":{
+       |"_type":"relational","name":"histDb","package":"gate::store",
+       |"schemas":[{"name":"default","tables":[
+       |  {"name":"orders_hist","columns":[],"primaryKey":[],
+       |   "milestoning":[{"_type":"businessMilestoning","from":"from_z","thru":"thru_z"}]}]}],
+       |"filters":[],"joins":[]}}""".stripMargin
+
+  private val orderVersionClassJson =
+    s"""{"classifierPath":"meta::pure::metamodel::type::Class","content":{
+       |"_type":"class","name":"orderVersion","package":"gate::entity","superTypes":[],
+       |"properties":[
+       |  ${prop("orderId", "Integer", mult1)},
+       |  ${prop("status", "String", mult1)},
+       |  ${prop("price", "Float", mult1)}],
+       |"constraints":[],"qualifiedProperties":[]}}""".stripMargin
+
+  private def pmv(field: String, column: String) =
+    s"""{"_type":"relationalPropertyMapping",
+       |"property":{"class":"gate::entity::orderVersion","property":"$field"},
+       |"relationalOperation":{"_type":"column","column":"$column","table":{"_type":"Table"}}}""".stripMargin
+
+  private val milestoneMappingJson =
+    s"""{"classifierPath":"meta::pure::mapping::Mapping","content":{
+       |"_type":"mapping","name":"order_hist_rel","package":"gate::mapping",
+       |"classMappings":[{"_type":"relational","class":"gate::entity::orderVersion",
+       |"mainTable":{"_type":"Table","schema":"default","table":"orders_hist"},
+       |"propertyMappings":[${Seq(
+          pmv("orderId", "o_orderkey"), pmv("status", "o_status"),
+          pmv("price", "o_totalprice")).mkString(",")}]}]}}""".stripMargin
+
+  lazy val milestoneModel: GraftModel = LegendLoader.fromJsonStrings(
+    Seq(orderVersionClassJson, milestoneStoreJson, milestoneMappingJson))
+
+  /** M18 gate: business-temporal `.all($businessDate)` end-to-end on
+    * the TEXT front end. A deterministic two-version history over
+    * `orders` (each order: a 30-day 'P'ending version from its order
+    * date, then its final status until the infinity date) is read as-of
+    * 1996-06-15 — the as-of filter must pick exactly one version of
+    * each order alive on that date and exclude future orders entirely.
+    * The compiled WHERE's milestone conjuncts are plain column
+    * predicates on the base scan: at 100 TB they push into the parquet
+    * reader like any date filter (and prune on a from_z/thru_z
+    * partitioned or clustered layout). */
+  def m11LegendMilestone(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql("""CREATE OR REPLACE TEMPORARY VIEW orders_hist AS
+      SELECT o_orderkey, o_totalprice, 'P' AS o_status,
+             CAST(o_orderdate AS DATE) AS from_z,
+             date_add(o_orderdate, 30) AS thru_z
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, o_orderstatus AS o_status,
+             date_add(o_orderdate, 30) AS from_z, DATE '9999-12-31' AS thru_z
+      FROM orders""")
+    val sql = PureParser.querySql(milestoneModel,
+      "gate::entity::orderVersion.all($businessDate)" +
+        "->filter(x|$x.price >= 100000)" +
+        "->groupBy([x|$x.status], " +
+        "[agg(x|$x.orderId, x|$x->count()), agg(x|$x.price, x|$x->max()), " +
+        "agg(x|$x.price, x|$x->min())], " +
+        "['status', 'n', 'max_price', 'min_price'])",
+      params = Map("businessDate" -> "DATE '1996-06-15'"))
+    s.sql(sql)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m7_legend_service" -> (m7LegendService _),
     "m8_legend_validate" -> (m8LegendValidate _),
     "m9_legend_join" -> (m9LegendJoin _),
-    "m10_legend_deep_join" -> (m10LegendDeepJoin _))
+    "m10_legend_deep_join" -> (m10LegendDeepJoin _),
+    "m11_legend_milestone" -> (m11LegendMilestone _))
 
   /** Violated = NOT coalesce(rule, FALSE), as in the m2 oracle; DuckDB's
     * integer sum casts back to BIGINT for the gate's pandas hasher. */
   val oracles: Map[String, String] = Map(
+    "m11_legend_milestone" ->
+      """WITH orders_hist AS (
+        |  SELECT o_orderkey, o_totalprice, 'P' AS o_status,
+        |         CAST(o_orderdate AS DATE) AS from_z,
+        |         CAST(o_orderdate AS DATE) + 30 AS thru_z
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus AS o_status,
+        |         CAST(o_orderdate AS DATE) + 30 AS from_z,
+        |         DATE '9999-12-31' AS thru_z
+        |  FROM orders)
+        |SELECT o_status AS status, count(o_orderkey) AS n,
+        |  max(o_totalprice) AS max_price, min(o_totalprice) AS min_price
+        |FROM orders_hist
+        |WHERE (from_z <= DATE '1996-06-15' AND DATE '1996-06-15' < thru_z)
+        |  AND o_totalprice >= 100000
+        |GROUP BY o_status""".stripMargin,
     "m10_legend_deep_join" ->
       """SELECT o_orderkey AS OrderId, c_name AS CustomerName,
         |  n_name AS NationName, o_totalprice AS Price

@@ -80,10 +80,17 @@ object PureParser {
     * a query with no projection reads every mapped field, like the
     * reference's execution plan for a bare filter. */
   def compileQuery(model: GraftModel, text: String,
-                   name: String = "graft::text::query"): GraftService = {
-    val body = parse(text, model.enums.keySet) match {
+                   name: String = "graft::text::query",
+                   params: Map[String, String] = Map.empty): GraftService = {
+    val parsed = parse(text, model.enums.keySet) match {
       case PLambda(_, b) => b
       case e             => e
+    }
+    // bind named parameters (e.g. `$businessDate` in a milestoned
+    // `Entity.all($businessDate)`) to SQL literals before compiling;
+    // an unbound date parameter rejects in compilePipeline
+    val body = params.foldLeft(parsed) { case (b, (k, v)) =>
+      PureExpr.substVar(b, k, PureExpr.PLit(v))
     }
     val entity = findGetAll(body).getOrElse(throw new IllegalArgumentException(
       s"text query must select an entity via `path::to::entity->getAll()` or `.all()`: $text"))
@@ -103,14 +110,15 @@ object PureParser {
   }
 
   /** SQL for a textual query, compiled against `model`'s mappings. */
-  def querySql(model: GraftModel, text: String): String = {
-    val svc = compileQuery(model, text)
+  def querySql(model: GraftModel, text: String,
+               params: Map[String, String] = Map.empty): String = {
+    val svc = compileQuery(model, text, params = params)
     graft.model.ServiceGen.serviceSql(
       model.copy(services = model.services + (svc.name -> svc)), svc.name)
   }
 
   private def findGetAll(e: PureExpr): Option[String] = e match {
-    case PFunc("getAll", Seq(PPtr(p)))  => Some(p)
+    case PFunc("getAll", PPtr(p) +: _)  => Some(p)
     case PFunc(_, ps)                   => ps.view.flatMap(findGetAll).headOption
     case _                              => None
   }
@@ -323,11 +331,12 @@ object PureParser {
           e match {
             case PPtr(p) if peekIs("(") =>
               // `Entity.all()` — the only call the wire format puts on a
-              // pointer (everything else arrives arrow-style)
+              // pointer (everything else arrives arrow-style). One
+              // optional argument: the business-temporal as-of date
+              // (`Entity.all(%2023-06-15)` / `Entity.all($businessDate)`)
               fail(name == "all", s"only .all() is callable on element [$p], got .$name(...)")
               expect("(")
-              expect(")")
-              e = PFunc("getAll", Seq(e))
+              e = PFunc("getAll", e +: args())
             case PPtr(p) if enums.contains(p) =>
               e = PEnum(p, name) // known enumeration → enum literal
             case _ if peekIs("(") =>

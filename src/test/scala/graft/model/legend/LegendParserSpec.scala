@@ -307,18 +307,170 @@ class LegendParserSpec extends SparkTestBase {
     assert(sqlOf("max([$this.a])") == "a")
   }
 
+  // --- business milestoning (M18, round 12): `.all(date)` — Legend's
+  // flagship temporal feature in the reference's financial domain.
+  // Fixture: policy_hist (business-milestoned) with an optional
+  // association to rate_hist (also milestoned) — protocol wire format
+  // throughout, so both front ends compile the same shapes.
+  private lazy val msModel: graft.model.GraftModel = {
+    def prop(name: String, tpe: String, m: String) =
+      s"""{"name":"$name","type":"$tpe","multiplicity":$m}"""
+    val mult1 = """{"lowerBound":1,"upperBound":1}"""
+    val mult01 = """{"lowerBound":0,"upperBound":1}"""
+    val policyClass =
+      s"""{"classifierPath":"meta::pure::metamodel::type::Class","content":{
+         |"_type":"class","name":"policy","package":"ms::entity","superTypes":[],
+         |"properties":[${prop("policyId", "Integer", mult1)},
+         |  ${prop("amount", "Float", mult1)}],
+         |"constraints":[],"qualifiedProperties":[]}}""".stripMargin
+    val rateClass =
+      s"""{"classifierPath":"meta::pure::metamodel::type::Class","content":{
+         |"_type":"class","name":"rate","package":"ms::entity","superTypes":[],
+         |"properties":[${prop("rateKey", "Integer", mult1)},
+         |  ${prop("rate", "Float", mult1)}],
+         |"constraints":[],"qualifiedProperties":[]}}""".stripMargin
+    val assoc =
+      s"""{"classifierPath":"meta::pure::metamodel::relationship::Association","content":{
+         |"_type":"association","name":"Policy_Rate","package":"ms::entity",
+         |"properties":[
+         |  {"name":"rate","type":"ms::entity::rate","multiplicity":$mult01},
+         |  {"name":"policies","type":"ms::entity::policy","multiplicity":{"lowerBound":0}}]}}""".stripMargin
+    val store =
+      s"""{"classifierPath":"meta::relational::metamodel::Database","content":{
+         |"_type":"relational","name":"msDb","package":"ms::store",
+         |"schemas":[{"name":"default","tables":[
+         |  {"name":"policy_hist","columns":[],"primaryKey":[],
+         |   "milestoning":[{"_type":"businessMilestoning","from":"from_z","thru":"thru_z"}]},
+         |  {"name":"rate_hist","columns":[],"primaryKey":[],
+         |   "milestoning":[{"_type":"businessMilestoning","from":"r_from_z","thru":"r_thru_z"}]}]}],
+         |"filters":[],
+         |"joins":[{"name":"PolicyRate","operation":{
+         |  "_type":"dynaFunc","funcName":"equal","parameters":[
+         |    {"_type":"column","column":"rate_key","table":{"_type":"Table","table":"policy_hist","schema":"default"}},
+         |    {"_type":"column","column":"rate_key","table":{"_type":"Table","table":"rate_hist","schema":"default"}}]}}]}}""".stripMargin
+    def pmOf(clazz: String, field: String, column: String) =
+      s"""{"_type":"relationalPropertyMapping",
+         |"property":{"class":"ms::entity::$clazz","property":"$field"},
+         |"relationalOperation":{"_type":"column","column":"$column","table":{"_type":"Table"}}}""".stripMargin
+    val mapping =
+      s"""{"classifierPath":"meta::pure::mapping::Mapping","content":{
+         |"_type":"mapping","name":"policy_ms","package":"ms::mapping",
+         |"classMappings":[
+         |  {"_type":"relational","class":"ms::entity::policy",
+         |   "mainTable":{"_type":"Table","schema":"default","table":"policy_hist"},
+         |   "propertyMappings":[${pmOf("policy", "policyId", "policy_id")},
+         |     ${pmOf("policy", "amount", "amount")}]},
+         |  {"_type":"relational","class":"ms::entity::rate",
+         |   "mainTable":{"_type":"Table","schema":"default","table":"rate_hist"},
+         |   "propertyMappings":[${pmOf("rate", "rateKey", "rate_key")},
+         |     ${pmOf("rate", "rate", "rate")}]}],
+         |"associationMappings":[{"_type":"relational",
+         |  "association":"ms::entity::Policy_Rate",
+         |  "propertyMappings":[{"_type":"relationalPropertyMapping",
+         |    "property":{"class":"ms::entity::Policy_Rate","property":"rate"},
+         |    "relationalOperation":{"_type":"elementWithJoins",
+         |      "joins":[{"db":"ms::store::msDb","name":"PolicyRate"}]}}]}]}}""".stripMargin
+    LegendLoader.fromJsonStrings(Seq(policyClass, rateClass, assoc, store, mapping))
+  }
+
+  private def plantMilestoneViews(): Unit = {
+    // policy 1: two versions (as-of 2023-06-15 → the 150.0 one);
+    // policy 2: from_z == the as-of date exactly (inclusive → in);
+    // policy 3: starts in the future (out); policy 4: rate_key with no
+    // rate row at all (LEFT JOIN null)
+    Seq((1L, 100.0, 10L, "2023-01-01", "2023-06-01"),
+        (1L, 150.0, 10L, "2023-06-01", "9999-12-31"),
+        (2L, 200.0, 20L, "2023-06-15", "9999-12-31"),
+        (3L, 300.0, 20L, "2023-07-01", "9999-12-31"),
+        (4L, 400.0, 99L, "2023-01-01", "9999-12-31"))
+      .toDF("policy_id", "amount", "rate_key", "f", "t")
+      .select(col("policy_id"), col("amount"), col("rate_key"),
+        to_date(col("f")).as("from_z"), to_date(col("t")).as("thru_z"))
+      .createOrReplaceTempView("policy_hist")
+    // rate 10: expired before the as-of date, next version starts after
+    // it (policy 1 must get NULL, not drop); rate 20: current
+    Seq((10L, 0.05, "2023-01-01", "2023-06-10"),
+        (10L, 0.07, "2023-06-20", "9999-12-31"),
+        (20L, 0.10, "2023-01-01", "9999-12-31"))
+      .toDF("rate_key", "rate", "f", "t")
+      .select(col("rate_key"), col("rate"),
+        to_date(col("f")).as("r_from_z"), to_date(col("t")).as("r_thru_z"))
+      .createOrReplaceTempView("rate_hist")
+  }
+
+  test("milestoning: .all(date) compiles to the as-of filter and executes; boundaries from-inclusive thru-exclusive") {
+    plantMilestoneViews()
+    val sql = PureParser.querySql(msModel,
+      "ms::entity::policy.all(%2023-06-15)" +
+        "->project([x|$x.policyId, x|$x.amount], ['id', 'amount'])")
+    assert(sql.contains("from_z <= DATE '2023-06-15'") &&
+      sql.contains("DATE '2023-06-15' < thru_z"), sql)
+    val rows = spark.sql(sql).as[(Long, Double)].collect().toSet
+    assert(rows == Set((1L, 150.0), (2L, 200.0), (4L, 400.0)), rows)
+    // the same query through $businessDate binding compiles identically
+    val bound = PureParser.querySql(msModel,
+      "ms::entity::policy.all($businessDate)" +
+        "->project([x|$x.policyId, x|$x.amount], ['id', 'amount'])",
+      params = Map("businessDate" -> "DATE '2023-06-15'"))
+    assert(bound == sql)
+    // and the arrow spelling `->getAll(%d)` too
+    val arrow = PureParser.querySql(msModel,
+      "ms::entity::policy->getAll(%2023-06-15)" +
+        "->project([x|$x.policyId, x|$x.amount], ['id', 'amount'])")
+    assert(arrow == sql)
+  }
+
+  test("milestoning: a navigated milestoned hop filters INSIDE the join — LEFT JOIN semantics unchanged") {
+    plantMilestoneViews()
+    val sql = PureParser.querySql(msModel,
+      "ms::entity::policy.all(%2023-06-15)" +
+        "->project([x|$x.policyId, x|$x.amount, x|$x.rate.rate], ['id', 'amount', 'rate'])")
+    // the hop's as-of predicate is in the ON clause, not WHERE: the main
+    // WHERE mentions only the main table's milestone columns
+    val whereClause = sql.substring(sql.indexOf(" WHERE "))
+    assert(!whereClause.contains("r_from_z"), sql)
+    assert(sql.contains("LEFT JOIN rate_hist"), sql)
+    assert(sql.contains("r_from_z <= DATE '2023-06-15'"), sql)
+    val rows = spark.sql(sql).as[(Long, Double, Option[Double])].collect().toSet
+    // policy 1's rate has NO version current on the as-of date (expired
+    // 06-10, next starts 06-20): the row SURVIVES with a null rate —
+    // a WHERE-placed predicate would have dropped it
+    assert(rows == Set((1L, 150.0, None), (2L, 200.0, Some(0.10)),
+      (4L, 400.0, None)), rows)
+  }
+
+  test("milestoning: date-less reads of milestoned tables and dates on non-milestoned tables reject") {
+    // a milestoned entity queried WITHOUT .all(date) — compile error
+    val r1 = scala.util.Try(PureParser.querySql(msModel,
+      "ms::entity::policy.all()->project([x|$x.policyId], ['id'])"))
+    assert(r1.isFailure && r1.failed.get.getMessage.contains("business-temporal"),
+      r1.toString)
+    // .all(date) on an entity whose table declares no milestoning
+    val r2 = scala.util.Try(PureParser.querySql(model,
+      s"$Employee.all(%2020-01-01)->project([x|$$x.id], ['id'])"))
+    assert(r2.isFailure && r2.failed.get.getMessage.contains("no business milestoning"),
+      r2.toString)
+    // unbound $businessDate still rejects, with the binding hint
+    val r3 = scala.util.Try(PureParser.querySql(msModel,
+      "ms::entity::policy.all($businessDate)->project([x|$x.policyId], ['id'])"))
+    assert(r3.isFailure && r3.failed.get.getMessage.contains("unbound"), r3.toString)
+  }
+
   test("rejection frontier: the documented still-unsupported constructs fail loudly") {
     // The round-11 frontier survey (every corpus lambda + every
     // reference test string parses clean — proven above and in
     // LegendRealCorpusSpec). What real-world PURE remains OUTSIDE the
     // subset is pinned here so the boundary is executable documentation:
     // each construct must reject at load time, not mistranslate.
+    // round 12: business-temporal `.all(date)` LEFT the frontier (the
+    // milestoning tests above); bitemporal (business + processing
+    // dates) remains outside it
     val stillRejected = Seq(
       "$this.items->fold({a, b | $a + $b}, 0)",       // explicit fold (use sum)
       "meta::pure::functions::lang::eval(f, 1)",      // function-pointer eval
       "$this->cast(@databricks::entity::sme)",        // @-type cast
       "$this.sme->subType(@SomeClass)",               // subtype narrowing
-      "Person.all($businessDate)")                    // milestoned getAll
+      "Person.all(%2020-01-01, %2021-01-01)")         // bitemporal getAll
     for (s <- stillRejected) {
       val r = scala.util.Try {
         val ast = PureParser.parse(s)
