@@ -104,6 +104,55 @@ object DedupIndex {
       mode = mode)
   }
 
+  /** Per-band-bucket cardinalities — the index health metric (the dedup
+    * analog of [[graft.sim.IvfIndex.listSizes]]). Over-cap buckets are
+    * boilerplate bands that only crossed `maxBucket` ACROSS appends (a
+    * single write caps its own); they inflate probe candidate counts
+    * until [[compact]] clears them. */
+  def bucketSizes(index: Handle): DataFrame =
+    SparkSession.active.table(index.table)
+      .groupBy(col("band_key")).agg(count(lit(1)).as("n_rows"))
+
+  /** Compaction trigger: any band bucket over the cap, or any duplicate
+    * (index_id, band_key) row (the documented at-least-once residue of
+    * a streaming replay crash window — ST10/ST16). Both are metadata
+    * aggregates over the index, never the corpus. */
+  def needsCompaction(index: Handle, maxBucket: Int): Boolean = {
+    val spark = SparkSession.active
+    val over = spark.table(index.table)
+      .groupBy(col("band_key"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("index_id")).as("nd"))
+      .filter(col("n") > maxBucket || col("n") > col("nd"))
+    !over.isEmpty
+  }
+
+  /** Rebuild the index under the SAME bucket spec from its own rows —
+    * clearing the two forms of append-only debt: duplicate signature
+    * rows from streaming replays, and band buckets that crossed
+    * `maxBucket` only across appends (each write caps its own bucket,
+    * so cross-append growth is invisible until here). Cost is one scan
+    * + one bucketed write of the INDEX (~0.5% of corpus size at 100 TB)
+    * — never the corpus, and no re-shingling: signatures are reused
+    * as stored. The rewrite goes through a staging table + catalog
+    * rename, so a concurrent reader never sees a half-written index. */
+  def compact(index: Handle, maxBucket: Int): Unit = {
+    val spark = SparkSession.active
+    // replay residue: the same doc's band row appended twice carries an
+    // identical signature (ids are stable per the pipeline's contract)
+    val rows = spark.table(index.table)
+      .dropDuplicates("index_id", "band_key")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band_key"))
+    val capped = rows
+      .withColumn("graft_bn", count(lit(1)).over(w))
+      .filter(col("graft_bn") <= maxBucket)
+      .drop("graft_bn")
+    val staging = index.table + "_compact_staging"
+    spark.sql(s"DROP TABLE IF EXISTS $staging")
+    Bucketed.writeBucketed(capped, staging, "band_key", index.numBuckets)
+    spark.sql(s"DROP TABLE ${index.table}")
+    spark.sql(s"ALTER TABLE $staging RENAME TO ${index.table}")
+  }
+
   /** Dedup an incoming batch against the index: (batch_id, index_id,
     * est_jaccard) for every batch document whose estimated Jaccard
     * against an indexed document reaches `threshold`. The index side is

@@ -84,6 +84,47 @@ object IvfIndex {
         .groupBy(col("list_id")).agg(count(lit(1)).as("n_vectors"))
     }
 
+  /** Rebuild trigger: centroid drift under appends shows up as list-size
+    * skew (frozen build-time centroids stop matching the corpus
+    * distribution, so new vectors pile into few lists and probes touching
+    * them degrade toward linear scans). Fires when the largest list holds
+    * more than `skewFactor`× the mean. Metadata aggregate over the index
+    * only. */
+  def needsRebuild(index: Handle, skewFactor: Double = 4.0): Boolean = {
+    val row = listSizes(index)
+      .agg(max(col("n_vectors")).as("mx"), avg(col("n_vectors")).as("mean"))
+      .collect()(0)
+    !row.isNullAt(0) && row.getLong(0) > skewFactor * row.getDouble(1)
+  }
+
+  /** Rebuild the inverted file from its own rows: RE-SAMPLE centroids
+    * from the CURRENT corpus (the same deterministic sampler as build,
+    * so a compacted index equals a fresh build over the same vectors),
+    * re-assign every vector, and rewrite under the same bucket spec —
+    * clearing centroid drift and any duplicate rows from streaming
+    * replay windows (ST10's documented residue). Cost: two scans of the
+    * index (sample + assign) and one bucketed write — proportional to
+    * the index, with the assignment the same codegen'd nlist-dot-product
+    * kernel as build. Staging table + catalog rename keeps the swap
+    * atomic for concurrent readers. Returns the NEW handle (fresh
+    * centroids); probes holding the old handle should be re-issued. */
+  def compact(index: Handle, nlist: Int): Handle = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    import graft.functions.VectorFunctions.nearestCentroids
+    val vecs = spark.table(index.table)
+      .dropDuplicates("neighbor_id")
+      .select(col("neighbor_id"), col("c_vec"))
+    val centroids = Similarity.sampleCentroids(vecs, "neighbor_id", "c_vec", nlist)
+    val assigned = vecs.withColumn("list_id",
+      element_at(nearestCentroids(col("c_vec"), centroids, 1), 1))
+    val staging = index.table + "_compact_staging"
+    spark.sql(s"DROP TABLE IF EXISTS $staging")
+    Bucketed.writeBucketed(assigned, staging, "list_id", index.numBuckets)
+    spark.sql(s"DROP TABLE ${index.table}")
+    spark.sql(s"ALTER TABLE $staging RENAME TO ${index.table}")
+    Handle(index.table, centroids, index.numBuckets)
+  }
+
   /** Probe the persisted index: top-k by exact cosine within the probed
     * lists. Corpus side = bucket-pruned scan of `index.table`, no
     * Exchange; query side = broadcast. */

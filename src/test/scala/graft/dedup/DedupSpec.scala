@@ -307,6 +307,87 @@ class DedupSpec extends SparkTestBase {
     spark.sql("DROP TABLE IF EXISTS d9_spec_index")
   }
 
+  test("D9: compaction clears cross-append over-cap buckets and replay duplicates; probe unchanged otherwise") {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    for (t <- Seq("d9_compact_index", "d9_compact_index_compact_staging")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      rm(new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t))
+    }
+    val boiler = "standard legal disclaimer repeated verbatim across documents"
+    val maxBucket = 4
+    // build: 3 boilerplate copies (under the per-write cap) + a control
+    val base = Seq(
+      (1L, boiler), (2L, boiler), (3L, boiler),
+      (4L, "control document with its own unique phrasing and content"))
+      .toDF("doc_id", "text")
+    val idx = DedupIndex.build(base, "doc_id", "text", "d9_compact_index",
+      numBuckets = 8, k = 3, numHashes = 16, numBands = 4, maxBucket = maxBucket)
+    assert(!DedupIndex.needsCompaction(idx, maxBucket))
+    // two appends, each under the per-write cap, cumulatively over it:
+    // the append-only debt compaction exists to clear
+    DedupIndex.append(idx, Seq((5L, boiler), (6L, boiler)).toDF("doc_id", "text"),
+      "doc_id", "text", maxBucket)
+    DedupIndex.append(idx, Seq((7L, boiler), (8L, boiler)).toDF("doc_id", "text"),
+      "doc_id", "text", maxBucket)
+    assert(DedupIndex.needsCompaction(idx, maxBucket),
+      "7 copies across 3 writes must trip the over-cap trigger")
+    val overBefore = DedupIndex.bucketSizes(idx)
+      .filter(col("n_rows") > maxBucket).count()
+    assert(overBefore > 0)
+    // control probe BEFORE (unaffected by the degenerate band)
+    val controlBatch = Seq(
+      (40L, "control document with its own unique phrasing and content"))
+      .toDF("doc_id", "text")
+    val controlBefore = DedupIndex.probe(idx, controlBatch, "doc_id", "text", 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+
+    DedupIndex.compact(idx, maxBucket)
+    assert(!DedupIndex.needsCompaction(idx, maxBucket))
+    assert(DedupIndex.bucketSizes(idx).filter(col("n_rows") > maxBucket).count() == 0,
+      "compaction must drop every over-cap bucket")
+    // probes: the control is IDENTICAL; the boilerplate band is gone, so
+    // a boilerplate probe finds no candidates — the same semantics the
+    // per-write cap gives D2 (degenerate bands carry no dedup signal)
+    val controlAfter = DedupIndex.probe(idx, controlBatch, "doc_id", "text", 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(controlAfter == controlBefore)
+    assert(controlAfter == Set((40L, 4L, 1.0)), controlAfter)
+    val boilerProbe = DedupIndex.probe(idx,
+      Seq((50L, boiler)).toDF("doc_id", "text"), "doc_id", "text", 0.5)
+    assert(boilerProbe.isEmpty, "capped band must yield no candidates")
+
+    // replay residue: the SAME doc's signatures appended twice
+    // (ST16's crash window) — trigger fires, compaction dedups, probe
+    // results are unchanged (probe already aggregates per pair)
+    DedupIndex.append(idx, Seq((60L, "replayed document body landing twice"))
+      .toDF("doc_id", "text"), "doc_id", "text", maxBucket)
+    val dupProbeBefore = DedupIndex.probe(idx,
+      Seq((70L, "replayed document body landing twice")).toDF("doc_id", "text"),
+      "doc_id", "text", 0.5).as[(Long, Long, Double)].collect().toSet
+    DedupIndex.append(idx, Seq((60L, "replayed document body landing twice"))
+      .toDF("doc_id", "text"), "doc_id", "text", maxBucket)
+    assert(DedupIndex.needsCompaction(idx, maxBucket),
+      "duplicate (index_id, band_key) rows must trip the trigger")
+    val rowsBefore = spark.table(idx.table).count()
+    DedupIndex.compact(idx, maxBucket)
+    assert(spark.table(idx.table).count() < rowsBefore)
+    assert(!DedupIndex.needsCompaction(idx, maxBucket))
+    val dupProbeAfter = DedupIndex.probe(idx,
+      Seq((70L, "replayed document body landing twice")).toDF("doc_id", "text"),
+      "doc_id", "text", 0.5).as[(Long, Long, Double)].collect().toSet
+    assert(dupProbeAfter == dupProbeBefore && dupProbeAfter == Set((70L, 60L, 1.0)))
+    // the compacted table kept its bucket spec (the probe plan contract
+    // of the test above depends on it)
+    assert(spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("d9_compact_index"))
+      .bucketSpec.nonEmpty, "compacted index lost its bucket spec")
+    spark.sql("DROP TABLE IF EXISTS d9_compact_index")
+  }
+
   test("D8: apply keeps cluster keepers and untouched docs, drops other members") {
     val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (5L, "f"), (7L, "d"), (9L, "e"))
       .toDF("doc_id", "text")

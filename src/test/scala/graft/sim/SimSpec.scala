@@ -183,6 +183,61 @@ class SimSpec extends SparkTestBase {
     spark.sql("DROP TABLE IF EXISTS ivf_append_fresh")
   }
 
+  test("S4: compaction re-samples drifted centroids; counts preserved, skew trigger cleared, probe correct") {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    for (t <- Seq("ivf_compact_index", "ivf_compact_index_compact_staging")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      rm(new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t))
+    }
+    // two tight clusters far apart; the index is BUILT on cluster A only,
+    // so its frozen centroids all sit in A — then the stream appends a
+    // larger cluster B, which piles into one A-list: the drift shape the
+    // trigger exists to catch
+    def jitter(i: Long): Double = 0.01 * (i % 7)
+    val clusterA = (0L until 12L).map(i =>
+      (i, Array(1.0, jitter(i), 0.0, 0.0)))
+    val clusterB = (100L until 160L).map(i =>
+      (i, Array(0.0, 0.0, 1.0, jitter(i))))
+    val a = clusterA.toDF("vec_id", "embedding")
+    val b = clusterB.toDF("vec_id", "embedding")
+    val idx = IvfIndex.build(a, "vec_id", "embedding",
+      nlist = 4, numBuckets = 8, table = "ivf_compact_index")
+    assert(!IvfIndex.needsRebuild(idx, skewFactor = 3.0))
+    IvfIndex.append(idx, b, "vec_id", "embedding")
+    assert(IvfIndex.needsRebuild(idx, skewFactor = 3.0),
+      "60 drifted vectors in one list over a mean of 18 must trip the trigger")
+
+    val total = spark.table(idx.table).count()
+    val idx2 = IvfIndex.compact(idx, nlist = 4)
+    assert(spark.table(idx2.table).count() == total, "compaction must not lose vectors")
+    assert(!IvfIndex.needsRebuild(idx2, skewFactor = 3.0),
+      "re-sampled centroids must clear the skew trigger")
+    // centroids actually changed: at least one now lives in cluster B
+    assert(idx2.centroids.exists(c => c(2) > 0.5),
+      s"no compacted centroid in cluster B: ${idx2.centroids.map(_.mkString("[", ",", "]")).mkString(" ")}")
+    // a cluster-B query finds cluster-B neighbors through the new lists
+    val q = Seq((999L, Array(0.0, 0.0, 1.0, 0.02))).toDF("vec_id", "embedding")
+    val nn = IvfIndex.probe(idx2, q, "vec_id", "embedding", nprobe = 2, k = 3)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(nn.nonEmpty && nn.forall(_ >= 100L), s"expected cluster-B neighbors, got $nn")
+    // replay residue: the same rows appended twice dedup away
+    IvfIndex.append(idx2, b.limit(5), "vec_id", "embedding")
+    IvfIndex.append(idx2, b.limit(5), "vec_id", "embedding")
+    assert(spark.table(idx2.table).count() == total + 10)
+    val idx3 = IvfIndex.compact(idx2, nlist = 4)
+    assert(spark.table(idx3.table).count() == total,
+      "compaction must clear duplicate replay rows")
+    // the rewritten table keeps its bucket spec (probe pruning depends on it)
+    assert(spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("ivf_compact_index"))
+      .bucketSpec.nonEmpty, "compacted index lost its bucket spec")
+    spark.sql("DROP TABLE IF EXISTS ivf_compact_index")
+  }
+
   test("S5: k-means separates the planted clusters and is deterministic") {
     val vecs = clustered.toDF("vec_id", "embedding")
     val (cents, assigned) = Similarity.kmeans(vecs, "vec_id", "embedding",
