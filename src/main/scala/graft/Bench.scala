@@ -22,8 +22,9 @@ import java.nio.file.{Files, Paths}
   *   isolated minutes later);
   * - logging drops to ERROR for the timed runs — localCheckpoint
   *   unpersist WARNs otherwise pollute the JSON tail;
-  * - the JSON line goes to stdout AND to bench_out.json so the driver's
-  *   parser never loses it inside sbt log prefixes.
+  * - the full-precision JSON line goes to bench_out.json; stdout gets a
+  *   compact short-key twin sized to survive the round harness's
+  *   2000-byte tail capture (see the comment at the print site).
   *
   * Quiet-machine protocol (round-8 review item): run-to-run integrity
   * requires the bench to run ALONE — never concurrent with `sbt test` or
@@ -130,10 +131,26 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failed = results.count(_._2 < 0)
     val loadAfter = loadavg1m()
+    val meta =
+      s""""failed":$failed,"sf":"$sfDir","load_before":$loadBefore,"load_after":$loadAfter,"contended":$contended"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","load_before":$loadBefore,"load_after":$loadAfter,"contended":$contended}"""
-    println(json)
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$meta}"""
+    // Full-precision, full-key snapshot → bench_out.json (committed per
+    // round). The stdout line must be COMPACT: the round harness keeps
+    // only the last 2000 bytes of output, and the full 81-query line is
+    // ~4 KB — r11's BENCH artifact lost its head ("parsed": null) that
+    // way. Short keys (the id before the first '_' — q1/d5/t6/…, unique
+    // by construction, asserted here) + 3-decimal seconds fit the whole
+    // sweep in <1.3 KB, so the artifact is always self-contained.
     Files.writeString(Paths.get("bench_out.json"), json + "\n")
+    val shortKey = results.map { case (k, _) => k -> k.takeWhile(_ != '_') }.toMap
+    val qsShort =
+      if (shortKey.values.toSet.size == results.size)
+        results.map { case (k, v) => "\"" + shortKey(k) + "\":" + f"$v%.3f" }
+          .mkString("{", ",", "}")
+      else qs // id clash (never expected) → fall back to full keys
+    println(
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qsShort,$meta}""")
     spark.stop()
   }
 }
