@@ -113,8 +113,15 @@ object TextQueries {
     * the right one only on a single warm node. The score is rounded to
     * 6 dp BEFORE ranking so cross-engine ulp drift in ln() cannot flip
     * ranks. */
-  def t6Tfidf(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
+  def t6Tfidf(s: SparkSession, dir: String): DataFrame =
+    tfidfTop3(docs(s, dir))
+
+  /** T6 core, df-level — extracted (round 12) so the bucketed-layout
+    * probe can run the SAME plan over a doc_id-bucketed catalog table:
+    * on that layout the scan reports hashpartitioning(doc_id), the
+    * ranking window consumes it, and the doc-side Exchange disappears
+    * (BucketProbe pins the plan + the timing receipt in BASELINE.md). */
+  def tfidfTop3(d: DataFrame): DataFrame = {
     val nDocs = d.agg(count(lit(1)).cast("double").as("n_docs"))
     val tf = d.select(col("doc_id"), explode(termCounts(tokens(col("text"))))
       .as(Seq("term", "tf")))

@@ -41,6 +41,67 @@ class BucketedSpec extends SparkTestBase {
     }
   }
 
+  /** Round-12 layout receipts (BucketProbe's pins, enforced): t6 and
+    * c1's 100 TB story ends with "on a doc_id-bucketed corpus table the
+    * text-side shuffle disappears" — assert the plan deltas here so a
+    * regression can't sneak in between probe runs. Each query is pinned
+    * under its honest broadcast regime (see BucketProbe's Scaladoc):
+    * t6 with broadcasts on (dfreq is vocabulary-sized), c1 with them
+    * off (winners are corpus-sized). */
+  private def shuffles(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => s
+    }
+
+  private def withDocsBucketed(testBody: org.apache.spark.sql.DataFrame => Unit): Unit = {
+    val oldAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_docs")
+      Bucketed.writeBucketed(
+        graft.Tables(spark, sfDir, "documents"), "graft_bkt_docs", "doc_id", 4)
+      testBody(spark.table("graft_bkt_docs"))
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", oldAqe)
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_docs")
+    }
+  }
+
+  test("t6 on a doc_id-bucketed table loses its window Exchange") {
+    withDocsBucketed { bucketed =>
+      val flat = graft.Tables(spark, sfDir, "documents")
+      def docSide(d: org.apache.spark.sql.DataFrame) =
+        shuffles(graft.text.TextQueries.tfidfTop3(d))
+          .count(_.outputPartitioning.toString.contains("doc_id"))
+      assert(docSide(flat) >= 1, "control: flat t6 must shuffle on doc_id")
+      assert(docSide(bucketed) == 0,
+        "bucketed t6 must not shuffle on doc_id — the window reads bucket partitioning")
+      // same rows either way
+      val cols = Seq("doc_id", "term", "tf", "df", "tfidf", "rk")
+      def rows(d: org.apache.spark.sql.DataFrame) =
+        graft.text.TextQueries.tfidfTop3(d)
+          .selectExpr(s"sum(hash(${cols.mkString(", ")})) AS h").first().getLong(0)
+      assert(rows(flat) == rows(bucketed))
+    }
+  }
+
+  test("c1 on a doc_id-bucketed table shuffles no text bytes") {
+    withDocsBucketed { bucketed =>
+      val flat = graft.Tables(spark, sfDir, "documents")
+      val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        def textShuffles(d: org.apache.spark.sql.DataFrame) =
+          shuffles(graft.pipelines.CurationQueries.curateHashExchange(d))
+            .count(_.output.exists(_.name == "text"))
+        assert(textShuffles(flat) >= 1,
+          "control: flat c1's fetch join must shuffle text once")
+        assert(textShuffles(bucketed) == 0,
+          "bucketed c1 must not shuffle text — the fetch join reads it from buckets")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    }
+  }
+
   test("negative control: the same join unbucketed shuffles both sides") {
     val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {

@@ -31,6 +31,9 @@ def main():
     load_before = loadavg()
     con = duckdb.connect()
     con.sql("SET threads TO 32")
+    # sf10 sweeps spill (d2/d6 build multi-GB intermediates); without a
+    # temp_directory DuckDB dies on memory_limit instead of degrading
+    con.sql("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):  # multi-file layout (row-group probe)
@@ -44,10 +47,12 @@ def main():
         keep = {q.strip() for q in only.split(",")}
         oracles = {k: v for k, v in oracles.items() if k in keep}
     else:
-        # mirror graft.Bench.TeachingQueries: q18 is a deliberate
-        # ×4-replication demo excluded from the headline set on BOTH
+        # mirror graft.Bench.TeachingQueries: q18 (deliberate ×4
+        # replication demo) and q20 (salting overhead case on the gate's
+        # mild skew — r12) are excluded from the headline set on BOTH
         # sides so the matched-pair sums stay comparable
         oracles.pop("q18_salted_join", None)
+        oracles.pop("q20_hotkey_salted_join", None)
     results = {}
     for name in sorted(oracles):
         sql = oracles[name]
