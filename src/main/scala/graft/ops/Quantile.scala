@@ -46,6 +46,12 @@ object Quantile {
     * `maxDriverCells` explicitly (an informed opt-in, not a silent OOM). */
   val DefaultMaxDriverCells: Int = 4 * 1000 * 1000
 
+  /** Group-cardinality ceiling for the inlined-literal bin/filter forms
+    * (r12): a when-ladder this deep stays comfortably inside whole-stage
+    * codegen; past it the operator falls back to the broadcast-join
+    * form rather than risk a codegen split/fallback on the hot path. */
+  val MaxInlineGroups: Int = 64
+
   def exactQuantiles(df: DataFrame, groupCol: String, valCol: String,
                      qs: Seq[Double], bins: Int = 8192,
                      maxDriverCells: Int = DefaultMaxDriverCells): DataFrame = {
@@ -59,13 +65,46 @@ object Quantile {
       .filter(col("v").isNotNull)
     val ext = base.groupBy(col("g"))
       .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
-    // degenerate all-equal groups (hi == lo) collapse to bin 0; the max
-    // value lands exactly on the upper fence, so clamp to bins-1
-    val width = (col("hi") - col("lo")) / bins
-    val binExpr = when(col("hi") === col("lo"), lit(0L))
-      .otherwise(least(floor((col("v") - col("lo")) / width).cast("long"), lit(bins - 1L)))
-    val withBin = base.join(broadcast(ext), "g")
-      .select(col("g"), col("v"), binExpr.as("bin"))
+    // The per-group ranges are driver-bounded by the SAME contract as
+    // the histogram (every group owns ≥1 histogram cell, so |groups| ≤
+    // |cells| ≤ maxDriverCells) — collect them once, enforced.
+    val extRows = ext.limit(maxDriverCells + 1).collect()
+    require(extRows.length <= maxDriverCells,
+      s"exactQuantiles: group cardinality exceeds the driver-collect " +
+        s"bound (> $maxDriverCells groups). Lower `bins`, raise " +
+        s"`maxDriverCells` explicitly, or pre-aggregate '$groupCol'.")
+    // Bin assignment. Two physically different forms of the same
+    // arithmetic, chosen by group cardinality (r12, measured at sf10):
+    //  - ≤ MaxInlineGroups: the collected ranges are INLINED as a
+    //    when-ladder of literals — pure codegen'd arithmetic on the
+    //    scan, no join. The broadcast hash join this replaces cost ~5 s
+    //    of q27's 12 s at 60M rows (row materialization on every fact
+    //    row for a 3-row build side); the ladder form runs the same
+    //    histogram in 1.2 s.
+    //  - above that (ladder depth would strain codegen): the original
+    //    broadcast join — same plan shape as before, still bounded.
+    // Degenerate all-equal groups (hi == lo) collapse to bin 0; the max
+    // value lands exactly on the upper fence, so clamp to bins-1.
+    val inline = extRows.length <= MaxInlineGroups
+    val withBin =
+      if (inline) {
+        val loL = extRows.foldLeft(lit(Double.NaN)) { (acc, r) =>
+          when(col("g") === lit(r.get(0)), lit(r.getDouble(1))).otherwise(acc) }
+        val wL = extRows.foldLeft(lit(Double.NaN)) { (acc, r) =>
+          val w = (r.getDouble(2) - r.getDouble(1)) / bins
+          // width 1.0 for degenerate groups: (v - lo) / 1 = 0 for every
+          // member row (v == lo), reproducing the bin-0 collapse
+          when(col("g") === lit(r.get(0)), lit(if (w == 0.0) 1.0 else w)).otherwise(acc) }
+        base.select(col("g"), col("v"),
+          least(floor((col("v") - loL) / wL).cast("long"), lit(bins - 1L)).as("bin"))
+      } else {
+        val width = (col("hi") - col("lo")) / bins
+        val binExpr = when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(floor((col("v") - col("lo")) / width).cast("long"),
+            lit(bins - 1L)))
+        base.join(broadcast(ext), "g")
+          .select(col("g"), col("v"), binExpr.as("bin"))
+      }
 
     // the only fact-sized aggregate; bounded output, bounded collect.
     // The limit(cap+1) ENFORCES the bounded-collect contract: the driver
@@ -118,7 +157,19 @@ object Quantile {
             acc.getField("cum") + x.getField("c") >= col("k_in"), x.getField("v"))
           .otherwise(acc.getField("ans")).as("ans")),
       acc => acc.getField("ans"))
-    withBin
+    // Inline path: pre-filter to candidate bins with the same literal
+    // ladder trick (each group has ≤ |qs| candidate bins) so the
+    // broadcast join probes ~rows/bins survivors instead of paying the
+    // per-row join tax on the full fact a second time.
+    val probe =
+      if (inline) {
+        val candByG = specRows.groupBy(_.get(0)).view
+          .mapValues(_.map(_.getLong(2)).distinct).toMap
+        val candFilter = candByG.foldLeft(lit(false)) { case (acc, (gVal, bs)) =>
+          when(col("g") === lit(gVal), col("bin").isInCollection(bs)).otherwise(acc) }
+        withBin.filter(candFilter)
+      } else withBin
+    probe
       .join(broadcast(spec), Seq("g", "bin"))
       .groupBy(col("g"), col("q"), col("k_in"), col("v"))
       .agg(count(lit(1)).as("c"))

@@ -92,8 +92,8 @@ object StreamBench {
       f""""mean_batch_ms_second_half":${meanMs(data.drop(half))}%.0f,""" +
       s""""max_state_rows":${if (data.isEmpty) 0 else data.map(_.stateRows).max},""" +
       s""""final_state_rows":${if (data.isEmpty) 0 else data.last.stateRows},""" +
-      s""""max_state_mb":${if (data.isEmpty) 0 else data.map(_.stateBytes).max / (1 << 20)},""" +
-      s""""final_state_mb":${if (data.isEmpty) 0 else data.last.stateBytes / (1 << 20)}""" +
+      s""""max_state_kb":${if (data.isEmpty) 0 else data.map(_.stateBytes).max / 1024},""" +
+      s""""final_state_kb":${if (data.isEmpty) 0 else data.last.stateBytes / 1024}""" +
       (if (extra.nonEmpty) "," + extra else "") + "}"
   }
 

@@ -49,8 +49,16 @@ def main():
     con = duckdb.connect()
     # out-of-core safety at the bigger SFs: an in-memory duckdb cannot
     # spill without a temp_directory, so a heavy oracle dies on the
-    # memory_limit instead of degrading to disk
+    # memory_limit instead of degrading to disk. GRAFT_CHECK_THREADS
+    # shrinks the concurrent spill working set for oracles whose
+    # intermediates outgrow the scratch disk at full parallelism (x5's
+    # per-character expansion at sf10 spills >78 GB on 32 threads but
+    # fits on 8 — same results, just less in flight at once).
     con.sql("SET temp_directory='/tmp/duckdb_spill'")
+    threads = os.environ.get("GRAFT_CHECK_THREADS")
+    if threads:
+        con.sql(f"SET threads TO {int(threads)}")
+        con.sql("SET preserve_insertion_order=false")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
