@@ -164,9 +164,18 @@ object StreamBench {
     // ---- ST16: documents replay against the persisted index ----
     import graft.dedup.{DedupIndex, DedupQueries}
     // a previous bench run's sinks would otherwise absorb this run's
-    // batches (ingest-log idempotence) and zero the measurement
-    Seq("sb_st16_clean", "sb_st16_index_ingest_log").foreach(t =>
-      spark.sql(s"DROP TABLE IF EXISTS $t"))
+    // batches (ingest-log idempotence) and zero the measurement; a
+    // previous CRASHED run additionally leaves orphaned warehouse dirs
+    // the fresh in-memory catalog refuses to adopt — clear both layers
+    // (the index table itself is handled by DedupIndex.build's own
+    // orphan cleanup)
+    Seq("sb_st16_clean", "sb_st16_index_ingest_log").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     val docs = graft.Tables(spark, dir, "documents")
     val base = docs.filter(col("doc_id") % 5 =!= 0)          // 80% history
     val batchDocs = docs.filter(col("doc_id") % 5 === 0)     // 20% streamed
