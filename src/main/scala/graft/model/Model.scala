@@ -213,8 +213,25 @@ final case class GraftService(
       * the service touches (WHERE for the main table — scan-pushable —
       * and inside the JOIN ON for navigated hops, so LEFT-JOIN
       * semantics are unchanged). Milestone columns are declared by the
-      * store ([[GraftModel.milestoning]]). */
-    businessDate: Option[String] = None)
+      * store ([[GraftModel.milestoning]]).
+      *
+      * Date-slot convention (r12): a SINGLE `.all(d)` date always lands
+      * here, and ServiceGen interprets it against the main table's
+      * declared temporality — business conjunct for a business-temporal
+      * table, processing conjunct for a processing-temporal one
+      * (Legend's own semantics: the generated `all()` signature follows
+      * the class's temporal stereotype, so the one-date form means
+      * "the one dimension this entity has"). A BITEMPORAL
+      * `.all(pd, bd)` carries processingDate FIRST (pinned order,
+      * spec'd in LegendParserSpec) — pd lands in [[processingDate]],
+      * bd here. */
+    businessDate: Option[String] = None,
+    /** Processing-temporal as-of date — only ever set by the two-date
+      * bitemporal form (see the slot convention on [[businessDate]]).
+      * Compiled to `in <= d AND d < out` on the store-declared
+      * processing-milestone columns, same placement rules as the
+      * business conjunct. */
+    processingDate: Option[String] = None)
 
 final case class GraftModel(
     classes: Map[String, GraftClass],
@@ -229,7 +246,13 @@ final case class GraftModel(
       * Legend default; `thruIsInclusive` rejects at load). Queries touch
       * such tables only through `.all(date)` ([[GraftService.businessDate]]);
       * ServiceGen rejects a date-less read of a milestoned table. */
-    milestoning: Map[String, (String, String)] = Map.empty) {
+    milestoning: Map[String, (String, String)] = Map.empty,
+    /** Processing milestoning declared by relational stores: table name →
+      * (inCol, outCol). A row is visible to the warehouse for processing
+      * dates `in <= d AND d < out` (out exclusive; `outIsInclusive`
+      * rejects at load). A table declaring BOTH maps is bitemporal and
+      * must be read with the two-date `.all(pd, bd)`. */
+    processingMilestoning: Map[String, (String, String)] = Map.empty) {
 
   def clazz(name: String): GraftClass =
     classes.getOrElse(name, throw new IllegalArgumentException(s"unknown class [$name]"))
@@ -359,23 +382,32 @@ final case class GraftModel(
     classes ++ other.classes, enums ++ other.enums,
     mappings ++ other.mappings, services ++ other.services,
     associations ++ other.associations, joins ++ other.joins,
-    milestoning ++ other.milestoning)
+    milestoning ++ other.milestoning,
+    processingMilestoning ++ other.processingMilestoning)
 
-  /** The business-milestoning columns declared by a store for `table`:
-    * exact name first, then the same unambiguous bare-name fallback
+  /** Exact name first, then the same unambiguous bare-name fallback
     * [[GraftJoinDef.orient]] uses (a mapping's mainTable is often
     * unqualified while the store writes schema-qualified names). */
-  def milestoningOf(table: String): Option[(String, String)] =
-    milestoning.get(table).orElse {
+  private def msLookup(m: Map[String, (String, String)], table: String,
+                       kind: String): Option[(String, String)] =
+    m.get(table).orElse {
       def bare(t: String) = t.split('.').last
-      val hits = milestoning.collect {
+      val hits = m.collect {
         case (t, cols) if bare(t) == bare(table) => (t, cols)
       }
       require(hits.size <= 1,
-        s"table [$table]: milestoning is declared for multiple tables " +
+        s"table [$table]: $kind milestoning is declared for multiple tables " +
           s"matching its bare name (${hits.keys.mkString(", ")}) — qualify the table")
       hits.headOption.map(_._2)
     }
+
+  /** The business-milestoning columns declared by a store for `table`. */
+  def milestoningOf(table: String): Option[(String, String)] =
+    msLookup(milestoning, table, "business")
+
+  /** The processing-milestoning columns declared by a store for `table`. */
+  def processingMilestoningOf(table: String): Option[(String, String)] =
+    msLookup(processingMilestoning, table, "processing")
 }
 
 object GraftModel {

@@ -24,6 +24,59 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object ServiceGen {
 
+  /** As-of conjuncts for one table under the service's dates — the full
+    * temporal validation matrix (r12: business, processing, bitemporal).
+    * The single-date `.all(d)` slot is [[GraftService.businessDate]] and
+    * is interpreted against the TABLE's declared temporality (Legend's
+    * semantics: a temporal class's generated `all()` signature follows
+    * its stereotype); bitemporal requires the two-date form, pinned
+    * order (processingDate, businessDate). `isMain = false` (navigated
+    * hops) skips the "dates given but table not milestoned" rejection —
+    * a non-temporal hop inside a temporal query is legal and simply
+    * contributes no conjunct. */
+  private def asOfPredicate(model: GraftModel, svc: GraftService,
+                            table: String, prefix: String,
+                            isMain: Boolean): Option[String] = {
+    import org.apache.spark.sql.catalyst.util.quoteIfNeeded
+    def pred(cols: (String, String), d: String) =
+      s"$prefix${quoteIfNeeded(cols._1)} <= $d AND $d < $prefix${quoteIfNeeded(cols._2)}"
+    def fail(msg: String) = throw new IllegalArgumentException(
+      s"service [${svc.name}]: $msg")
+    val biz = model.milestoningOf(table)
+    val proc = model.processingMilestoningOf(table)
+    (biz, proc) match {
+      case (None, None) =>
+        if (isMain && (svc.businessDate.isDefined || svc.processingDate.isDefined))
+          fail(s".all(<date>...) given but table [$table] declares no " +
+            "milestoning in its store")
+        None
+      case (Some(bt), None) =>
+        if (svc.processingDate.isDefined)
+          fail(s"table [$table] is business-temporal only — query with " +
+            "single-date .all(<businessDate>), not the two-date form")
+        val d = svc.businessDate.getOrElse(fail(
+          s"table [$table] is business-temporal (milestoned " +
+            s"${bt._1}/${bt._2}) — query the entity with .all(<date>)"))
+        Some(pred(bt, d))
+      case (None, Some(io)) =>
+        if (svc.processingDate.isDefined)
+          fail(s"table [$table] is processing-temporal only — query with " +
+            "single-date .all(<processingDate>), not the two-date form")
+        val d = svc.businessDate.getOrElse(fail(
+          s"table [$table] is processing-temporal (milestoned " +
+            s"${io._1}/${io._2}) — query the entity with .all(<date>)"))
+        Some(pred(io, d))
+      case (Some(bt), Some(io)) =>
+        val pd = svc.processingDate
+        val bd = svc.businessDate
+        if (pd.isEmpty || bd.isEmpty)
+          fail(s"table [$table] is BITEMPORAL (business ${bt._1}/${bt._2}, " +
+            s"processing ${io._1}/${io._2}) — query the entity with " +
+            ".all(<processingDate>, <businessDate>)")
+        Some(s"${pred(io, pd.get)} AND ${pred(bt, bd.get)}")
+    }
+  }
+
   /** SELECT col AS field..., derivations, FROM table WHERE <expectations>.
     * EMBEDDED fields rebuild their entity shape: a nested class mapped to
     * dotted flat columns projects back as `struct(col AS leaf, …) AS
@@ -104,27 +157,16 @@ object ServiceGen {
         e => compileJoined(svc, navHeads, navSubs ++ mainSubs, e)
       }
 
-    // business milestoning: a milestoned table may only be read as-of a
-    // date, and `.all(date)` is only meaningful on a milestoned entity —
-    // both directions reject loudly (Legend's compile-time contract).
+    // milestoning: a milestoned table may only be read as-of its
+    // declared dimension(s), and `.all(date...)` is only meaningful on
+    // a milestoned entity — all directions reject loudly (Legend's
+    // compile-time contract; full matrix in [[asOfPredicate]]).
     // The main table's as-of predicate lands in WHERE (scan-pushable);
     // a navigated hop's lands INSIDE its JOIN ON (resolveNavigations),
     // so a LEFT JOIN still yields the row with nulls when no version is
     // current — outer-join semantics unchanged.
-    val msMain = model.milestoningOf(m.table)
-    (msMain, svc.businessDate) match {
-      case (Some((f, t)), None) => throw new IllegalArgumentException(
-        s"service [${svc.name}]: table [${m.table}] is business-temporal " +
-          s"(milestoned $f/$t) — query the entity with .all(<date>)")
-      case (None, Some(_)) => throw new IllegalArgumentException(
-        s"service [${svc.name}]: .all(<date>) given but table [${m.table}] " +
-          "declares no business milestoning in its store")
-      case _ => ()
-    }
-    val mainAsOf = for { (f, t) <- msMain; d <- svc.businessDate } yield {
-      val p = if (navs.isEmpty) "" else s"$MainAlias."
-      s"$p${quoteIfNeeded(f)} <= $d AND $d < $p${quoteIfNeeded(t)}"
-    }
+    val mainAsOf = asOfPredicate(model, svc, m.table,
+      prefix = if (navs.isEmpty) "" else s"$MainAlias.", isMain = true)
 
     val select = svc.select
       .map { case (alias, e) => s"${compile(e)} AS ${quoteIfNeeded(alias)}" }
@@ -306,16 +348,11 @@ object ServiceGen {
         if (navProp.multiplicity.isNullable || parentOptional) "LEFT JOIN" else "JOIN"
       val targetSubs = model.tableSubstitutions(tm.name)
         .map { case (f, sql) => f -> prefixAttrs(CatalystSqlParser.parseExpression(sql), alias) }
-      // milestoned navigation target: requires the service's as-of date
-      // (a date-less read of a temporal table is a compile error), and
-      // the predicate joins the hop's ON clause, not WHERE
-      val hopAsOf = model.milestoningOf(tm.table).map { case (f, t) =>
-        val d = svc.businessDate.getOrElse(throw new IllegalArgumentException(
-          s"service [${svc.name}]: navigated table [${tm.table}] is business-" +
-            s"temporal (milestoned $f/$t) — query the entity with .all(<date>)"))
-        import org.apache.spark.sql.catalyst.util.quoteIfNeeded
-        s"$alias.${quoteIfNeeded(f)} <= $d AND $d < $alias.${quoteIfNeeded(t)}"
-      }
+      // milestoned navigation target: requires the service's as-of
+      // date(s) (a date-less read of a temporal table is a compile
+      // error), and the predicate joins the hop's ON clause, not WHERE
+      val hopAsOf = asOfPredicate(model, svc, tm.table,
+        prefix = s"$alias.", isMain = false)
       resolved += path.mkString(".") -> Nav(alias, fromAlias, joinKeyword, tm,
         myCol, otherCol, targetSubs, hopAsOf)
     }

@@ -94,9 +94,12 @@ object LegendLoader {
       // named FK joins (association navigation) and each table's
       // business-milestoning declaration; schemas/DDL stay with the
       // execution environment
-      case "relational"  => GraftModel.empty.copy(
-        joins = parseStoreJoins(content),
-        milestoning = parseStoreMilestoning(content))
+      case "relational"  =>
+        val (biz, proc) = parseStoreMilestoning(content)
+        GraftModel.empty.copy(
+          joins = parseStoreJoins(content),
+          milestoning = biz,
+          processingMilestoning = proc)
       case _             => GraftModel.empty
     }
   }
@@ -200,12 +203,15 @@ object LegendLoader {
     * within the store). `thruIsInclusive` and processing/bitemporal
     * milestoning reject loudly — outside the supported frontier, never
     * silently misread as-of semantics. */
-  private def parseStoreMilestoning(c: JsonNode): Map[String, (String, String)] = {
+  private def parseStoreMilestoning(
+      c: JsonNode): (Map[String, (String, String)], Map[String, (String, String)]) = {
     val path = fullPath(c)
-    elems(c, "schemas").flatMap { s =>
-      elems(s, "tables").flatMap { t =>
+    val biz = Map.newBuilder[String, (String, String)]
+    val proc = Map.newBuilder[String, (String, String)]
+    elems(c, "schemas").foreach { s =>
+      elems(s, "tables").foreach { t =>
         val tname = t.path("name").asText()
-        elems(t, "milestoning").map { m =>
+        elems(t, "milestoning").foreach { m =>
           m.path("_type").asText() match {
             case "businessMilestoning" =>
               require(!m.path("thruIsInclusive").asBoolean(false),
@@ -215,14 +221,27 @@ object LegendLoader {
               val thru = m.path("thru").asText()
               require(from.nonEmpty && thru.nonEmpty,
                 s"store [$path] table [$tname]: businessMilestoning needs from + thru columns")
-              tname -> (from, thru)
+              biz += tname -> (from, thru)
+            // processing milestoning (r12): record/warehouse validity —
+            // a row is visible for processing dates in <= d < out. A
+            // table declaring BOTH types is bitemporal (two-date .all).
+            case "processingMilestoning" =>
+              require(!m.path("outIsInclusive").asBoolean(false),
+                s"store [$path] table [$tname]: outIsInclusive processing " +
+                  "milestoning is not supported (out is exclusive)")
+              val in = m.path("in").asText()
+              val out = m.path("out").asText()
+              require(in.nonEmpty && out.nonEmpty,
+                s"store [$path] table [$tname]: processingMilestoning needs in + out columns")
+              proc += tname -> (in, out)
             case other => sys.error(
               s"store [$path] table [$tname]: unsupported milestoning type " +
-                s"[$other] — only businessMilestoning is supported")
+                s"[$other] — only businessMilestoning and processingMilestoning are supported")
           }
         }
       }
-    }.toMap
+    }
+    (biz.result(), proc.result())
   }
 
   /** The doc profile tagged value, if present. */
@@ -427,6 +446,7 @@ object LegendLoader {
     var orderBy: Seq[String] = Nil
     var limit: Option[Int] = None
     var businessDate: Option[String] = None
+    var processingDate: Option[String] = None
 
     def rowSql(e: PureExpr): String = e match {
       case l: PLambda => PureToSql.lambda(l)
@@ -501,11 +521,14 @@ object LegendLoader {
       case PFunc("filter", Seq(src, pred)) =>
         where = Some(rowSql(pred)); walk(src)
       case PFunc("getAll", Seq(PPtr(_))) => () // the mapping names the table
-      // business-temporal `.all(date)` / `->getAll(%date)`: the as-of
-      // date rides the service; ServiceGen compiles it against the
-      // store's milestoning declaration
-      case PFunc("getAll", Seq(PPtr(_), dateArg)) =>
-        businessDate = Some(dateArg match {
+      // temporal `.all(...)` / `->getAll(...)`: the as-of date(s) ride
+      // the service; ServiceGen compiles them against the store's
+      // milestoning declarations. One date = the entity's single
+      // temporal dimension (business OR processing — ServiceGen
+      // resolves which); two dates = bitemporal, PINNED order
+      // (processingDate, businessDate) — see GraftService.businessDate.
+      case PFunc("getAll", PPtr(_) +: dateArgs) if dateArgs.size <= 2 =>
+        def dateSql(a: PureExpr): String = a match {
           case PLit(sql) if sql.startsWith("DATE ") ||
                             sql.startsWith("TIMESTAMP ") => sql
           case PVar(nm) => sys.error(
@@ -513,9 +536,15 @@ object LegendLoader {
               "bind it to a date literal (PureParser.compileQuery params) before compiling")
           case other => sys.error(
             s"service [$path]: unsupported getAll date argument $other — expected a strict date literal")
-        })
-      case PFunc("getAll", PPtr(_) +: rest) if rest.size >= 2 => sys.error(
-        s"service [$path]: bitemporal getAll (business + processing dates) is not supported")
+        }
+        dateArgs match {
+          case Seq(d)      => businessDate = Some(dateSql(d))
+          case Seq(pd, bd) => processingDate = Some(dateSql(pd))
+                              businessDate = Some(dateSql(bd))
+          case _           => ()
+        }
+      case PFunc("getAll", PPtr(_) +: rest) if rest.size > 2 => sys.error(
+        s"service [$path]: getAll takes at most two dates (processing, business), got ${rest.size}")
       case other =>
         sys.error(s"service [$path]: unsupported pipeline step $other")
     }
@@ -530,6 +559,7 @@ object LegendLoader {
       orderBy = orderBy,
       limit = limit,
       doc = doc,
-      businessDate = businessDate)
+      businessDate = businessDate,
+      processingDate = processingDate)
   }
 }

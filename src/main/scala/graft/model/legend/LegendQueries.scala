@@ -363,16 +363,124 @@ object LegendQueries {
     s.sql(sql)
   }
 
+  // --- M18b: bitemporal milestoning (round 12 widening) ---
+
+  private val btStoreJson =
+    s"""{"classifierPath":"meta::relational::metamodel::Database","content":{
+       |"_type":"relational","name":"btDb","package":"gate::store",
+       |"schemas":[{"name":"default","tables":[
+       |  {"name":"orders_bt","columns":[],"primaryKey":[],
+       |   "milestoning":[
+       |     {"_type":"businessMilestoning","from":"from_z","thru":"thru_z"},
+       |     {"_type":"processingMilestoning","in":"in_z","out":"out_z"}]}]}],
+       |"filters":[],"joins":[]}}""".stripMargin
+
+  private val btClassJson =
+    s"""{"classifierPath":"meta::pure::metamodel::type::Class","content":{
+       |"_type":"class","name":"orderBt","package":"gate::entity","superTypes":[],
+       |"properties":[
+       |  ${prop("orderId", "Integer", mult1)},
+       |  ${prop("status", "String", mult1)},
+       |  ${prop("price", "Float", mult1)}],
+       |"constraints":[],"qualifiedProperties":[]}}""".stripMargin
+
+  private def pmbt(field: String, column: String) =
+    s"""{"_type":"relationalPropertyMapping",
+       |"property":{"class":"gate::entity::orderBt","property":"$field"},
+       |"relationalOperation":{"_type":"column","column":"$column","table":{"_type":"Table"}}}""".stripMargin
+
+  private val btMappingJson =
+    s"""{"classifierPath":"meta::pure::mapping::Mapping","content":{
+       |"_type":"mapping","name":"order_bt_rel","package":"gate::mapping",
+       |"classMappings":[{"_type":"relational","class":"gate::entity::orderBt",
+       |"mainTable":{"_type":"Table","schema":"default","table":"orders_bt"},
+       |"propertyMappings":[${Seq(
+          pmbt("orderId", "o_orderkey"), pmbt("status", "o_status"),
+          pmbt("price", "o_price")).mkString(",")}]}]}}""".stripMargin
+
+  lazy val btModel: GraftModel = LegendLoader.fromJsonStrings(
+    Seq(btClassJson, btStoreJson, btMappingJson))
+
+  /** M18b gate: BITEMPORAL `.all(pd, bd)` end-to-end. Deterministic
+    * correction history over `orders`: each order is first recorded at
+    * its order date with a truncated price (floor to 1000s) valid for
+    * all business time; 20 days later the correction lands — the
+    * original row is closed out and re-recorded with its business
+    * validity capped at orderdate+30, and the TRUE price takes over
+    * from orderdate+30. Read as-of processing 1996-06-30 / business
+    * 1996-06-15, both milestone pairs compile to plain scan-pushable
+    * conjuncts (the 100 TB story is identical to m11's — at scale the
+    * four as-of predicates prune on a from_z/in_z partitioned or
+    * clustered layout). */
+  def m12LegendBitemporal(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql("""CREATE OR REPLACE TEMPORARY VIEW orders_bt AS
+      SELECT o_orderkey, floor(o_totalprice/1000)*1000 AS o_price,
+             o_orderstatus AS o_status,
+             CAST(o_orderdate AS DATE) AS from_z, DATE '9999-12-31' AS thru_z,
+             CAST(o_orderdate AS DATE) AS in_z, date_add(o_orderdate, 20) AS out_z
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, floor(o_totalprice/1000)*1000 AS o_price,
+             o_orderstatus AS o_status,
+             CAST(o_orderdate AS DATE) AS from_z, date_add(o_orderdate, 30) AS thru_z,
+             date_add(o_orderdate, 20) AS in_z, DATE '9999-12-31' AS out_z
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, o_totalprice AS o_price, o_orderstatus AS o_status,
+             date_add(o_orderdate, 30) AS from_z, DATE '9999-12-31' AS thru_z,
+             date_add(o_orderdate, 20) AS in_z, DATE '9999-12-31' AS out_z
+      FROM orders""")
+    val sql = PureParser.querySql(btModel,
+      "gate::entity::orderBt.all($processingDate, $businessDate)" +
+        "->filter(x|$x.price >= 100000)" +
+        "->groupBy([x|$x.status], " +
+        "[agg(x|$x.orderId, x|$x->count()), agg(x|$x.price, x|$x->max()), " +
+        "agg(x|$x.price, x|$x->min())], " +
+        "['status', 'n', 'max_price', 'min_price'])",
+      params = Map("processingDate" -> "DATE '1996-06-30'",
+        "businessDate" -> "DATE '1996-06-15'"))
+    s.sql(sql)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m7_legend_service" -> (m7LegendService _),
     "m8_legend_validate" -> (m8LegendValidate _),
     "m9_legend_join" -> (m9LegendJoin _),
     "m10_legend_deep_join" -> (m10LegendDeepJoin _),
-    "m11_legend_milestone" -> (m11LegendMilestone _))
+    "m11_legend_milestone" -> (m11LegendMilestone _),
+    "m12_legend_bitemporal" -> (m12LegendBitemporal _))
 
   /** Violated = NOT coalesce(rule, FALSE), as in the m2 oracle; DuckDB's
     * integer sum casts back to BIGINT for the gate's pandas hasher. */
   val oracles: Map[String, String] = Map(
+    "m12_legend_bitemporal" ->
+      """WITH orders_bt AS (
+        |  SELECT o_orderkey, floor(o_totalprice/1000)*1000 AS o_price,
+        |         o_orderstatus AS o_status,
+        |         CAST(o_orderdate AS DATE) AS from_z, DATE '9999-12-31' AS thru_z,
+        |         CAST(o_orderdate AS DATE) AS in_z,
+        |         CAST(o_orderdate AS DATE) + 20 AS out_z
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, floor(o_totalprice/1000)*1000 AS o_price,
+        |         o_orderstatus AS o_status,
+        |         CAST(o_orderdate AS DATE) AS from_z,
+        |         CAST(o_orderdate AS DATE) + 30 AS thru_z,
+        |         CAST(o_orderdate AS DATE) + 20 AS in_z, DATE '9999-12-31' AS out_z
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice AS o_price, o_orderstatus AS o_status,
+        |         CAST(o_orderdate AS DATE) + 30 AS from_z, DATE '9999-12-31' AS thru_z,
+        |         CAST(o_orderdate AS DATE) + 20 AS in_z, DATE '9999-12-31' AS out_z
+        |  FROM orders)
+        |SELECT o_status AS status, count(o_orderkey) AS n,
+        |  max(o_price) AS max_price, min(o_price) AS min_price
+        |FROM orders_bt
+        |WHERE (in_z <= DATE '1996-06-30' AND DATE '1996-06-30' < out_z)
+        |  AND (from_z <= DATE '1996-06-15' AND DATE '1996-06-15' < thru_z)
+        |  AND o_price >= 100000
+        |GROUP BY o_status""".stripMargin,
     "m11_legend_milestone" ->
       """WITH orders_hist AS (
         |  SELECT o_orderkey, o_totalprice, 'P' AS o_status,

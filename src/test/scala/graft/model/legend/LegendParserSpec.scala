@@ -448,12 +448,137 @@ class LegendParserSpec extends SparkTestBase {
     // .all(date) on an entity whose table declares no milestoning
     val r2 = scala.util.Try(PureParser.querySql(model,
       s"$Employee.all(%2020-01-01)->project([x|$$x.id], ['id'])"))
-    assert(r2.isFailure && r2.failed.get.getMessage.contains("no business milestoning"),
+    assert(r2.isFailure && r2.failed.get.getMessage.contains("declares no milestoning"),
       r2.toString)
     // unbound $businessDate still rejects, with the binding hint
     val r3 = scala.util.Try(PureParser.querySql(msModel,
       "ms::entity::policy.all($businessDate)->project([x|$x.policyId], ['id'])"))
     assert(r3.isFailure && r3.failed.get.getMessage.contains("unbound"), r3.toString)
+  }
+
+  // --- processing + bitemporal milestoning (round 12 widening) ---
+  // Fixture: trade_hist is processing-temporal only (in_z/out_z);
+  // position_hist is BITEMPORAL (business from_z/thru_z + processing
+  // in_z/out_z). Protocol wire format, shared by both front ends.
+  private lazy val biModel: graft.model.GraftModel = {
+    def prop(name: String, tpe: String) =
+      s"""{"name":"$name","type":"$tpe","multiplicity":{"lowerBound":1,"upperBound":1}}"""
+    val tradeClass =
+      s"""{"classifierPath":"meta::pure::metamodel::type::Class","content":{
+         |"_type":"class","name":"trade","package":"bi::entity","superTypes":[],
+         |"properties":[${prop("tradeId", "Integer")}, ${prop("qty", "Float")}],
+         |"constraints":[],"qualifiedProperties":[]}}""".stripMargin
+    val positionClass =
+      s"""{"classifierPath":"meta::pure::metamodel::type::Class","content":{
+         |"_type":"class","name":"position","package":"bi::entity","superTypes":[],
+         |"properties":[${prop("posId", "Integer")}, ${prop("value", "Float")}],
+         |"constraints":[],"qualifiedProperties":[]}}""".stripMargin
+    val store =
+      s"""{"classifierPath":"meta::relational::metamodel::Database","content":{
+         |"_type":"relational","name":"biDb","package":"bi::store",
+         |"schemas":[{"name":"default","tables":[
+         |  {"name":"trade_hist","columns":[],"primaryKey":[],
+         |   "milestoning":[{"_type":"processingMilestoning","in":"in_z","out":"out_z"}]},
+         |  {"name":"position_hist","columns":[],"primaryKey":[],
+         |   "milestoning":[
+         |     {"_type":"businessMilestoning","from":"from_z","thru":"thru_z"},
+         |     {"_type":"processingMilestoning","in":"in_z","out":"out_z"}]}]}],
+         |"filters":[],"joins":[]}}""".stripMargin
+    def pmOf(clazz: String, field: String, column: String) =
+      s"""{"_type":"relationalPropertyMapping",
+         |"property":{"class":"bi::entity::$clazz","property":"$field"},
+         |"relationalOperation":{"_type":"column","column":"$column","table":{"_type":"Table"}}}""".stripMargin
+    val mapping =
+      s"""{"classifierPath":"meta::pure::mapping::Mapping","content":{
+         |"_type":"mapping","name":"bi_ms","package":"bi::mapping",
+         |"classMappings":[
+         |  {"_type":"relational","class":"bi::entity::trade",
+         |   "mainTable":{"_type":"Table","schema":"default","table":"trade_hist"},
+         |   "propertyMappings":[${pmOf("trade", "tradeId", "trade_id")},
+         |     ${pmOf("trade", "qty", "qty")}]},
+         |  {"_type":"relational","class":"bi::entity::position",
+         |   "mainTable":{"_type":"Table","schema":"default","table":"position_hist"},
+         |   "propertyMappings":[${pmOf("position", "posId", "pos_id")},
+         |     ${pmOf("position", "value", "value")}]}]}}""".stripMargin
+    LegendLoader.fromJsonStrings(Seq(tradeClass, positionClass, store, mapping))
+  }
+
+  test("processing milestoning: single-date .all(d) compiles to the in/out as-of filter and executes") {
+    // trade 1: corrected once — the record visible on 2023-06-15 is the
+    // 75.0 version; trade 2: recorded exactly ON the as-of date
+    // (inclusive); trade 3: recorded after it (invisible)
+    Seq((1L, 50.0, "2023-01-01", "2023-03-01"),
+        (1L, 75.0, "2023-03-01", "9999-12-31"),
+        (2L, 20.0, "2023-06-15", "9999-12-31"),
+        (3L, 30.0, "2023-07-01", "9999-12-31"))
+      .toDF("trade_id", "qty", "i", "o")
+      .select(col("trade_id"), col("qty"),
+        to_date(col("i")).as("in_z"), to_date(col("o")).as("out_z"))
+      .createOrReplaceTempView("trade_hist")
+    val sql = PureParser.querySql(biModel,
+      "bi::entity::trade.all(%2023-06-15)" +
+        "->project([x|$x.tradeId, x|$x.qty], ['id', 'qty'])")
+    assert(sql.contains("in_z <= DATE '2023-06-15'") &&
+      sql.contains("DATE '2023-06-15' < out_z"), sql)
+    val rows = spark.sql(sql).as[(Long, Double)].collect().toSet
+    assert(rows == Set((1L, 75.0), (2L, 20.0)), rows)
+    // the two-date form on a single-dimension table rejects
+    val r = scala.util.Try(PureParser.querySql(biModel,
+      "bi::entity::trade.all(%2023-06-01, %2023-06-15)" +
+        "->project([x|$x.tradeId], ['id'])"))
+    assert(r.isFailure &&
+      r.failed.get.getMessage.contains("processing-temporal only"), r.toString)
+  }
+
+  test("bitemporal milestoning: .all(pd, bd) applies BOTH as-of filters; single-date rejects") {
+    // position 1: business value 10.0 until 06-01 then 12.0 — but the
+    // 12.0 version was RECORDED late (in 06-20): as-of processing 06-15
+    // the warehouse still shows the ORIGINAL business rows (10.0 valid
+    // to 9999 as recorded at 01-01, superseded-but-not-yet-known);
+    // position 2: both dimensions current. The planted rows model the
+    // standard correction flow: the original (10.0, thru 9999) row is
+    // closed out (out_z 06-20) WHEN the correction lands.
+    Seq((1L, 10.0, "2023-01-01", "9999-12-31", "2023-01-01", "2023-06-20"),
+        (1L, 10.0, "2023-01-01", "2023-06-01", "2023-06-20", "9999-12-31"),
+        (1L, 12.0, "2023-06-01", "9999-12-31", "2023-06-20", "9999-12-31"),
+        (2L, 20.0, "2023-01-01", "9999-12-31", "2023-01-01", "9999-12-31"))
+      .toDF("pos_id", "value", "f", "t", "i", "o")
+      .select(col("pos_id"), col("value"),
+        to_date(col("f")).as("from_z"), to_date(col("t")).as("thru_z"),
+        to_date(col("i")).as("in_z"), to_date(col("o")).as("out_z"))
+      .createOrReplaceTempView("position_hist")
+    // processing 06-15 (before the correction landed), business 06-10:
+    // position 1 reads its ORIGINAL 10.0 row
+    val before = PureParser.querySql(biModel,
+      "bi::entity::position.all(%2023-06-15, %2023-06-10)" +
+        "->project([x|$x.posId, x|$x.value], ['id', 'value'])")
+    assert(before.contains("in_z <= DATE '2023-06-15'") &&
+      before.contains("from_z <= DATE '2023-06-10'"), before)
+    assert(spark.sql(before).as[(Long, Double)].collect().toSet ==
+      Set((1L, 10.0), (2L, 20.0)))
+    // processing 06-25 (correction visible), business 05-15 — BEFORE
+    // the correction's from_z 06-01: the corrected history still says
+    // 10.0 there, now read from the re-recorded CLOSED row
+    val after = PureParser.querySql(biModel,
+      "bi::entity::position.all(%2023-06-25, %2023-05-15)" +
+        "->project([x|$x.posId, x|$x.value], ['id', 'value'])")
+    assert(spark.sql(after).as[(Long, Double)].collect().toSet ==
+      Set((1L, 10.0), (2L, 20.0)))
+    // same processing date, business 06-15 — past from_z 06-01: the
+    // corrected value is seen
+    val corrected = PureParser.querySql(biModel,
+      "bi::entity::position.all(%2023-06-25, %2023-06-15)" +
+        "->project([x|$x.posId, x|$x.value], ['id', 'value'])")
+    assert(spark.sql(corrected).as[(Long, Double)].collect().toSet ==
+      Set((1L, 12.0), (2L, 20.0)))
+    // single-date read of a bitemporal table rejects with the two-date hint
+    val r = scala.util.Try(PureParser.querySql(biModel,
+      "bi::entity::position.all(%2023-06-15)->project([x|$x.posId], ['id'])"))
+    assert(r.isFailure && r.failed.get.getMessage.contains("BITEMPORAL"), r.toString)
+    // and a date-less read too
+    val r2 = scala.util.Try(PureParser.querySql(biModel,
+      "bi::entity::position.all()->project([x|$x.posId], ['id'])"))
+    assert(r2.isFailure && r2.failed.get.getMessage.contains("BITEMPORAL"), r2.toString)
   }
 
   test("rejection frontier: the documented still-unsupported constructs fail loudly") {
@@ -463,14 +588,14 @@ class LegendParserSpec extends SparkTestBase {
     // subset is pinned here so the boundary is executable documentation:
     // each construct must reject at load time, not mistranslate.
     // round 12: business-temporal `.all(date)` LEFT the frontier (the
-    // milestoning tests above); bitemporal (business + processing
-    // dates) remains outside it
+    // milestoning tests above), and later in the round processing +
+    // bitemporal milestoning followed it (biModel tests) — the temporal
+    // family is now fully inside the subset
     val stillRejected = Seq(
       "$this.items->fold({a, b | $a + $b}, 0)",       // explicit fold (use sum)
       "meta::pure::functions::lang::eval(f, 1)",      // function-pointer eval
       "$this->cast(@databricks::entity::sme)",        // @-type cast
-      "$this.sme->subType(@SomeClass)",               // subtype narrowing
-      "Person.all(%2020-01-01, %2021-01-01)")         // bitemporal getAll
+      "$this.sme->subType(@SomeClass)")               // subtype narrowing
     for (s <- stillRejected) {
       val r = scala.util.Try {
         val ast = PureParser.parse(s)
