@@ -24,16 +24,24 @@ object Relational {
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
 
   /** R2: TPC-H Q1-style scan + hash aggregate with map-side partial agg. */
+  /** Money sums in exact scaled-integer space like q4/q6 (r12): the
+    * float-sum form diverged from DuckDB in the 11th significant digit
+    * at sf10 (2.8e11 magnitude — summation-order rounding; integers
+    * cannot). Averages divide two exact integers, so every engine gets
+    * the identical double. */
   def q1Agg(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+      .withColumn("qty_l", round(col("l_quantity")).cast("long"))
+      .withColumn("price_e2", round(col("l_extendedprice") * 100).cast("long"))
+      .withColumn("disc_e2", round(col("l_discount") * 100).cast("long"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        sum(col("qty_l")).cast("double").as("sum_qty"),
+        (sum(col("price_e2")) / lit(100.0)).as("sum_base_price"),
+        (sum(col("price_e2") * (lit(100L) - col("disc_e2"))) / lit(10000.0)).as("sum_disc_price"),
+        round(sum(col("qty_l")).cast("double") / count(lit(1)), 4).as("avg_qty"),
+        round(sum(col("disc_e2")).cast("double") / (count(lit(1)) * lit(100.0)), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
 
   /** R1: filter + projection — both must reach the parquet scan
@@ -80,7 +88,11 @@ object Relational {
       .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+      // revenue in exact scaled-integer space like q4/q6 (r12: the
+      // float form drifted an ulp at sf10's 1e11 magnitudes)
+      .agg((sum(round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))) / lit(10000.0))
+          .as("revenue"),
         count(lit(1)).as("num_items"))
 
   /** R6: conditional aggregation (TPC-H Q14 flavour). part is SF-scaled
@@ -163,7 +175,11 @@ object Relational {
       .agg(avg(col("l_quantity")).as("avg_qty"))
     li.join(avgQ, col("l_partkey") === col("ap_partkey"))
       .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
-      .agg(round(sum(col("l_extendedprice")), 2).as("low_qty_revenue"),
+      // exact scaled-integer sum (r12, ulp drift at sf10); the avg-qty
+      // FILTER stays float — each per-partkey avg divides a small exact
+      // integer sum by an exact count, identical in every engine
+      .agg((sum(round(col("l_extendedprice") * 100).cast("long")) / lit(100.0))
+          .as("low_qty_revenue"),
         count(lit(1)).as("low_qty_items"))
   }
 
@@ -174,7 +190,9 @@ object Relational {
     val high = o.filter(col("o_orderpriority") === lit("2-HIGH"))
     urgent.union(high)
       .groupBy(col("o_orderstatus"))
-      .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("total"))
+      .agg(count(lit(1)).as("cnt"),
+        // exact scaled-integer sum (r12, ulp drift at sf10)
+        (sum(round(col("o_totalprice") * 100).cast("long")) / lit(100.0)).as("total"))
   }
 
   /** R15: time-bucketed aggregation on the events stream table (batch
@@ -493,13 +511,18 @@ object Relational {
     * Offsets are exact: both engines Monday-truncate weeks, so the day
     * difference is always divisible by 7. */
   def q32Retention(s: SparkSession, dir: String): DataFrame = {
-    val pairs = t(s, dir, "events")
+    // ONE fact-sized shuffle (r12; was two): collect_set IS the distinct
+    // — its partial aggregate dedups (user, week) map-side, so the
+    // Exchange carries per-task-deduped week sets and the separate
+    // distinct()'s extra shuffle wave over the same pairs is pure cost
+    // (measured at sf10: 2.63 → 1.27 s). cohort = array_min of the set —
+    // no second aggregate over the rows.
+    val perUser = t(s, dir, "events")
       .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("week"))
-      .distinct()
-    val perUser = pairs.groupBy(col("user_id"))
-      .agg(min(col("week")).as("cohort"), collect_set(col("week")).as("weeks"))
+      .groupBy(col("user_id"))
+      .agg(collect_set(col("week")).as("weeks"))
     perUser
-      .select(col("cohort"), explode(col("weeks")).as("week"))
+      .select(array_min(col("weeks")).as("cohort"), explode(col("weeks")).as("week"))
       .groupBy(col("cohort"),
         (datediff(col("week"), col("cohort")) / 7).cast("long").as("week_offset"))
       .agg(count(lit(1)).as("n_users"))
@@ -674,15 +697,20 @@ object Relational {
         |  sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS R
         |FROM lineitem GROUP BY l_linestatus""".stripMargin,
     "q1_agg" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-        |  round(avg(l_quantity), 4) AS avg_qty,
-        |  round(avg(l_discount), 4) AS avg_disc,
+      """WITH e AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    CAST(round(l_quantity) AS BIGINT) AS qty_l,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_e2,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS disc_e2
+        |  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02')
+        |SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(qty_l) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(price_e2) AS BIGINT) / 100.0 AS sum_base_price,
+        |  CAST(sum(price_e2 * (100 - disc_e2)) AS BIGINT) / 10000.0 AS sum_disc_price,
+        |  round(CAST(sum(qty_l) AS DOUBLE) / count(*), 4) AS avg_qty,
+        |  round(CAST(sum(disc_e2) AS DOUBLE) / (count(*) * 100.0), 4) AS avg_disc,
         |  count(*) AS count_order
-        |FROM lineitem
-        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |FROM e
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q2_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount
@@ -703,7 +731,9 @@ object Relational {
         |  HAVING sum_e4 > 1000000000)""".stripMargin,
     "q5_multi_join" ->
       """SELECT r_name, n_name,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+        |    / 10000.0 AS revenue,
         |  count(*) AS num_items
         |FROM lineitem
         |  JOIN orders ON l_orderkey = o_orderkey
@@ -751,7 +781,8 @@ object Relational {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
     "q13_avg_subquery" ->
-      """SELECT round(sum(l_extendedprice), 2) AS low_qty_revenue,
+      """SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    / 100.0 AS low_qty_revenue,
         |  count(*) AS low_qty_items
         |FROM lineitem l JOIN (
         |  SELECT l_partkey AS ap_partkey, avg(l_quantity) AS avg_qty
@@ -759,7 +790,8 @@ object Relational {
         |ON l.l_partkey = a.ap_partkey
         |WHERE l.l_quantity < 0.5 * a.avg_qty""".stripMargin,
     "q14_union" ->
-      """SELECT o_orderstatus, count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total
         |FROM (
         |  SELECT * FROM orders WHERE o_orderpriority = '1-URGENT'
         |  UNION ALL
