@@ -470,15 +470,22 @@ object Relational {
     * events has no row, even when inside some user's trailing window) —
     * the same domain the oracle's `dom` CTE uses. */
   def slidingDau(events: DataFrame): DataFrame = {
-    val days = events
+    // ONE fact-sized shuffle (r12; was two): collect_set's partial
+    // aggregate dedups (user, day) map-side — the q32 trick — and the
+    // lead()-window's per-user successor is a higher-order transform
+    // over the user's SORTED day array instead (calendar-bounded, so
+    // the per-row array work is O(active days), never corpus-sized).
+    // Interval end = min(day+6, next_day−1), exactly the old window's.
+    val iv = events
       .select(col("user_id"), date_trunc("day", col("ts")).cast("date").as("day"))
-      .distinct()
-    val w = Window.partitionBy(col("user_id")).orderBy(col("day").asc)
-    val iv = days
-      .withColumn("nxt", lead(col("day"), 1).over(w))
-      .withColumn("end_day",
-        least(date_add(col("day"), 6),
-          coalesce(date_sub(col("nxt"), 1), date_add(col("day"), 6))))
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_set(col("day"))).as("ds"))
+      .select(explode(expr(
+        """transform(ds, (d, i) -> struct(d AS day,
+          |  CASE WHEN i < size(ds) - 1
+          |    THEN least(date_add(d, 6), date_sub(element_at(ds, i + 2), 1))
+          |    ELSE date_add(d, 6) END AS end_day))""".stripMargin)).as("x"))
+      .select(col("x.day").as("day"), col("x.end_day").as("end_day"))
     // both boundary deltas explode out of the ONE interval relation (no
     // re-scan per branch), and the day domain needs no third branch:
     // every active day STARTS an interval, so domain = {d | a +1 at d}
