@@ -263,6 +263,29 @@ object PureToSql {
       val arr = scalar(ps.head, rv) // inlined thrice — deterministic subset, see at()
       s"(CASE WHEN size($arr) = 0 THEN CAST(NULL AS DOUBLE) " +
         s"ELSE aggregate($arr, CAST(0 AS DOUBLE), (acc, x) -> acc + x) / size($arr) END)"
+    // round-12 widening: explicit collection fold — PURE's
+    // `->fold({e, a | body}, init)` (m3 signature: the lambda binds the
+    // ELEMENT first, the accumulator second) maps 1:1 onto Spark's
+    // codegen'd aggregate() HOF, whose merge lambda binds the
+    // accumulator first — the rendering swaps them. A numeric seed is
+    // cast to DOUBLE for the same reason sum()'s is (no static type
+    // context; DOUBLE accepts every numeric element type); a
+    // string-looking seed stays as-is so string folds (concat chains)
+    // keep their type.
+    case "fold" =>
+      require(ps.size == 3, s"fold(collection, {e, a | ...}, init) — got ${ps.size} args")
+      val lam = ps(1) match {
+        case l: PLambda => l
+        case other => throw new IllegalArgumentException(
+          s"fold requires a two-parameter lambda, got $other")
+      }
+      require(lam.params.size == 2, "fold lambda takes (element, accumulator)")
+      val Seq(eV, aV) = lam.params
+      val bodySql = scalar(
+        substVar(substVar(lam.body, eV, PLit("graft_x")), aV, PLit("graft_acc")), rv)
+      val initSql = scalar(ps(2), rv)
+      val seed = if (looksString(ps(2))) initSql else s"CAST($initSql AS DOUBLE)"
+      s"aggregate(${scalar(ps.head, rv)}, $seed, (graft_acc, graft_x) -> $bodySql)"
     // multiplicity [0..1] properties map to nullable columns, so PURE's
     // emptiness checks are null checks in table space
     case "isEmpty" => s"(${scalar(ps.head, rv)} IS NULL)"

@@ -307,6 +307,29 @@ class LegendParserSpec extends SparkTestBase {
     assert(sqlOf("max([$this.a])") == "a")
   }
 
+  test("explicit fold renders to the aggregate() HOF and evaluates (element-first lambda)") {
+    val df = Seq((Seq(3, 1, 2), 1), (Seq.empty[Int], 2)).toDF("scores", "id")
+    def sqlOf(p: String) = PureToSql.lambda(PureParser.parse(p))
+    // PURE binds (element, accumulator); Spark's merge lambda binds the
+    // accumulator first — the rendering swaps them
+    assert(sqlOf("$this.scores->fold({x, a | $a + $x}, 0)") ==
+      "aggregate(scores, CAST(0 AS DOUBLE), (graft_acc, graft_x) -> (graft_acc + graft_x))")
+    val out = df.selectExpr(
+      s"${sqlOf("$this.scores->fold({x, a | $a + $x}, 0)")} AS s",
+      s"${sqlOf("$this.scores->fold({x, a | $a * $x}, 1)")} AS p",
+      s"${sqlOf("$this.scores->fold({x, a | $a + $x * $x}, 100)")} AS sq")
+      .orderBy(df("id")).collect()
+    assert(out(0).getDouble(0) == 6.0 && out(0).getDouble(1) == 6.0 &&
+      out(0).getDouble(2) == 114.0)
+    // empty collection folds to the seed
+    assert(out(1).getDouble(0) == 0.0 && out(1).getDouble(1) == 1.0 &&
+      out(1).getDouble(2) == 100.0)
+    // arity is enforced: a one-parameter lambda rejects loudly
+    val r = scala.util.Try(sqlOf("$this.scores->fold({x | $x}, 0)"))
+    assert(r.isFailure &&
+      r.failed.get.getMessage.contains("(element, accumulator)"), r.toString)
+  }
+
   // --- business milestoning (M18, round 12): `.all(date)` — Legend's
   // flagship temporal feature in the reference's financial domain.
   // Fixture: policy_hist (business-milestoned) with an optional
@@ -591,8 +614,9 @@ class LegendParserSpec extends SparkTestBase {
     // milestoning tests above), and later in the round processing +
     // bitemporal milestoning followed it (biModel tests) — the temporal
     // family is now fully inside the subset
+    // round 12 (late): explicit ->fold also left the frontier (the
+    // aggregate()-HOF rendering, tested above)
     val stillRejected = Seq(
-      "$this.items->fold({a, b | $a + $b}, 0)",       // explicit fold (use sum)
       "meta::pure::functions::lang::eval(f, 1)",      // function-pointer eval
       "$this->cast(@databricks::entity::sme)",        // @-type cast
       "$this.sme->subType(@SomeClass)")               // subtype narrowing
