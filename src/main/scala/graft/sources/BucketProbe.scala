@@ -86,6 +86,13 @@ object BucketProbe {
       println(s"[plan] $name flat: $fn shuffles ($fd on doc_id, $ft carrying text); " +
         s"bucketed: $bn shuffles ($bd on doc_id, $bt carrying text)")
     }
+    // the static planner estimates dfreq's size from the SCAN, so past
+    // sf1 it overshoots the 10 MB default and plans SMJ-on-term — the
+    // decision AQE reverses at runtime once it sees the actual
+    // vocabulary-sized aggregate. Raise the threshold so the static pin
+    // models the runtime plan (the pin's subject is the window's
+    // Exchange, not the join strategy).
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (256 << 20).toString)
     val t6Pin = pinStats(forms(0)._2)
     report("t6_tfidf", t6Pin)
     require(t6Pin._1._2 >= 1, "control: flat t6 must shuffle on doc_id")

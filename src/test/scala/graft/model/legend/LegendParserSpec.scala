@@ -328,6 +328,11 @@ class LegendParserSpec extends SparkTestBase {
     val r = scala.util.Try(sqlOf("$this.scores->fold({x | $x}, 0)"))
     assert(r.isFailure &&
       r.failed.get.getMessage.contains("(element, accumulator)"), r.toString)
+    // fold survives the M17 render∘parse identity like every other
+    // in-subset construct (two-parameter lambda rendering included)
+    val ast = PureParser.parse("$this.scores->fold({x,a | $a + $x}, 0) > 10")
+    assert(PureParser.parse(PureRender.render(ast)) == ast,
+      s"fold round trip diverged: ${PureRender.render(ast)}")
   }
 
   // --- business milestoning (M18, round 12): `.all(date)` — Legend's
