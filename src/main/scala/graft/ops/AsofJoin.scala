@@ -61,7 +61,8 @@ object AsofJoin {
         count(lit(1)).as("n_clicks"),
         count(col("p_ts")).as("n_matched"),
         sum(unix_micros(col("ts")) - unix_micros(col("p_ts"))).as("sum_gap_us"),
-        round(sum(col("p_value")), 2).as("attr_value"))
+        // exact e2 integer sum (r12 proactive: the q1 ulp-drift class)
+        (sum(round(col("p_value") * 100).cast("long")) / lit(100.0)).as("attr_value"))
   }
 
   val oracle: String =
@@ -70,7 +71,7 @@ object AsofJoin {
       |c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click')
       |SELECT c.user_id AS user_id, count(*) AS n_clicks, count(p_ts) AS n_matched,
       |  CAST(sum(epoch_us(ts) - epoch_us(p_ts)) AS BIGINT) AS sum_gap_us,
-      |  round(sum(p_value), 2) AS attr_value
+      |  CAST(sum(CAST(round(p_value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS attr_value
       |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.p_ts
       |GROUP BY 1""".stripMargin
 }

@@ -58,7 +58,9 @@ object Relational {
       .groupBy(col("n_name"))
       .agg(
         count(lit(1)).as("num_customers"),
-        round(sum(col("c_acctbal")), 2).as("total_acctbal"))
+        // exact e2 integer sum (r12 proactive: the q1 ulp-drift class —
+        // 2-decimal doubles summed at growing magnitude)
+        (sum(round(col("c_acctbal") * 100).cast("long")) / lit(100.0)).as("total_acctbal"))
 
   /** R4: fact⨝fact shuffle join + aggregate (TPC-H Q3 flavour).
     * Revenue is aggregated in exact scaled-integer space (cents × discount
@@ -203,7 +205,9 @@ object Relational {
       .groupBy(
         date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH").as("hour"),
         col("event_type"))
-      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("total_value"))
+      .agg(count(lit(1)).as("cnt"),
+        // exact e2 integer sum (r12 proactive: the q1 ulp-drift class)
+        (sum(round(col("value") * 100).cast("long")) / lit(100.0)).as("total_value"))
 
   /** R16: left outer join + two-level aggregate (TPC-H Q13 flavour). */
   def q16OuterJoin(s: SparkSession, dir: String): DataFrame =
@@ -724,7 +728,8 @@ object Relational {
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1999-01-01' AND l_discount > 0.07""".stripMargin,
     "q3_broadcast_join" ->
-      """SELECT n_name, count(*) AS num_customers, round(sum(c_acctbal), 2) AS total_acctbal
+      """SELECT n_name, count(*) AS num_customers,
+        |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_acctbal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
     "q4_join_agg" ->
@@ -806,7 +811,8 @@ object Relational {
         |GROUP BY o_orderstatus""".stripMargin,
     "q15_events_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type,
-        |  count(*) AS cnt, round(sum(value), 2) AS total_value
+        |  count(*) AS cnt,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
     "q16_outer_join" ->
       """SELECT c_count, count(*) AS custdist FROM (
