@@ -474,14 +474,21 @@ object Relational {
     * events has no row, even when inside some user's trailing window) —
     * the same domain the oracle's `dom` CTE uses. */
   def slidingDau(events: DataFrame): DataFrame = {
-    // ONE fact-sized shuffle (r12; was two): collect_set's partial
-    // aggregate dedups (user, day) map-side — the q32 trick — and the
-    // lead()-window's per-user successor is a higher-order transform
-    // over the user's SORTED day array instead (calendar-bounded, so
-    // the per-row array work is O(active days), never corpus-sized).
+    // Two codegen'd shuffle waves, then per-user array work (r12,
+    // re-measured at sf100): the distinct() pre-shrink BEFORE
+    // collect_set is load-bearing — collect_set plans as
+    // ObjectHashAggregate, which falls back to SORT-based aggregation
+    // past 128 groups/task, so feeding it raw events sorts the full
+    // fact (measured ×11.5 on ×10 data at sf100); distinct is a plain
+    // codegen'd hash aggregate that cuts the sorted input to the
+    // bounded (user, day) pair set first. The lead()-window of the
+    // original form stays gone: the per-user successor is a transform
+    // over the user's sorted day array (calendar-bounded), which
+    // removed the window's third Exchange + sort.
     // Interval end = min(day+6, next_day−1), exactly the old window's.
     val iv = events
       .select(col("user_id"), date_trunc("day", col("ts")).cast("date").as("day"))
+      .distinct()
       .groupBy(col("user_id"))
       .agg(array_sort(collect_set(col("day"))).as("ds"))
       .select(explode(expr(
@@ -522,14 +529,16 @@ object Relational {
     * Offsets are exact: both engines Monday-truncate weeks, so the day
     * difference is always divisible by 7. */
   def q32Retention(s: SparkSession, dir: String): DataFrame = {
-    // ONE fact-sized shuffle (r12; was two): collect_set IS the distinct
-    // — its partial aggregate dedups (user, week) map-side, so the
-    // Exchange carries per-task-deduped week sets and the separate
-    // distinct()'s extra shuffle wave over the same pairs is pure cost
-    // (measured at sf10: 2.63 → 1.27 s). cohort = array_min of the set —
-    // no second aggregate over the rows.
+    // distinct() BEFORE collect_set (r12, re-learned at sf100): the
+    // set aggregate is ObjectHashAggregate and SORT-falls-back past 128
+    // groups/task, so it must be fed the deduped (user, week) pair set
+    // (codegen'd hash distinct), not the raw fact — dropping the
+    // distinct looked like a win at sf10 (2.63 → 1.27 s, the sort still
+    // fit) and went ×16.5 superlinear at sf100 when the full-fact sort
+    // spilled. cohort = array_min of the set — no second row aggregate.
     val perUser = t(s, dir, "events")
       .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("week"))
+      .distinct()
       .groupBy(col("user_id"))
       .agg(collect_set(col("week")).as("weeks"))
     perUser

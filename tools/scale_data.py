@@ -19,7 +19,16 @@ Method (documented in BASELINE.md "sf1 scale sweep"):
   structure, and chunk repetition — while making cross-replica Jaccard
   ~0, so the corpus dup-RATE stays constant as the corpus grows 10x
   (replicating text verbatim would instead turn every doc into a
-  10-way duplicate cluster and blow the pair count quadratically);
+  10-way duplicate cluster and blow the pair count quadratically).
+  SATURATION CAVEAT (measured, round 12): only |vocab| distinct
+  rotations exist — this corpus's vocabulary is 31 tokens, so REP <= 31
+  (sf1) keeps the dup rate constant as designed, while REP=100 (sf10)
+  collapses to ~3.2 exact copies per document (31.0% distinct) and
+  REP=1000 (sf100) to ~32 (3.1% distinct). Larger-REP corpora are
+  therefore progressively duplicate-HEAVIER workloads — crawl-like, and
+  harder for the dedup operators, but not the constant-rate scaling the
+  paragraph above describes. Cross-engine comparisons stay exact either
+  way (both engines read the same files);
 - embeddings: replica r>0 applies an ORTHOGONAL transform (component
   rotation by r + deterministic sign flips keyed on (r, i)). Within a
   replica all norms and pairwise cosines are exactly preserved (planted
