@@ -146,11 +146,11 @@ object Bench {
     val shortKey = results.map { case (k, _) => k -> k.takeWhile(_ != '_') }.toMap
     val qsShort =
       if (shortKey.values.toSet.size == results.size)
-        results.map { case (k, v) => "\"" + shortKey(k) + "\":" + f"$v%.3f" }
+        results.map { case (k, v) => "\"" + shortKey(k) + "\":" + Fmt.dec(v) }
           .mkString("{", ",", "}")
       else qs // id clash (never expected) → fall back to full keys
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qsShort,$meta}""")
+      s"""{"metric":"total","value":${Fmt.dec(total)},"unit":"sec","queries":$qsShort,$meta}""")
     spark.stop()
   }
 }

@@ -54,7 +54,7 @@ object IndexProbeBench {
     }
     val median = times.map(_._1).sorted.apply(runs / 2)
     println(f"""{"sf":"$dir","index_docs":$nIndex,"batch_docs":$nBatch,""" +
-      f""""build_sec":$buildSec%.2f,"probe_median_sec":$median%.3f,""" +
+      s""""build_sec":${graft.Fmt.dec(buildSec, 2)},"probe_median_sec":${graft.Fmt.dec(median)},""" +
       f""""probe_matches":${times.head._2},"runs":$runs}""")
     batch.unpersist()
     spark.sql(s"DROP TABLE IF EXISTS ${idx.table}")

@@ -271,7 +271,13 @@ object PureToSql {
     // cast to DOUBLE for the same reason sum()'s is (no static type
     // context; DOUBLE accepts every numeric element type); a
     // string-looking seed stays as-is so string folds (concat chains)
-    // keep their type.
+    // keep their type. SUBSET LIMIT (documented, r12 advisor): the
+    // DOUBLE accumulator is exact only to 2^53 — an integer fold whose
+    // running value exceeds that (e.g. a product over large longs)
+    // drifts from PURE's unbounded-Integer semantics. Spark's
+    // aggregate() requires merge-result type == seed type, so a
+    // BIGINT seed would instead analysis-fail on fractional elements;
+    // DOUBLE-with-documented-bound is the deliberate trade.
     case "fold" =>
       require(ps.size == 3, s"fold(collection, {e, a | ...}, init) — got ${ps.size} args")
       val lam = ps(1) match {

@@ -60,9 +60,17 @@ object Quantile {
     require(maxDriverCells > 0, s"maxDriverCells must be positive, got $maxDriverCells")
     val spark = df.sparkSession
 
+    // g.isNotNull is load-bearing for BOTH physical forms (r13 advisor
+    // fix): the broadcast-join form drops null-group rows implicitly
+    // (inner join on g), but the inline when-ladder's `g === lit(...)`
+    // evaluates NULL for a null g, falls through to the NaN default,
+    // and floor(NaN).cast(long) THROWS under the sessions' ANSI-default
+    // mode — failing the whole query whenever |groups| ≤ MaxInlineGroups
+    // and the group column contains nulls. Filtering here makes the two
+    // forms exclude null-group rows identically.
     val base = df
       .select(col(groupCol).as("g"), col(valCol).cast("double").as("v"))
-      .filter(col("v").isNotNull)
+      .filter(col("v").isNotNull && col("g").isNotNull)
     val ext = base.groupBy(col("g"))
       .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
     // The per-group ranges are driver-bounded by the SAME contract as

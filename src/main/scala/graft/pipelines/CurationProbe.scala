@@ -38,7 +38,7 @@ object CurationProbe {
     }
     forms.foreach { case (name, _) =>
       val ts = times(name).sorted
-      println(f"$name%-14s median=${ts(ts.size / 2)}%.3f s  all=${ts.map(t => f"$t%.2f").mkString(",")}")
+      println(f"$name%-14s " + s"median=${graft.Fmt.dec(ts(ts.size / 2))} s  all=${ts.map(t => graft.Fmt.dec(t, 2)).mkString(",")}")
     }
     // sanity: identical results
     val a = forms(0)._2().selectExpr("sum(hash(doc_id, lang, split, n_tokens, clean_len))").first().getLong(0)

@@ -57,8 +57,8 @@ object IvfProbeBench {
     }
     val median = times.map(_._1).sorted.apply(runs / 2)
     println(f"""{"sf":"$dir","index_vectors":$nBase,"nlist":$nlist,""" +
-      f""""query_vectors":$nQueries,"build_sec":$buildSec%.2f,""" +
-      f""""probe_median_sec":$median%.3f,"result_rows":${times.head._2},"runs":$runs}""")
+      s""""query_vectors":$nQueries,"build_sec":${graft.Fmt.dec(buildSec, 2)},""" +
+      s""""probe_median_sec":${graft.Fmt.dec(median)},"result_rows":${times.head._2},"runs":$runs}""")
     queries.unpersist()
     spark.sql(s"DROP TABLE IF EXISTS ${idx.table}")
     spark.stop()

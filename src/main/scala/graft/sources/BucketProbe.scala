@@ -140,7 +140,7 @@ object BucketProbe {
     forms.foreach { case (qname, _) =>
       val line = layouts.map { case (lname, _) =>
         val ts = times((qname, lname)).sorted
-        f"$lname=${ts(ts.size / 2)}%.3f s"
+        s"$lname=${graft.Fmt.dec(ts(ts.size / 2))} s"
       }.mkString("  ")
       println(s"[time] $qname  $line  (median of $runs)")
     }

@@ -86,10 +86,10 @@ object StreamBench {
     val half = data.size / 2
     def meanMs(s: Seq[BatchStat]) = if (s.isEmpty) 0.0 else s.map(_.ms).sum.toDouble / s.size
     s"""{"op":"$name","batches":${data.size},"rows":$rows,""" +
-      f""""sec":$secs%.2f,"rows_per_sec":${if (secs > 0) rows / secs else 0.0}%.0f,""" +
+      s""""sec":${graft.Fmt.dec(secs, 2)},"rows_per_sec":${graft.Fmt.dec(if (secs > 0) rows / secs else 0.0, 0)},""" +
       s""""median_batch_ms":$medianMs,"max_batch_ms":${if (lats.isEmpty) 0 else lats.last},""" +
-      f""""mean_batch_ms_first_half":${meanMs(data.take(half))}%.0f,""" +
-      f""""mean_batch_ms_second_half":${meanMs(data.drop(half))}%.0f,""" +
+      s""""mean_batch_ms_first_half":${graft.Fmt.dec(meanMs(data.take(half)), 0)},""" +
+      s""""mean_batch_ms_second_half":${graft.Fmt.dec(meanMs(data.drop(half)), 0)},""" +
       s""""max_state_rows":${if (data.isEmpty) 0 else data.map(_.stateRows).max},""" +
       s""""final_state_rows":${if (data.isEmpty) 0 else data.last.stateRows},""" +
       s""""max_state_kb":${if (data.isEmpty) 0 else data.map(_.stateBytes).max / 1024},""" +
@@ -125,7 +125,7 @@ object StreamBench {
       // listener events are async; drain before reading
       Thread.sleep(500)
       val line = summarize(name, collector.stats.toSeq,
-        (if (extra.nonEmpty) extra + "," else "") + f""""wall_sec":$wall%.2f""")
+        (if (extra.nonEmpty) extra + "," else "") + s""""wall_sec":${graft.Fmt.dec(wall, 2)}""")
       out += line
       println(line)
     }
@@ -190,7 +190,7 @@ object StreamBench {
     stageSlices(batchDocs, "doc_id", docDir, chunks)
     val docSchema = spark.read.parquet(docDir).schema
     bench("st16_indexed_ingest",
-        extra = f""""index_build_sec":$buildSec%.2f""") { () =>
+        extra = s""""index_build_sec":${graft.Fmt.dec(buildSec, 2)}""") { () =>
       val stream = spark.readStream.schema(docSchema)
         .option("maxFilesPerTrigger", "1").parquet(docDir)
       runToEnd(Streaming.indexedIngest(stream, idx, "doc_id", "text",

@@ -217,6 +217,26 @@ class OpsSpec extends SparkTestBase {
     assert(ok.toSeq == Seq(ref(g7, 0.5)))
   }
 
+  test("R27: null group keys are excluded identically in both physical forms (ANSI-safe)") {
+    import spark.implicits._
+    // r13 regression (advisor): the inline when-ladder fell through to
+    // NaN for a null g, and floor(NaN).cast(long) throws under the
+    // sessions' ANSI-default mode. Both forms must instead DROP null-g
+    // rows (the broadcast join's implicit semantics).
+    val rows = Seq((Option("a"), 1.0), (Option("a"), 2.0), (Option("a"), 3.0),
+      (Option.empty[String], 99.0), (Option.empty[String], 7.0))
+    // inline form (2 groups incl. null ≤ MaxInlineGroups)
+    val inl = Quantile.exactQuantiles(rows.toDF("grp", "x"), "grp", "x", Seq(0.5), bins = 4)
+      .select("g", "qval").as[(String, Double)].collect().toSet
+    assert(inl == Set(("a", 2.0))) // null group absent, not thrown
+    // broadcast form: widen past MaxInlineGroups with null rows present
+    val wide = (1 to 200).map(i => (Option(s"g${i % 100}"), i.toDouble)) ++
+      Seq((Option.empty[String], 5.0))
+    val bc = Quantile.exactQuantiles(wide.toDF("grp", "x"), "grp", "x", Seq(1.0), bins = 4)
+    assert(bc.filter(col("g").isNull).count() == 0)
+    assert(bc.count() == 100)
+  }
+
   test("R31: sliding DAU interval decomposition equals a naive per-day distinct recount") {
     import spark.implicits._
     // activity patterns that stress the disjoint-interval construction:
