@@ -48,6 +48,19 @@ object PureExpr {
   /** Enum value reference (rendered as its string value — graft enums
     * validate by string domain). */
   final case class PEnum(path: String, value: String) extends PureExpr
+  /** Type reference — the `@a::b::c` argument of `cast`/`subType`
+    * (protocol: genericTypeInstance). Not a value; only legal in the
+    * type-argument position of the functions that accept one. */
+  final case class PTypeRef(path: String) extends PureExpr
+
+  /** A user-defined PURE function (round-13 widening): `function
+    * a::b::f(x: Integer[1]): Integer[1] { body }`. Parameter/return
+    * TYPES are parsed for syntax but not kept — graft's translator is
+    * deliberately type-context-free (same stance as plus()'s
+    * syntactic overload resolution); the body is inlined at each call
+    * site by [[inlineUserFunctions]], so a function participates in
+    * pushdown/codegen exactly like hand-written PURE. */
+  final case class PFunction(path: String, params: Seq[String], body: PureExpr)
 
   /** Parse one protocol AST node. */
   def parse(n: JsonNode): PureExpr = n.get("_type").asText() match {
@@ -71,6 +84,14 @@ object PureExpr {
     case "dateTime" => PLit(s"TIMESTAMP ${quote(value(n).asText())}")
     case "packageableElementPtr" => PPtr(n.get("fullPath").asText())
     case "enumValue" => PEnum(n.get("fullPath").asText(), n.get("value").asText())
+    case "genericTypeInstance" =>
+      // the protocol's `@Type` argument; fullPath location moved across
+      // protocol versions (top-level → genericType.rawType), accept both
+      val p = Option(n.get("fullPath")).map(_.asText()).orElse(
+        Option(n.get("genericType")).flatMap(g => Option(g.get("rawType")))
+          .flatMap(r => Option(r.get("fullPath"))).map(_.asText()))
+      PTypeRef(p.getOrElse(throw new IllegalArgumentException(
+        s"genericTypeInstance without a fullPath: ${n.toString.take(120)}")))
     case other => throw new IllegalArgumentException(s"unsupported PURE node type [$other]")
   }
 
@@ -156,6 +177,50 @@ object PureExpr {
       case last => resolve(last)
     }
   }
+
+  /** Inline every call to a user-defined function (round-13 widening of
+    * the rejection frontier): `a::b::f(args…)` / `recv->a::b::f(…)`
+    * (the arrow is first-argument sugar, so both arrive as the same
+    * PFunc) is replaced by the function's body with parameters
+    * substituted — BEFORE translation, so the inlined body flows
+    * through the same relational-verb walker / scalar renderer as
+    * hand-written PURE and stays inside pushdown + codegen. Calls may
+    * use the full path or, when unambiguous, the bare function name.
+    * RECURSION rejects loudly (graft renders to non-recursive SQL
+    * expressions; a recursive PURE function cannot terminate under
+    * inlining), as does an arity mismatch. Variable capture is guarded
+    * by [[substVar]]'s existing rename-your-parameter contract. */
+  def inlineUserFunctions(e: PureExpr, funcs: Map[String, PFunction],
+                          stack: List[String] = Nil): PureExpr = {
+    if (funcs.isEmpty) return e
+    def resolve(name: String): Option[PFunction] =
+      funcs.get(name).orElse {
+        val bySimple = funcs.values.filter(f =>
+          f.path == name || f.path.endsWith(s"::$name")).toSeq
+        if (bySimple.size > 1) throw new IllegalArgumentException(
+          s"ambiguous function call [$name]: matches ${bySimple.map(_.path).sorted.mkString(", ")}")
+        bySimple.headOption
+      }
+    e match {
+      case PFunc(name, args) if resolve(name).isDefined =>
+        val fn = resolve(name).get
+        require(!stack.contains(fn.path),
+          s"recursive user function [${fn.path}] cannot be inlined — " +
+            "recursion is outside graft's PURE subset")
+        require(args.size == fn.params.size,
+          s"function [${fn.path}] expects ${fn.params.size} argument(s), got ${args.size}")
+        val inlinedArgs = args.map(inlineUserFunctions(_, funcs, stack))
+        val applied = fn.params.zip(inlinedArgs).foldLeft(fn.body) {
+          case (b, (p, a)) => substVar(b, p, a)
+        }
+        inlineUserFunctions(applied, funcs, fn.path :: stack)
+      case PFunc(f, ps)    => PFunc(f, ps.map(inlineUserFunctions(_, funcs, stack)))
+      case PProperty(r, n) => PProperty(inlineUserFunctions(r, funcs, stack), n)
+      case PCollection(vs) => PCollection(vs.map(inlineUserFunctions(_, funcs, stack)))
+      case PLambda(ps, b)  => PLambda(ps, inlineUserFunctions(b, funcs, stack))
+      case other           => other
+    }
+  }
 }
 
 /** Scalar-expression renderer: PURE AST → entity-space Spark SQL. */
@@ -168,6 +233,11 @@ object PureToSql {
   def scalar(e: PureExpr, rowVars: Set[String]): String = e match {
     case PLit(sql) => sql
     case PEnum(_, v) => quote(v)
+    // a cast under property access erases BEFORE the receiver renders:
+    // `$this->cast(@T).amount` must reach the `$this.amount` case, not
+    // try to render the bare row variable as a scalar
+    case PProperty(PFunc("cast", Seq(r, _: PTypeRef)), name) =>
+      scalar(PProperty(r, name), rowVars)
     case PProperty(PVar(v), name) if rowVars(v) => name
     case PProperty(recv, name) => s"${scalar(recv, rowVars)}.$name"
     case PVar(v) =>
@@ -176,6 +246,9 @@ object PureToSql {
     case PCollection(vs) => vs.map(scalar(_, rowVars)).mkString("(", ", ", ")")
     case PPtr(p) =>
       throw new IllegalArgumentException(s"element pointer [$p] is not a scalar expression")
+    case PTypeRef(p) =>
+      throw new IllegalArgumentException(
+        s"type reference [@$p] is only legal as the argument of cast()")
     case PFunc(f, ps) => func(f, ps, rowVars)
   }
 
@@ -198,7 +271,53 @@ object PureToSql {
   private def call(name: String, ps: Seq[PureExpr], rv: Set[String]): String =
     ps.map(scalar(_, rv)).mkString(s"$name(", ", ", ")")
 
-  private def func(f: String, ps: Seq[PureExpr], rv: Set[String]): String = f match {
+  /** Fully-qualified builtin spellings (`meta::pure::functions::lang::
+    * eval(...)`) resolve to their simple name; user-function paths never
+    * collapse — they are inlined away BEFORE translation, so any `::`
+    * name reaching here that is not a builtin rejects in the default
+    * case with its full path intact. */
+  private def func(f0: String, ps: Seq[PureExpr], rv: Set[String]): String = {
+    val f = if (f0.startsWith("meta::pure::functions::"))
+      f0.substring(f0.lastIndexOf("::") + 2) else f0
+    funcImpl(f, ps, rv)
+  }
+
+  private def funcImpl(f: String, ps: Seq[PureExpr], rv: Set[String]): String = f match {
+    // round-13 frontier widening: `->cast(@T)` is a static type
+    // assertion. graft's mappings are non-polymorphic (one class, one
+    // flat table — no discriminator column exists), so the relational
+    // rendering is the IDENTITY on the receiver — the same erasure the
+    // legend-engine's relational compiler performs for non-inheritance
+    // mappings. `->subType(@T)` stays OUTSIDE the subset: it has
+    // row-filtering semantics that genuinely need a type discriminator.
+    case "cast" =>
+      require(ps.size == 2, s"cast(value, @Type) — got ${ps.size} args")
+      ps(1) match {
+        case _: PTypeRef => scalar(ps.head, rv)
+        case other => throw new IllegalArgumentException(
+          s"cast's second argument must be a type reference (@a::b::c), got $other")
+      }
+    // round-13 frontier widening: function application. The function
+    // value must be a lambda LITERAL by this point — let-bound lambdas
+    // arrive here already inlined by desugarLets, and user-defined
+    // functions by inlineUserFunctions — so eval is parameter
+    // substitution, reusing substVar's capture guard. A function
+    // arriving by REFERENCE (an un-inlined pointer/variable) stays
+    // outside the subset and rejects with the frontier message.
+    case "eval" =>
+      require(ps.nonEmpty, "eval(function, args…)")
+      ps.head match {
+        case PLambda(params, body) =>
+          require(params.size == ps.tail.size,
+            s"eval: lambda expects ${params.size} argument(s), got ${ps.tail.size}")
+          scalar(params.zip(ps.tail).foldLeft(body) {
+            case (b, (p, a)) => substVar(b, p, a)
+          }, rv)
+        case other => throw new IllegalArgumentException(
+          s"eval's function argument must resolve to a lambda literal " +
+            s"(let-bound lambdas and user functions are inlined; bare " +
+            s"function pointers are outside the subset) — got $other")
+      }
     case "and" => bin("AND", ps, rv)
     case "or" => bin("OR", ps, rv)
     case "not" => s"(NOT ${scalar(ps.head, rv)})"

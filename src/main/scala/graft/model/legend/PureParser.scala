@@ -66,6 +66,27 @@ object PureParser {
   def parse(text: String, enums: Set[String] = Set.empty): PureExpr =
     new P(text, enums).parseAll()
 
+  /** Parse a SCRIPT: zero or more user-defined `function` definitions
+    * followed by an optional query expression (round-13 frontier
+    * widening). Parameter and return types are syntax-checked then
+    * discarded (the translator is type-context-free); multiplicities
+    * accept the `[1]` / `[0..1]` / `[*]` / `[1..*]` spellings.
+    * {{{
+    *   script   := functionDef* (lambdaOrExpr)?
+    *   functionDef := 'function' path '(' (param (',' param)*)? ')'
+    *                  ':' path mult '{' body '}'
+    *   param    := IDENT ':' path mult
+    *   mult     := '[' ('*' | INT ('..' (INT | '*'))?) ']'
+    * }}} */
+  def parseScript(text: String, enums: Set[String] = Set.empty)
+      : (Map[String, PFunction], Option[PureExpr]) = {
+    val (fns, e) = new P(text, enums).parseScriptAll()
+    val dup = fns.groupBy(_.path).collect { case (k, vs) if vs.size > 1 => k }
+    require(dup.isEmpty,
+      s"duplicate function definition(s): ${dup.toSeq.sorted.mkString(", ")}")
+    (fns.map(f => f.path -> f).toMap, e)
+  }
+
   /** Parse a lambda (`x|$x.qty > 0`, `{x,y|...}`, or a bare body, which
     * binds `$this` like a constraint lambda). */
   def parseLambda(text: String, enums: Set[String] = Set.empty): PLambda =
@@ -81,17 +102,30 @@ object PureParser {
     * reference's execution plan for a bare filter. */
   def compileQuery(model: GraftModel, text: String,
                    name: String = "graft::text::query",
-                   params: Map[String, String] = Map.empty): GraftService = {
-    val parsed = parse(text, model.enums.keySet) match {
+                   params: Map[String, String] = Map.empty,
+                   functions: Map[String, PFunction] = Map.empty): GraftService = {
+    // a text beginning with the `function` keyword is a SCRIPT:
+    // definitions compile with (and inline into) the query that follows
+    val (defs, exprOpt) =
+      if (text.trim.startsWith("function") &&
+          text.trim.drop("function".length).headOption.exists(_.isWhitespace))
+        parseScript(text, model.enums.keySet)
+      else (Map.empty[String, PFunction], Some(parse(text, model.enums.keySet)))
+    val parsed = exprOpt.getOrElse(throw new IllegalArgumentException(
+      "script contains only function definitions — a query expression must follow")) match {
       case PLambda(_, b) => b
       case e             => e
     }
     // bind named parameters (e.g. `$businessDate` in a milestoned
     // `Entity.all($businessDate)`) to SQL literals before compiling;
     // an unbound date parameter rejects in compilePipeline
-    val body = params.foldLeft(parsed) { case (b, (k, v)) =>
+    val bound = params.foldLeft(parsed) { case (b, (k, v)) =>
       PureExpr.substVar(b, k, PureExpr.PLit(v))
     }
+    // user functions (from the script AND the caller's registry) inline
+    // before any relational-verb walking, so calls participate in
+    // pushdown/codegen like hand-written PURE
+    val body = PureExpr.inlineUserFunctions(bound, functions ++ defs)
     val entity = findGetAll(body).getOrElse(throw new IllegalArgumentException(
       s"text query must select an entity via `path::to::entity->getAll()` or `.all()`: $text"))
     val candidates = model.mappings.values.filter(_.entity == entity).toSeq
@@ -111,8 +145,9 @@ object PureParser {
 
   /** SQL for a textual query, compiled against `model`'s mappings. */
   def querySql(model: GraftModel, text: String,
-               params: Map[String, String] = Map.empty): String = {
-    val svc = compileQuery(model, text, params = params)
+               params: Map[String, String] = Map.empty,
+               functions: Map[String, PFunction] = Map.empty): String = {
+    val svc = compileQuery(model, text, params = params, functions = functions)
     graft.model.ServiceGen.serviceSql(
       model.copy(services = model.services + (svc.name -> svc)), svc.name)
   }
@@ -133,6 +168,69 @@ object PureParser {
       skipWs()
       fail(pos == text.length, s"unexpected trailing input [${text.drop(pos)}]")
       e
+    }
+
+    def parseScriptAll(): (Seq[PFunction], Option[PureExpr]) = {
+      val fns = scala.collection.mutable.ArrayBuffer.empty[PFunction]
+      while ({ skipWs(); identAt(pos).contains("function") }) fns += functionDef()
+      skipWs()
+      val e = if (pos < text.length) Some(lambdaOrExpr()) else None
+      skipWs()
+      fail(pos == text.length, s"unexpected trailing input [${text.drop(pos)}]")
+      (fns.toSeq, e)
+    }
+
+    /** `function a::b::f(x: Integer[1]): Integer[1] { body }` — types are
+      * validated syntactically and discarded (type-context-free subset). */
+    private def functionDef(): PFunction = {
+      skipWs()
+      pos += "function".length
+      val path = pathIdent()
+      expect("(")
+      val params = scala.collection.mutable.ArrayBuffer.empty[String]
+      skipWs()
+      if (!eat(")")) {
+        params += paramDecl()
+        while (eat(",")) params += paramDecl()
+        expect(")")
+      }
+      val dup = params.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
+      fail(dup.isEmpty, s"duplicate parameter name(s) ${dup.mkString(", ")} in function [$path]")
+      expect(":")
+      pathIdent(); multiplicity()
+      expect("{")
+      val body = bodyExpr()
+      expect("}")
+      PFunction(path, params.toSeq, body)
+    }
+
+    private def paramDecl(): String = {
+      val name = ident()
+      expect(":")
+      pathIdent(); multiplicity()
+      name
+    }
+
+    private def pathIdent(): String = {
+      val sb = new StringBuilder(ident())
+      while (eat("::")) sb.append("::").append(ident())
+      sb.toString
+    }
+
+    /** `[1]` / `[0..1]` / `[*]` / `[1..*]` */
+    private def multiplicity(): Unit = {
+      expect("[")
+      if (!eat("*")) {
+        skipWs()
+        fail(pos < text.length && text(pos).isDigit, "expected a multiplicity bound")
+        while (pos < text.length && text(pos).isDigit) pos += 1
+        if (eat("..") && !eat("*")) {
+          skipWs()
+          fail(pos < text.length && text(pos).isDigit, "expected an upper multiplicity bound")
+          while (pos < text.length && text(pos).isDigit) pos += 1
+        }
+      }
+      expect("]")
     }
 
     // -- lexing helpers (no token buffer: the grammar is LL with only
@@ -205,6 +303,30 @@ object PureParser {
       }
     }
 
+    /** Like [[lambdaOrExpr]] but the expression fallback is a PLAIN
+      * expression, not a statement body — for positions that own their
+      * surrounding punctuation (a `let` statement's value). */
+    private def lambdaOrPlainExpr(): PureExpr = {
+      skipWs()
+      if (peekIs("{")) {
+        val save = pos
+        eat("{")
+        lambdaTail(closeBrace = true) match {
+          case Some(l) => l
+          case None    => pos = save; expr()
+        }
+      } else if (peekIs("|")) {
+        eat("|")
+        PLambda(Nil, expr())
+      } else {
+        val save = pos
+        lambdaTail(closeBrace = false) match {
+          case Some(l) => l
+          case None    => pos = save; expr()
+        }
+      }
+    }
+
     /** Try `ident (, ident)* | body` from the current position. */
     private def lambdaTail(closeBrace: Boolean): Option[PLambda] = {
       val params = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -252,7 +374,11 @@ object PureParser {
         pos += 3
         val name = ident()
         expect("=")
-        val value = expr()
+        // a let may bind a LAMBDA value (`let f = {y | $y + 1};`) —
+        // eval application needs it (round 13). NOT lambdaOrExpr: its
+        // expression fallback is bodyExpr(), which would swallow this
+        // statement's own `;` terminator
+        val value = lambdaOrPlainExpr()
         expect(";")
         stmts += PureExpr.PFunc("letFunction",
           Seq(PureExpr.PLit(PureExpr.quote(name)), value))
@@ -322,9 +448,13 @@ object PureParser {
       var done = false
       while (!done) {
         if (eat("->")) {
-          val f = ident()
+          // the call target may be a full path (`->my::fns::double()`,
+          // `->cast(...)`, `meta::pure::functions::lang::eval`) — the
+          // arrow is first-argument sugar either way
+          val sb = new StringBuilder(ident())
+          while (eat("::")) sb.append("::").append(ident())
           expect("(")
-          e = PFunc(f, e +: args())
+          e = PFunc(sb.toString, e +: args())
         } else if (peekIs(".") && !peekIs("..")) {
           eat(".")
           val name = ident()
@@ -377,6 +507,17 @@ object PureParser {
         PCollection(out.toSeq)
       }
       else if (c == '$') { eat("$"); PVar(ident()) }
+      else if (c == '{') { // braced lambda as an expression receiver:
+        // `{y | $y > 20}->eval($x.highFives)` (round 13, eval support)
+        eat("{")
+        lambdaTail(closeBrace = true).getOrElse(failWith("expected a lambda after `{`"))
+      }
+      else if (c == '@') { // type reference: cast/subType argument
+        eat("@")
+        val sb = new StringBuilder(ident())
+        while (eat("::")) sb.append("::").append(ident())
+        PTypeRef(sb.toString)
+      }
       else if (c == '\'') string()
       else if (c == '%') date()
       else if (c.isDigit) number()
@@ -387,7 +528,10 @@ object PureParser {
         else if (peekIs("::")) { // package path
           val sb = new StringBuilder(id)
           while (eat("::")) sb.append("::").append(ident())
-          PPtr(sb.toString)
+          // a path followed by `(` is a prefix call — a user-defined
+          // function (`my::fns::double(3)`) or fully-qualified builtin
+          if (peekIs("(")) { eat("("); PFunc(sb.toString, args()) }
+          else PPtr(sb.toString)
         }
         else if (peekIs("(")) { // prefix call: agg(...), desc(...), if(...)
           eat("(")

@@ -45,6 +45,7 @@ object PureRender {
   private def rend(e: PureExpr, ctx: Int): String = e match {
     case PVar(n)         => s"$$$n"
     case PPtr(p)         => p
+    case PTypeRef(p)     => s"@$p"
     case PEnum(p, v)     => s"$p.$v"
     case PProperty(r, n) => s"${rend(r, 7)}.$n"
     case PLit(sql)       => lit(sql)

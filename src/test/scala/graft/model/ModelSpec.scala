@@ -409,6 +409,29 @@ class ModelSpec extends SparkTestBase {
       PureGen.fromSchema("BadNamespace", "db", "t", schema))
   }
 
+  test("M10: catalog-walking codegen covers every table of a database") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_m10_db")
+    try {
+      graft.Tables(spark, sfDir, "region")
+        .write.mode("overwrite").saveAsTable("graft_m10_db.region_tbl")
+      graft.Tables(spark, sfDir, "nation")
+        .write.mode("overwrite").saveAsTable("graft_m10_db.nation_tbl")
+      val txt = PureGen.fromDatabase(spark, "org::test", "graft_m10_db")
+      assert(txt.contains("Class org::test::classes::RegionTbl"))
+      assert(txt.contains("Class org::test::classes::NationTbl"))
+      assert(txt.contains("Table region_tbl") && txt.contains("Table nation_tbl"))
+      assert(txt.contains("Mapping org::test::mapping::NationTbl"))
+      // deterministic: nation_tbl sorts (and therefore renders) first
+      assert(txt.indexOf("Table nation_tbl") < txt.indexOf("Table region_tbl"))
+      assertThrows[IllegalArgumentException](
+        PureGen.fromDatabase(spark, "org::test", "graft_no_such_db"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_m10_db.region_tbl")
+      spark.sql("DROP TABLE IF EXISTS graft_m10_db.nation_tbl")
+      spark.sql("DROP DATABASE IF EXISTS graft_m10_db")
+    }
+  }
+
   test("M11: full pipeline lift -> validate -> derive in one plan") {
     val p = GraftPipeline(model, "tpch::mapping::Orders")
     val out = p.derive(p.validate(graft.Tables(spark, sfDir, "orders")))

@@ -609,6 +609,93 @@ class LegendParserSpec extends SparkTestBase {
     assert(r2.isFailure && r2.failed.get.getMessage.contains("BITEMPORAL"), r2.toString)
   }
 
+  test("r13 widening: cast(@Type) is a static type assertion — erased in table space") {
+    // non-polymorphic mappings (one class, one flat table — no
+    // discriminator exists) make the relational rendering of a cast the
+    // identity, exactly the legend-engine's behavior for
+    // non-inheritance mappings
+    val sql = PureParser.querySql(model,
+      s"$Employee->getAll()->filter(x|$$x->cast(@$Employee).highFives > 20)")
+    assert(sql.contains("high_fives > 20"), sql)
+    // render∘parse round trip keeps the @ spelling
+    val ast = PureParser.parse("$this->cast(@a::b::c).qty > 1")
+    assert(PureParser.parse(PureRender.render(ast)) == ast)
+    assert(PureRender.render(ast).contains("@a::b::c"))
+    // a type reference anywhere but cast's argument position rejects
+    val loose = scala.util.Try(PureToSql.lambda(PureParser.parse("$this.qty > @a::b::c")))
+    assert(loose.isFailure && loose.failed.get.getMessage.contains("cast"), loose.toString)
+  }
+
+  test("r13 widening: eval applies lambda literals and let-bound lambdas") {
+    // let-bound lambda: desugarLets inlines it, eval substitutes
+    val sql = PureToSql.lambda(PureParser.parse(
+      "let f = {y | $y + 1}; $f->eval($this.highFives) > 10"))
+    assert(sql == "((highFives + 1) > 10)", sql)
+    // literal lambda, two parameters, prefix spelling
+    assert(PureToSql.lambda(PureParser.parse(
+      "eval({a, b | $a * $b}, $this.qty, 3)")) == "(qty * 3)")
+    // end-to-end through a relational filter
+    val q = PureParser.querySql(model,
+      s"$Employee->getAll()->filter(x|{y | $$y > 20}->eval($$x.highFives))")
+    assert(q.contains("high_fives > 20"), q)
+    // arity mismatch rejects
+    val bad = scala.util.Try(PureToSql.lambda(PureParser.parse(
+      "let f = {y | $y + 1}; $f->eval(1, 2)")))
+    assert(bad.isFailure && bad.failed.get.getMessage.contains("eval"), bad.toString)
+  }
+
+  test("r13 widening: user-defined functions parse, inline, and compile to pushable SQL") {
+    // a script: definition + query in one source, full-path call
+    val script =
+      s"""function demo::fns::manyHighFives(e: $Employee[1]): Boolean[1]
+         |{
+         |  $$e.highFives > 20
+         |}
+         |$Employee->getAll()->filter(x|demo::fns::manyHighFives($$x))
+         |""".stripMargin
+    val sql = PureParser.querySql(model, script)
+    assert(sql.contains("high_fives > 20"), sql)
+    // separate registry + arrow sugar + bare-name resolution; functions
+    // compose (triple calls double)
+    val (fns, noExpr) = PureParser.parseScript(
+      """function demo::fns::double(x: Integer[1]): Integer[1] { $x * 2 }
+        |function demo::fns::triple(x: Integer[1]): Integer[1] { demo::fns::double($x) + $x }
+        |""".stripMargin)
+    assert(noExpr.isEmpty && fns.keySet ==
+      Set("demo::fns::double", "demo::fns::triple"))
+    val sql2 = PureParser.querySql(model,
+      s"$Employee->getAll()->filter(x|$$x.highFives->triple() > 60)", functions = fns)
+    assert(sql2.contains("high_fives * 2"), sql2)
+    // a let-bound lambda evaluated inside a user function body
+    val inlined = PureExpr.inlineUserFunctions(
+      PureParser.parse("demo::fns::double($this.qty)"), fns)
+    assert(PureToSql.lambda(inlined) == "(qty * 2)")
+  }
+
+  test("r13 widening: user-function misuse rejects loudly") {
+    // recursion cannot terminate under inlining
+    val (rec, _) = PureParser.parseScript(
+      "function a::f(x: Integer[1]): Integer[1] { a::f($x) }")
+    val r = scala.util.Try(PureExpr.inlineUserFunctions(PureParser.parse("a::f(1)"), rec))
+    assert(r.isFailure && r.failed.get.getMessage.contains("recursive"), r.toString)
+    // arity mismatch
+    val (fns, _) = PureParser.parseScript(
+      "function a::g(x: Integer[1], y: Integer[1]): Integer[1] { $x + $y }")
+    val a = scala.util.Try(PureExpr.inlineUserFunctions(PureParser.parse("a::g(1)"), fns))
+    assert(a.isFailure && a.failed.get.getMessage.contains("argument"), a.toString)
+    // ambiguous bare name
+    val both = PureParser.parseScript(
+      """function a::f(x: Integer[1]): Integer[1] { $x }
+        |function b::f(x: Integer[1]): Integer[1] { $x }
+        |""".stripMargin)._1
+    val amb = scala.util.Try(PureExpr.inlineUserFunctions(PureParser.parse("f(1)"), both))
+    assert(amb.isFailure && amb.failed.get.getMessage.contains("ambiguous"), amb.toString)
+    // a script with no trailing query rejects at compile
+    val q = scala.util.Try(PureParser.querySql(model,
+      "function a::f(x: Integer[1]): Integer[1] { $x }"))
+    assert(q.isFailure && q.failed.get.getMessage.contains("query expression"), q.toString)
+  }
+
   test("rejection frontier: the documented still-unsupported constructs fail loudly") {
     // The round-11 frontier survey (every corpus lambda + every
     // reference test string parses clean — proven above and in
@@ -621,9 +708,14 @@ class LegendParserSpec extends SparkTestBase {
     // family is now fully inside the subset
     // round 12 (late): explicit ->fold also left the frontier (the
     // aggregate()-HOF rendering, tested above)
+    // round 13: user-defined functions, eval over lambda VALUES, and
+    // cast(@T) all left the frontier (the r13 tests above). What
+    // remains outside: eval of a function arriving by bare REFERENCE
+    // (no lambda to inline) and ->subType(@T), whose row-filtering
+    // semantics genuinely need a type discriminator column that flat
+    // single-class mappings don't have
     val stillRejected = Seq(
-      "meta::pure::functions::lang::eval(f, 1)",      // function-pointer eval
-      "$this->cast(@databricks::entity::sme)",        // @-type cast
+      "meta::pure::functions::lang::eval(f, 1)",      // function POINTER by reference
       "$this.sme->subType(@SomeClass)")               // subtype narrowing
     for (s <- stillRejected) {
       val r = scala.util.Try {
