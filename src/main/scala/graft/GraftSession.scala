@@ -17,11 +17,18 @@ object GraftSession {
 
   def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
 
+  /** Post-shuffle parallelism, decoupled from the thread count (r13:
+    * the r12 verdict flagged the 32-everywhere pin as untested at the
+    * big decades — ~19M rows/partition on a 600M-row fact). Defaults to
+    * the core count; the big-SF sweeps set it explicitly. */
+  def shufflePartitions: String =
+    sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+
   def build(appName: String, master: Option[String] = None): SparkSession = {
-    val b = SparkSession.builder()
+    val b0 = SparkSession.builder()
       .appName(appName)
       .withExtensions(new graft.plans.GraftExtensions)
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
@@ -35,6 +42,12 @@ object GraftSession {
       // the injection and result-equality (no false negatives).
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.ui.enabled", "false")
+    // Optional cluster-style geometry: start shuffles WIDE and let AQE
+    // coalesce small ones back down (the standard 2-3×-total-cores
+    // setup the class scaladoc describes). Opt-in via env so the
+    // local-floor benches keep their pinned-32 plans byte-identical.
+    val b = sys.env.get("SPARK_GRAFT_INITIAL_PARTITIONS").fold(b0)(n =>
+      b0.config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", n))
     val withMaster = master.fold(b)(m => b.master(m))
     val spark = withMaster.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -13,22 +13,29 @@ Method (documented in BASELINE.md "sf1 scale sweep"):
 - name-like unique text columns get a '#r<r>' suffix for r>0 so
   name-grouped results stay 10x, not merged;
 - documents: replica r>0 passes every token through a replica-specific
-  VOCABULARY ROTATION (a bijection on the corpus vocabulary). This
+  VOCABULARY PERMUTATION (a bijection on the corpus vocabulary). This
   preserves, per replica, the exact token-frequency shape, document
   lengths (up to token-length drift), boilerplate/near-dup planted
-  structure, and chunk repetition — while making cross-replica Jaccard
-  ~0, so the corpus dup-RATE stays constant as the corpus grows 10x
-  (replicating text verbatim would instead turn every doc into a
+  structure, and chunk repetition — while keeping cross-replica shingle
+  overlap ~0, so the corpus dup-RATE stays constant as the corpus grows
+  10x (replicating text verbatim would instead turn every doc into a
   10-way duplicate cluster and blow the pair count quadratically).
-  SATURATION CAVEAT (measured, round 12): only |vocab| distinct
-  rotations exist — this corpus's vocabulary is 31 tokens, so REP <= 31
-  (sf1) keeps the dup rate constant as designed, while REP=100 (sf10)
-  collapses to ~3.2 exact copies per document (31.0% distinct) and
-  REP=1000 (sf100) to ~32 (3.1% distinct). Larger-REP corpora are
-  therefore progressively duplicate-HEAVIER workloads — crawl-like, and
-  harder for the dedup operators, but not the constant-rate scaling the
-  paragraph above describes. Cross-engine comparisons stay exact either
-  way (both engines read the same files);
+  ROUND-13 FIX of the round-12 saturation caveat: the bijection used to
+  be a cyclic ROTATION, of which only |vocab| = 31 distinct ones exist,
+  so REP=100/1000 collapsed to 31.0%/3.1% distinct text (~3.2/~32
+  exact copies per doc) — a duplicate-saturated crawl, not the
+  constant-rate design. The bijection is now a deterministic RANDOM
+  PERMUTATION per replica (tokens sorted by md5(r, attempt, token);
+  the permutation tuple is collision-checked against all previous
+  replicas and the identity, bumping `attempt` on a hit), of which
+  31! >> REP exist. Residual cross-replica exact-text collisions are
+  possible only for docs with very few distinct tokens (a doc with k
+  distinct tokens collides between two replicas with probability
+  1/(31*30*...*(31-k+1))) — negligible at the corpus's doc lengths,
+  and pairwise-everywhere-distinct bijections beyond 31 replicas are
+  mathematically impossible (a Latin square has n rows), so
+  probabilistic distinctness is the correct construction. Cross-engine
+  comparisons stay exact either way (both engines read the same files);
 - embeddings: replica r>0 applies an ORTHOGONAL transform (component
   rotation by r + deterministic sign flips keyed on (r, i)). Within a
   replica all norms and pairwise cosines are exactly preserved (planted
@@ -79,26 +86,44 @@ def suffixed(col):
 TOKEN_SPLIT = re.compile(r"(\s+)")
 
 
+def vocab_permutation(vocab, r, seen):
+    """Deterministic random bijection on the vocabulary for replica r
+    (identity for r=0). `seen` holds the permutation tuples of earlier
+    replicas; a collision (or the identity, for r>0) deterministically
+    bumps the salt until the permutation is fresh — so every replica's
+    bijection is distinct even though fewer than REP pairwise-
+    everywhere-distinct bijections exist."""
+    if r == 0:
+        p = {t: t for t in vocab}
+        seen.add(tuple(vocab))
+        return p
+    attempt = 0
+    while True:
+        shuffled = sorted(
+            vocab,
+            key=lambda t: hashlib.md5(f"perm:{r}:{attempt}:{t}".encode()).digest())
+        key = tuple(shuffled)
+        if key not in seen:
+            seen.add(key)
+            return dict(zip(vocab, shuffled))
+        attempt += 1
+
+
 def write_documents(con, src, dst, rep, sd):
     rows = con.sql(
         f"SELECT doc_id, text, lang, source FROM "
         f"read_parquet('{src}/documents.parquet') ORDER BY doc_id").fetchall()
     vocab = sorted({t for _, text, _, _ in rows
                     for t in TOKEN_SPLIT.split(text)[::2] if t})
-    index = {t: i for i, t in enumerate(vocab)}
     n = len(vocab)
     import pandas as pd
     if n < 2 and rep > 1:
-        sys.exit("documents vocabulary too small to rotate — cannot scale "
+        sys.exit("documents vocabulary too small to permute — cannot scale "
                  "without creating cross-replica duplicates")
     recs = []
+    seen_perms = set()
     for r in range(rep):
-        off = (r * 7919) % n
-        if r > 0 and off == 0:
-            # a zero rotation would copy text verbatim and turn every doc
-            # into a cross-replica exact-duplicate cluster — the precise
-            # blowup this tool exists to avoid; nudge deterministically
-            off = (r % (n - 1)) + 1
+        perm = vocab_permutation(vocab, r, seen_perms)
         for doc_id, text, lang, source in rows:
             if r == 0:
                 new = text
@@ -106,7 +131,7 @@ def write_documents(con, src, dst, rep, sd):
                 parts = TOKEN_SPLIT.split(text)
                 for i in range(0, len(parts), 2):
                     if parts[i]:
-                        parts[i] = vocab[(index[parts[i]] + off) % n]
+                        parts[i] = perm[parts[i]]
                 new = "".join(parts)
             recs.append((doc_id + r * sd, new, lang, source, len(new)))
     df = pd.DataFrame.from_records(
@@ -148,8 +173,22 @@ def write_embeddings(con, src, dst, rep, sv):
 
 
 def main():
-    src, dst = sys.argv[1], sys.argv[2]
-    rep = int(sys.argv[3]) if len(sys.argv) > 3 else REP_DEFAULT
+    # --only=documents[,embeddings,...] regenerates a subset in place
+    # (round 13: refresh the doc corpora under the permutation fix
+    # without re-replicating the TPC-H tables)
+    only = None
+    pos = []
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = set(a.split("=", 1)[1].split(","))
+        else:
+            pos.append(a)
+    src, dst = pos[0], pos[1]
+    rep = int(pos[2]) if len(pos) > 2 else REP_DEFAULT
+
+    def want(t):
+        return only is None or t in only
+
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     con.sql("SET threads TO 16")
@@ -163,33 +202,45 @@ def main():
     sd = stride(con, src, "documents", "doc_id")
     sv = stride(con, src, "embeddings", "vec_id")
 
-    copy(con, src, dst, "region")
-    copy(con, src, dst, "nation")
-    replicate(con, src, dst, "customer",
-              f"c_custkey + r*{sc} AS c_custkey, {suffixed('c_name')}, "
-              "c_nationkey, c_acctbal, c_mktsegment", rep)
-    replicate(con, src, dst, "supplier",
-              f"s_suppkey + r*{ss} AS s_suppkey, {suffixed('s_name')}, "
-              "s_nationkey, s_acctbal", rep)
-    replicate(con, src, dst, "part",
-              f"p_partkey + r*{sp} AS p_partkey, {suffixed('p_name')}, "
-              "p_brand, p_type, p_size, p_retailprice", rep)
-    replicate(con, src, dst, "orders",
-              f"o_orderkey + r*{so} AS o_orderkey, o_custkey + r*{sc} AS o_custkey, "
-              "o_orderstatus, o_totalprice, o_orderdate, o_orderpriority", rep)
-    replicate(con, src, dst, "lineitem",
-              f"l_orderkey + r*{so} AS l_orderkey, l_partkey + r*{sp} AS l_partkey, "
-              f"l_suppkey + r*{ss} AS l_suppkey, l_linenumber, l_quantity, "
-              "l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, "
-              "l_shipdate", rep)
-    replicate(con, src, dst, "events",
-              f"event_id + r*{se} AS event_id, ts, user_id + r*{su} AS user_id, "
-              "event_type, value, props", rep)
-    write_documents(con, src, dst, rep, sd)
-    write_embeddings(con, src, dst, rep, sv)
+    if want("region"):
+        copy(con, src, dst, "region")
+    if want("nation"):
+        copy(con, src, dst, "nation")
+    if want("customer"):
+        replicate(con, src, dst, "customer",
+                  f"c_custkey + r*{sc} AS c_custkey, {suffixed('c_name')}, "
+                  "c_nationkey, c_acctbal, c_mktsegment", rep)
+    if want("supplier"):
+        replicate(con, src, dst, "supplier",
+                  f"s_suppkey + r*{ss} AS s_suppkey, {suffixed('s_name')}, "
+                  "s_nationkey, s_acctbal", rep)
+    if want("part"):
+        replicate(con, src, dst, "part",
+                  f"p_partkey + r*{sp} AS p_partkey, {suffixed('p_name')}, "
+                  "p_brand, p_type, p_size, p_retailprice", rep)
+    if want("orders"):
+        replicate(con, src, dst, "orders",
+                  f"o_orderkey + r*{so} AS o_orderkey, o_custkey + r*{sc} AS o_custkey, "
+                  "o_orderstatus, o_totalprice, o_orderdate, o_orderpriority", rep)
+    if want("lineitem"):
+        replicate(con, src, dst, "lineitem",
+                  f"l_orderkey + r*{so} AS l_orderkey, l_partkey + r*{sp} AS l_partkey, "
+                  f"l_suppkey + r*{ss} AS l_suppkey, l_linenumber, l_quantity, "
+                  "l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, "
+                  "l_shipdate", rep)
+    if want("events"):
+        replicate(con, src, dst, "events",
+                  f"event_id + r*{se} AS event_id, ts, user_id + r*{su} AS user_id, "
+                  "event_type, value, props", rep)
+    if want("documents"):
+        write_documents(con, src, dst, rep, sd)
+    if want("embeddings"):
+        write_embeddings(con, src, dst, rep, sv)
 
     for t in ["region", "nation", "customer", "supplier", "part",
               "orders", "lineitem", "events", "documents", "embeddings"]:
+        if not want(t):
+            continue
         n = con.sql(f"SELECT count(*) FROM read_parquet('{dst}/{t}.parquet')").fetchone()[0]
         print(f"{t}: {n}")
 
