@@ -75,8 +75,29 @@ object LegendLoader {
     } else walk(Paths.get(uri))
   }
 
-  def fromJsonStrings(jsons: Seq[String]): GraftModel =
-    jsons.map(j => parseEntity(mapper.readTree(j))).reduce(_ merge _)
+  /** Two-pass load (round 13): pass 1 parses every entity's STRUCTURE
+    * (classes without their lambda bodies, no services); pass 2 compiles
+    * constraint/derivation/service lambdas under a [[TypeCtx]] built from
+    * the fully-merged class set. Lambda translation itself is
+    * type-context-free — the split exists so the one lattice-dependent
+    * construct (`->subType(@T)`) can see every class, whatever order the
+    * entity files arrive in. Failures still surface at LOAD time. */
+  def fromJsonStrings(jsons: Seq[String]): GraftModel = {
+    val contents = jsons.map { j =>
+      val root = mapper.readTree(j)
+      val c = root.get("content")
+      require(c != null, "not a Legend entity: missing [content]")
+      c
+    }
+    val skeleton = contents.map(parseEntityContent).reduce(_ merge _)
+    contents.foldLeft(skeleton) { (m, c) =>
+      c.path("_type").asText() match {
+        case "class"   => attachClassBodies(m, c)
+        case "service" => attachService(m, c)
+        case _         => m
+      }
+    }
+  }
 
   /** One entity file → a (usually single-element) model fragment.
     * Unknown classifier paths (runtimes, connections, database DDL) are
@@ -84,11 +105,19 @@ object LegendLoader {
   def parseEntity(root: JsonNode): GraftModel = {
     val content = root.get("content")
     require(content != null, "not a Legend entity: missing [content]")
+    parseEntityContent(content)
+  }
+
+  /** Pass-1 structural parse: classes arrive WITHOUT constraints/
+    * derivations and services are skipped — both compile in pass 2
+    * ([[attachClassBodies]]/[[attachService]]) once the class lattice is
+    * complete. */
+  private def parseEntityContent(content: JsonNode): GraftModel = {
     content.path("_type").asText() match {
       case "class"       => GraftModel(Map(parseClass(content)), Map.empty, Map.empty, Map.empty)
       case "Enumeration" => GraftModel(Map.empty, Map(parseEnum(content)), Map.empty, Map.empty)
       case "mapping"     => GraftModel(Map.empty, Map.empty, parseMapping(content), Map.empty)
-      case "service"     => GraftModel(Map.empty, Map.empty, Map.empty, Map(parseService(content)))
+      case "service"     => GraftModel.empty
       case "association" => GraftModel.empty.copy(associations = Map(parseAssociation(content)))
       // a relational Database (store) entity: the model only needs its
       // named FK joins (association navigation) and each table's

@@ -224,19 +224,82 @@ object PureExpr {
 }
 
 /** Scalar-expression renderer: PURE AST → entity-space Spark SQL. */
+/** Static type context for the constructs whose ACCEPTANCE depends on the
+  * class lattice — round-13: `->subType(@T)`. Translation itself stays
+  * type-context-free (the rendered SQL never depends on types); the
+  * context only decides whether a narrowing is vacuous (upcast/same type
+  * → identity) or a strict downcast (→ reject: graft's flat single-class
+  * mappings carry no type-discriminator column to filter on, the same
+  * error the reference surfaces for a subtype with no inheritance
+  * mapping). Built from a loaded [[graft.model.GraftModel]] once the full
+  * class set exists; [[TypeCtx.empty]] types nothing, so every subType
+  * rejects — the safe default for context-free call sites. */
+final case class TypeCtx(
+    rootClass: Option[String],
+    superTypes: String => Seq[String],
+    propertyType: (String, String) => Option[String]) {
+  /** Transitive supertypes of `c` (not including `c`), cycle-guarded. */
+  def ancestors(c: String): Set[String] = {
+    val seen = scala.collection.mutable.Set[String]()
+    def walk(x: String): Unit = superTypes(x).foreach { s =>
+      if (seen.add(s)) walk(s)
+    }
+    walk(c); seen.toSet
+  }
+}
+
+object TypeCtx {
+  val empty: TypeCtx = TypeCtx(None, _ => Nil, (_, _) => None)
+
+  /** Context rooted at `root` over a loaded model: property types come
+    * from class declarations (inherited included) plus association
+    * navigations, mirroring how ServiceGen resolves property chains. */
+  def of(model: graft.model.GraftModel, root: String): TypeCtx = TypeCtx(
+    rootClass = Some(root),
+    superTypes = c => model.classes.get(c).map(_.superTypes).getOrElse(Nil),
+    propertyType = (c, p) =>
+      model.classes.get(c)
+        .flatMap(_ => model.allProperties(c).find(_.name == p).map(_.dataType))
+        .orElse(model.associations.values.view
+          .flatMap(_.navigation(c, p)).headOption.map(_.dataType)))
+}
+
 object PureToSql {
 
   import PureExpr._
+
+  /** Dynamically-scoped type context (thread-local): bound by the model
+    * loaders around lambda compilation, read only by the subType case. */
+  private val typeCtx = new scala.util.DynamicVariable[TypeCtx](TypeCtx.empty)
+  def withTypes[A](ctx: TypeCtx)(f: => A): A = typeCtx.withValue(ctx)(f)
+
+  /** Static type of a receiver expression, walked from the context's
+    * root class through declared/association property types. `None` for
+    * anything the lattice can't type — which makes subType reject. */
+  private def inferType(e: PureExpr, ctx: TypeCtx): Option[String] = e match {
+    case PVar("this") => ctx.rootClass
+    case PProperty(r, n) => inferType(r, ctx).flatMap(c => ctx.propertyType(c, n))
+    case PFunc("cast", Seq(_, PTypeRef(t))) => Some(t)
+    case PFunc("subType", Seq(_, PTypeRef(t))) => Some(t)
+    // HOF element variables and literals are out of scope: subType over
+    // them stays outside the subset until a receiver chain can type them
+    case _ => None
+  }
 
   /** Render `e` with the given lambda variables standing for "the row":
     * `$this.amount` / `$x.amount` → `amount`. */
   def scalar(e: PureExpr, rowVars: Set[String]): String = e match {
     case PLit(sql) => sql
     case PEnum(_, v) => quote(v)
-    // a cast under property access erases BEFORE the receiver renders:
-    // `$this->cast(@T).amount` must reach the `$this.amount` case, not
-    // try to render the bare row variable as a scalar
+    // a cast/vacuous-subType under property access erases BEFORE the
+    // receiver renders: `$this->cast(@T).amount` must reach the
+    // `$this.amount` case, not try to render the bare row variable as a
+    // scalar. subType re-enters funcImpl first so the lattice check
+    // still runs before erasure.
     case PProperty(PFunc("cast", Seq(r, _: PTypeRef)), name) =>
+      scalar(PProperty(r, name), rowVars)
+    case PProperty(sub @ PFunc("subType", Seq(r, _: PTypeRef)), name) =>
+      funcImpl("subType", sub.params, rowVars) // lattice check (throws on downcast)
       scalar(PProperty(r, name), rowVars)
     case PProperty(PVar(v), name) if rowVars(v) => name
     case PProperty(recv, name) => s"${scalar(recv, rowVars)}.$name"
@@ -248,7 +311,7 @@ object PureToSql {
       throw new IllegalArgumentException(s"element pointer [$p] is not a scalar expression")
     case PTypeRef(p) =>
       throw new IllegalArgumentException(
-        s"type reference [@$p] is only legal as the argument of cast()")
+        s"type reference [@$p] is only legal as the argument of cast()/subType()")
     case PFunc(f, ps) => func(f, ps, rowVars)
   }
 
@@ -296,6 +359,38 @@ object PureToSql {
         case _: PTypeRef => scalar(ps.head, rv)
         case other => throw new IllegalArgumentException(
           s"cast's second argument must be a type reference (@a::b::c), got $other")
+      }
+    // round-13 frontier widening (second half): `->subType(@T)` compiles
+    // where the class lattice proves the narrowing VACUOUS — T is the
+    // receiver's static type or an ancestor of it — rendering as the
+    // identity, exactly like cast. A strict downcast keeps rejecting:
+    // graft's mappings are flat single-class tables with no type
+    // discriminator column, so there is nothing to filter on (the
+    // reference errors identically when a subtype has no inheritance
+    // mapping). The lattice comes from the dynamically-scoped [[TypeCtx]]
+    // the loaders bind around compilation; with no context bound, every
+    // subType rejects (safe default).
+    case "subType" =>
+      require(ps.size == 2, s"subType(value, @Type) — got ${ps.size} args")
+      val target = ps(1) match {
+        case PTypeRef(p) => p
+        case other => throw new IllegalArgumentException(
+          s"subType's second argument must be a type reference (@a::b::c), got $other")
+      }
+      val ctx = typeCtx.value
+      inferType(ps.head, ctx) match {
+        case Some(r) if r == target || ctx.ancestors(r).contains(target) =>
+          scalar(ps.head, rv) // vacuous narrowing: every instance already is a T
+        case Some(r) if ctx.ancestors(target).contains(r) =>
+          throw new IllegalArgumentException(
+            s"subType(@$target) narrows [$r] to a STRICT subtype — flat " +
+              "single-class mappings have no type discriminator column to " +
+              "filter on; downcast narrowing is outside the subset")
+        case Some(r) => throw new IllegalArgumentException(
+          s"subType(@$target): receiver type [$r] is unrelated to the target")
+        case None => throw new IllegalArgumentException(
+          s"subType(@$target): receiver's static type is not inferable " +
+            "(subType needs a typed property chain from $this)")
       }
     // round-13 frontier widening: function application. The function
     // value must be a lambda LITERAL by this point — let-bound lambdas
