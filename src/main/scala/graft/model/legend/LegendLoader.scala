@@ -101,11 +101,64 @@ object LegendLoader {
 
   /** One entity file → a (usually single-element) model fragment.
     * Unknown classifier paths (runtimes, connections, database DDL) are
-    * skipped: they describe execution environments, not the model. */
+    * skipped: they describe execution environments, not the model.
+    * Runs both passes over the single entity, so a standalone class
+    * compiles its own constraints/derivations (the lattice is just the
+    * one class plus whatever its superTypes resolve to — nothing, here). */
   def parseEntity(root: JsonNode): GraftModel = {
     val content = root.get("content")
     require(content != null, "not a Legend entity: missing [content]")
-    parseEntityContent(content)
+    val skeleton = parseEntityContent(content)
+    content.path("_type").asText() match {
+      case "class"   => attachClassBodies(skeleton, content)
+      case "service" => attachService(skeleton, content)
+      case _         => skeleton
+    }
+  }
+
+  /** Pass 2a: compile a class entity's constraint + qualified-property
+    * lambdas under a [[TypeCtx]] rooted at the class, over the fully
+    * merged model — so `->subType(@T)` sees every class regardless of
+    * entity-file order — and attach them to the skeleton class. */
+  private def attachClassBodies(m: GraftModel, c: JsonNode): GraftModel = {
+    val name = fullPath(c)
+    PureToSql.withTypes(TypeCtx.of(m, name)) {
+      val constraints = elems(c, "constraints").map { k =>
+        val lam = PureExpr.parse(k.get("functionDefinition"))
+        GraftConstraint(k.get("name").asText(), PureToSql.lambda(lam),
+          pure = Some(PureRender.renderLambda(lam)))
+      }
+      // qualified properties ("derived properties"): zero-arg lambdas over
+      // $this → derivation expressions (reference: Legend.scala:254-263)
+      val derivations = elems(c, "qualifiedProperties").map { q =>
+        val body = elems(q, "body")
+        require(body.size == 1,
+          s"qualified property [${q.get("name").asText()}]: expected single-expression body")
+        val bodyExpr = PureExpr.parse(body.head)
+        GraftDerivation(q.get("name").asText(),
+          PureToSql.scalar(bodyExpr, Set("this")),
+          pure = Some(PureRender.render(bodyExpr)))
+      }
+      m.copy(classes = m.classes.updated(name,
+        m.classes(name).copy(constraints = constraints, derivations = derivations)))
+    }
+  }
+
+  /** Pass 2b: parse + compile a service entity over the fully merged
+    * model, binding the [[TypeCtx]] at the mapped entity (the service's
+    * mapping names it) so typed `$this` chains inside the execution
+    * lambda can prove a subType vacuous. A mapping graft can't resolve
+    * (not loaded, or keyed per-class) compiles context-free — subType
+    * then rejects, the safe default. */
+  private def attachService(m: GraftModel, c: JsonNode): GraftModel = {
+    val root = for {
+      exec <- Option(c.get("execution"))
+      mapping <- Option(exec.get("mapping")).map(_.asText())
+      gm <- m.mappings.get(mapping)
+    } yield gm.entity
+    val ctx = root.map(TypeCtx.of(m, _)).getOrElse(TypeCtx.empty)
+    val (path, svc) = PureToSql.withTypes(ctx)(parseService(c))
+    m.copy(services = m.services.updated(path, svc))
   }
 
   /** Pass-1 structural parse: classes arrive WITHOUT constraints/
@@ -155,28 +208,12 @@ object LegendLoader {
           .getOrElse(Multiplicity.One),
         doc = docTag(p))
     }
-    val constraints = elems(c, "constraints").map { k =>
-      val lam = PureExpr.parse(k.get("functionDefinition"))
-      GraftConstraint(k.get("name").asText(), PureToSql.lambda(lam),
-        pure = Some(PureRender.renderLambda(lam)))
-    }
-    // qualified properties ("derived properties"): zero-arg lambdas over
-    // $this → derivation expressions (reference: Legend.scala:254-263)
-    val derivations = elems(c, "qualifiedProperties").map { q =>
-      val body = elems(q, "body")
-      require(body.size == 1,
-        s"qualified property [${q.get("name").asText()}]: expected single-expression body")
-      val bodyExpr = PureExpr.parse(body.head)
-      GraftDerivation(q.get("name").asText(),
-        PureToSql.scalar(bodyExpr, Set("this")),
-        pure = Some(PureRender.render(bodyExpr)))
-    }
+    // constraints + qualified properties compile in pass 2
+    // ([[attachClassBodies]]), once — under the full-lattice TypeCtx
     name -> GraftClass(
       name = name,
       superTypes = elems(c, "superTypes").map(_.asText()),
       properties = props,
-      constraints = constraints,
-      derivations = derivations,
       doc = docTag(c))
   }
 

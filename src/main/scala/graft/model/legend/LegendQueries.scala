@@ -443,7 +443,74 @@ object LegendQueries {
     s.sql(sql)
   }
 
+  // --- M16b: `->subType(@T)` over a real class lattice (round 14) ---
+
+  /** Two-level lattice: bigOrder extends baseOrder; the subclass is the
+    * mapped entity. Entity files arrive SUBCLASS-FIRST on purpose — the
+    * two-pass loader must resolve the superType regardless of file
+    * order. The subclass carries a constraint whose lambda narrows
+    * `$this` through the lattice (compiled in pass 2 under the full
+    * TypeCtx), proving protocol-JSON constraints see the merged class
+    * set, not just their own file. */
+  private val subBaseClassJson =
+    s"""{"classifierPath":"meta::pure::metamodel::type::Class","content":{
+       |"_type":"class","name":"baseOrder","package":"sub::entity","superTypes":[],
+       |"properties":[
+       |  ${prop("orderId", "Integer", mult1)},
+       |  ${prop("price", "Float", mult1)}],
+       |"constraints":[],"qualifiedProperties":[]}}""".stripMargin
+
+  private val subOrderClassJson =
+    s"""{"classifierPath":"meta::pure::metamodel::type::Class","content":{
+       |"_type":"class","name":"bigOrder","package":"sub::entity",
+       |"superTypes":["sub::entity::baseOrder"],
+       |"properties":[${prop("status", "String", mult1)}],
+       |"constraints":[
+       |  {"name":"positive base price","functionDefinition":${lambda(
+            func("greaterThan",
+              s"""{"_type":"property","property":"price","parameters":[${func(
+                   "subType",
+                   pvar("this"),
+                   """{"_type":"genericTypeInstance","genericType":{"rawType":{"_type":"packageableType","fullPath":"sub::entity::baseOrder"}}}""")}]}""",
+              plit("float", "0.0")))}}],
+       |"qualifiedProperties":[]}}""".stripMargin
+
+  private def pms(field: String, column: String) =
+    s"""{"_type":"relationalPropertyMapping",
+       |"property":{"class":"sub::entity::bigOrder","property":"$field"},
+       |"relationalOperation":{"_type":"column","column":"$column","table":{"_type":"Table"}}}""".stripMargin
+
+  private val subMappingJson =
+    s"""{"classifierPath":"meta::pure::mapping::Mapping","content":{
+       |"_type":"mapping","name":"big_order_rel","package":"sub::mapping",
+       |"classMappings":[{"_type":"relational","class":"sub::entity::bigOrder",
+       |"mainTable":{"_type":"Table","schema":"default","table":"orders"},
+       |"propertyMappings":[${Seq(
+          pms("orderId", "o_orderkey"), pms("price", "o_totalprice"),
+          pms("status", "o_orderstatus")).mkString(",")}]}]}}""".stripMargin
+
+  lazy val subModel: GraftModel = LegendLoader.fromJsonStrings(
+    Seq(subOrderClassJson, subBaseClassJson, subMappingJson))
+
+  /** M16b gate: `->subType(@T)` on the text front end, over the loaded
+    * lattice. The narrowing to the superclass is provably vacuous, so
+    * the rendered SQL is the identity on the chain — the filter is a
+    * plain scan-pushable predicate, indistinguishable at plan level
+    * from one written without the subType (the same erasure the
+    * legend-engine performs for non-inheritance mappings). */
+  def m13LegendSubtype(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "orders").createOrReplaceTempView("orders")
+    val sql = PureParser.querySql(subModel,
+      "sub::entity::bigOrder.all()" +
+        "->filter(x|$x->subType(@sub::entity::baseOrder).price >= 100000)" +
+        "->groupBy([x|$x.status], " +
+        "[agg(x|$x.orderId, x|$x->count()), agg(x|$x.price, x|$x->max())], " +
+        "['status', 'n', 'max_price'])")
+    s.sql(sql)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m13_legend_subtype" -> (m13LegendSubtype _),
     "m7_legend_service" -> (m7LegendService _),
     "m8_legend_validate" -> (m8LegendValidate _),
     "m9_legend_join" -> (m9LegendJoin _),
@@ -454,6 +521,11 @@ object LegendQueries {
   /** Violated = NOT coalesce(rule, FALSE), as in the m2 oracle; DuckDB's
     * integer sum casts back to BIGINT for the gate's pandas hasher. */
   val oracles: Map[String, String] = Map(
+    "m13_legend_subtype" ->
+      """SELECT o_orderstatus AS status, count(o_orderkey) AS n,
+        |  max(o_totalprice) AS max_price
+        |FROM orders WHERE o_totalprice >= 100000
+        |GROUP BY o_orderstatus""".stripMargin,
     "m12_legend_bitemporal" ->
       """WITH orders_bt AS (
         |  SELECT o_orderkey, floor(o_totalprice/1000)*1000 AS o_price,

@@ -189,17 +189,25 @@ object PureExpr {
     * RECURSION rejects loudly (graft renders to non-recursive SQL
     * expressions; a recursive PURE function cannot terminate under
     * inlining), as does an arity mismatch. Variable capture is guarded
-    * by [[substVar]]'s existing rename-your-parameter contract. */
+    * by [[substVar]]'s existing rename-your-parameter contract.
+    *
+    * Bare-name resolution REFUSES names the translator itself claims
+    * ([[PureToSql.reservedNames]]): a registered function named e.g.
+    * `a::b::filter` must be called by its full path — otherwise every
+    * `->filter(...)` call site in the query would silently inline the
+    * user function instead of translating the relational verb. */
   def inlineUserFunctions(e: PureExpr, funcs: Map[String, PFunction],
                           stack: List[String] = Nil): PureExpr = {
     if (funcs.isEmpty) return e
     def resolve(name: String): Option[PFunction] =
       funcs.get(name).orElse {
-        val bySimple = funcs.values.filter(f =>
-          f.path == name || f.path.endsWith(s"::$name")).toSeq
-        if (bySimple.size > 1) throw new IllegalArgumentException(
-          s"ambiguous function call [$name]: matches ${bySimple.map(_.path).sorted.mkString(", ")}")
-        bySimple.headOption
+        if (PureToSql.reservedNames(name)) None else {
+          val bySimple = funcs.values.filter(f =>
+            f.path == name || f.path.endsWith(s"::$name")).toSeq
+          if (bySimple.size > 1) throw new IllegalArgumentException(
+            s"ambiguous function call [$name]: matches ${bySimple.map(_.path).sorted.mkString(", ")}")
+          bySimple.headOption
+        }
       }
     e match {
       case PFunc(name, args) if resolve(name).isDefined =>
@@ -268,6 +276,40 @@ object PureToSql {
 
   import PureExpr._
 
+  /** Every simple name the translator claims: [[funcImpl]]'s scalar
+    * builtins, the relational pipeline verbs and their helpers
+    * (LegendLoader.compilePipeline), and the aggregation-lambda
+    * spellings. [[PureExpr.inlineUserFunctions]] refuses to resolve a
+    * BARE call against a user function whose path merely ends in one of
+    * these — the full path is required — so user definitions can never
+    * shadow a builtin at unqualified call sites. Must track funcImpl's
+    * cases; ReservedNamesSpec cross-checks the list against the source. */
+  val reservedNames: Set[String] = Set(
+    // scalar builtins (funcImpl)
+    "cast", "subType", "eval", "and", "or", "not", "equal",
+    "greaterThan", "greaterThanEqual", "lessThan", "lessThanEqual",
+    "plus", "minus", "times", "divide", "abs", "floor", "round", "sqrt",
+    "exp", "ceiling", "rem", "mod", "max", "min", "sum", "average",
+    "mean", "fold", "isEmpty", "isNotEmpty", "in", "if", "startsWith",
+    "endsWith", "contains", "length", "toUpper", "toLower", "trim",
+    "ltrim", "rtrim", "reverseString", "replace", "lpad", "rpad",
+    "repeatString", "toUpperFirstCharacter", "isAlphaNumeric",
+    "isNoLongerThan", "isNoShorterThan", "left", "right", "indexOf",
+    "pow", "log", "joinStrings", "toString", "substring", "size",
+    "count", "at", "first", "last", "removeDuplicates", "slice", "take",
+    "limit", "drop", "concatenate", "isDistinct", "forAll", "exists",
+    "filter", "map", "matches", "parseInteger", "parseFloat",
+    "parseDecimal", "toOne", "today", "now", "quarterNumber",
+    "weekOfYear", "datePart", "parseDate", "firstDayOfMonth",
+    "firstDayOfYear", "adjust", "year", "monthNumber", "dayOfMonth",
+    "hour", "minute", "second", "dayOfWeekNumber", "dateDiff",
+    // relational pipeline verbs + helpers (compilePipeline)
+    "getAll", "all", "project", "groupBy", "sort", "asc", "desc", "agg",
+    "letFunction",
+    // aggregation-lambda spellings (compilePipeline.aggSql)
+    "distinct", "uniqueValueOnly", "stdDevSample", "stdDevPopulation",
+    "varianceSample", "variancePopulation")
+
   /** Dynamically-scoped type context (thread-local): bound by the model
     * loaders around lambda compilation, read only by the subType case. */
   private val typeCtx = new scala.util.DynamicVariable[TypeCtx](TypeCtx.empty)
@@ -275,14 +317,16 @@ object PureToSql {
 
   /** Static type of a receiver expression, walked from the context's
     * root class through declared/association property types. `None` for
-    * anything the lattice can't type — which makes subType reject. */
-  private def inferType(e: PureExpr, ctx: TypeCtx): Option[String] = e match {
-    case PVar("this") => ctx.rootClass
-    case PProperty(r, n) => inferType(r, ctx).flatMap(c => ctx.propertyType(c, n))
+    * anything the lattice can't type — which makes subType reject.
+    * Every variable in `rv` ranges over the ROOT entity's rows ($this in
+    * constraint lambdas, the pipeline lambda parameter in queries) —
+    * HOF element variables never reach here, [[bindElem]] renders them
+    * to PLit placeholders first — so rv-vars type as the root class. */
+  private def inferType(e: PureExpr, ctx: TypeCtx, rv: Set[String]): Option[String] = e match {
+    case PVar(v) if v == "this" || rv(v) => ctx.rootClass
+    case PProperty(r, n) => inferType(r, ctx, rv).flatMap(c => ctx.propertyType(c, n))
     case PFunc("cast", Seq(_, PTypeRef(t))) => Some(t)
     case PFunc("subType", Seq(_, PTypeRef(t))) => Some(t)
-    // HOF element variables and literals are out of scope: subType over
-    // them stays outside the subset until a receiver chain can type them
     case _ => None
   }
 
@@ -299,7 +343,7 @@ object PureToSql {
     case PProperty(PFunc("cast", Seq(r, _: PTypeRef)), name) =>
       scalar(PProperty(r, name), rowVars)
     case PProperty(sub @ PFunc("subType", Seq(r, _: PTypeRef)), name) =>
-      funcImpl("subType", sub.params, rowVars) // lattice check (throws on downcast)
+      checkSubType(sub.params, rowVars) // lattice check (throws on downcast)
       scalar(PProperty(r, name), rowVars)
     case PProperty(PVar(v), name) if rowVars(v) => name
     case PProperty(recv, name) => s"${scalar(recv, rowVars)}.$name"
@@ -313,6 +357,36 @@ object PureToSql {
       throw new IllegalArgumentException(
         s"type reference [@$p] is only legal as the argument of cast()/subType()")
     case PFunc(f, ps) => func(f, ps, rowVars)
+  }
+
+  /** The subType lattice check alone (no rendering): throws unless the
+    * narrowing is provably VACUOUS — target = receiver's static type or
+    * an ancestor of it. Called both by funcImpl's subType case (which
+    * then erases to the receiver) and by scalar's property-access case
+    * (which renders `PProperty(receiver, name)` directly, since the
+    * receiver may be a bare row variable that is not itself a scalar). */
+  private def checkSubType(ps: Seq[PureExpr], rv: Set[String]): Unit = {
+    require(ps.size == 2, s"subType(value, @Type) — got ${ps.size} args")
+    val target = ps(1) match {
+      case PTypeRef(p) => p
+      case other => throw new IllegalArgumentException(
+        s"subType's second argument must be a type reference (@a::b::c), got $other")
+    }
+    val ctx = typeCtx.value
+    inferType(ps.head, ctx, rv) match {
+      case Some(r) if r == target || ctx.ancestors(r).contains(target) =>
+        () // vacuous narrowing: every instance already is a T
+      case Some(r) if ctx.ancestors(target).contains(r) =>
+        throw new IllegalArgumentException(
+          s"subType(@$target) narrows [$r] to a STRICT subtype — flat " +
+            "single-class mappings have no type discriminator column to " +
+            "filter on; downcast narrowing is outside the subset")
+      case Some(r) => throw new IllegalArgumentException(
+        s"subType(@$target): receiver type [$r] is unrelated to the target")
+      case None => throw new IllegalArgumentException(
+        s"subType(@$target): receiver's static type is not inferable " +
+          "(subType needs a typed property chain from $this)")
+    }
   }
 
   private def bin(op: String, ps: Seq[PureExpr], rv: Set[String]): String = {
@@ -371,27 +445,8 @@ object PureToSql {
     // the loaders bind around compilation; with no context bound, every
     // subType rejects (safe default).
     case "subType" =>
-      require(ps.size == 2, s"subType(value, @Type) — got ${ps.size} args")
-      val target = ps(1) match {
-        case PTypeRef(p) => p
-        case other => throw new IllegalArgumentException(
-          s"subType's second argument must be a type reference (@a::b::c), got $other")
-      }
-      val ctx = typeCtx.value
-      inferType(ps.head, ctx) match {
-        case Some(r) if r == target || ctx.ancestors(r).contains(target) =>
-          scalar(ps.head, rv) // vacuous narrowing: every instance already is a T
-        case Some(r) if ctx.ancestors(target).contains(r) =>
-          throw new IllegalArgumentException(
-            s"subType(@$target) narrows [$r] to a STRICT subtype — flat " +
-              "single-class mappings have no type discriminator column to " +
-              "filter on; downcast narrowing is outside the subset")
-        case Some(r) => throw new IllegalArgumentException(
-          s"subType(@$target): receiver type [$r] is unrelated to the target")
-        case None => throw new IllegalArgumentException(
-          s"subType(@$target): receiver's static type is not inferable " +
-            "(subType needs a typed property chain from $this)")
-      }
+      checkSubType(ps, rv)
+      scalar(ps.head, rv) // vacuous narrowing proved: erase to the receiver
     // round-13 frontier widening: function application. The function
     // value must be a lambda LITERAL by this point — let-bound lambdas
     // arrive here already inlined by desugarLets, and user-defined

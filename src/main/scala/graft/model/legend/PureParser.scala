@@ -132,8 +132,12 @@ object PureParser {
     require(candidates.nonEmpty, s"no mapping maps entity [$entity]")
     require(candidates.size == 1,
       s"ambiguous entity [$entity]: mapped by ${candidates.map(_.name).sorted.mkString(", ")}")
-    val svc = LegendLoader.compilePipeline(name, candidates.head.name, body,
-      doc = Some(text))
+    // compile under a type context rooted at the queried entity, so
+    // `->subType(@T)` on typed $this/$x chains can prove itself vacuous
+    val svc = PureToSql.withTypes(TypeCtx.of(model, entity)) {
+      LegendLoader.compilePipeline(name, candidates.head.name, body,
+        doc = Some(text))
+    }
     if (svc.select.nonEmpty) svc
     else { // bare filter: project every mapped field of the entity
       val fields = model.allProperties(entity).collect {

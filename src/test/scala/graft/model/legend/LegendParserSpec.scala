@@ -696,6 +696,77 @@ class LegendParserSpec extends SparkTestBase {
     assert(q.isFailure && q.failed.get.getMessage.contains("query expression"), q.toString)
   }
 
+  test("r14 widening: subType(@Ancestor) on a typed chain compiles to identity") {
+    // the two-level lattice corpus (LegendQueries.subModel): bigOrder
+    // extends baseOrder, entity files loaded SUBCLASS-FIRST — the
+    // two-pass loader must still resolve the superType
+    val sm = LegendQueries.subModel
+    // vacuous narrowing to the ANCESTOR erases — the rendered predicate
+    // is identical to one written without the subType
+    val sql = PureParser.querySql(sm,
+      "sub::entity::bigOrder.all()" +
+        "->filter(x|$x->subType(@sub::entity::baseOrder).price >= 100000)" +
+        "->project([x|$x.orderId], ['id'])")
+    assert(sql.contains("o_totalprice >= 100000"), sql)
+    assert(!sql.toLowerCase.contains("subtype"), sql)
+    // narrowing to the receiver's OWN type is equally vacuous
+    val same = PureParser.querySql(sm,
+      "sub::entity::bigOrder.all()" +
+        "->filter(x|$x->subType(@sub::entity::bigOrder).price >= 100000)" +
+        "->project([x|$x.orderId], ['id'])")
+    assert(same.contains("o_totalprice >= 100000"), same)
+    // pass 2 compiled the subclass constraint (a $this subType chain)
+    // under the full lattice — at LOAD time, through the protocol path
+    val k = sm.clazz("sub::entity::bigOrder").constraints
+    assert(k.map(_.name) == Seq("positive base price"), k)
+    assert(k.head.expr == "(price > 0.0)", k.head.expr)
+    // a class-typed property chain types through association navigation:
+    // $this.customer is gate::entity::customer, narrowing to itself
+    // erases — rendered identically to the chain without the subType
+    val navCtx = TypeCtx.of(LegendQueries.model, "gate::entity::order")
+    val nav = PureToSql.withTypes(navCtx) {
+      PureToSql.lambda(PureParser.parse(
+        "$this.customer->subType(@gate::entity::customer).segment == 'BUILDING'"))
+    }
+    assert(nav == "(customer.segment = 'BUILDING')", nav)
+    // a STRICT downcast keeps rejecting — no discriminator column exists
+    val down = scala.util.Try(PureParser.querySql(sm,
+      "sub::entity::bigOrder.all()" +
+        "->filter(x|$x->subType(@sub::entity::bigOrder)" +
+        "->cast(@sub::entity::baseOrder)->subType(@sub::entity::bigOrder).price > 0)" +
+        "->project([x|$x.orderId], ['id'])"))
+    assert(down.isFailure &&
+      down.failed.get.getMessage.contains("STRICT"), down.toString)
+    // an UNRELATED target rejects with its own message
+    val unrel = scala.util.Try(PureToSql.withTypes(navCtx) {
+      PureToSql.lambda(PureParser.parse(
+        "$this->subType(@gate::entity::customer).price > 0"))
+    })
+    assert(unrel.isFailure &&
+      unrel.failed.get.getMessage.contains("unrelated"), unrel.toString)
+  }
+
+  test("r14: reserved names never resolve as bare user-function calls") {
+    // a user function whose path ENDS in a builtin/verb name must not
+    // hijack unqualified call sites — full path still inlines
+    val (fns, _) = PureParser.parseScript(
+      "function a::b::filter(x: Integer[1]): Integer[1] { $x * 3 }")
+    // bare ->filter(...) stays the relational verb
+    val sql = PureParser.querySql(model,
+      s"$Employee->getAll()->filter(x|$$x.highFives > 20)", functions = fns)
+    assert(sql.contains("high_fives > 20"), sql)
+    // the full path inlines the user function
+    val inlined = PureExpr.inlineUserFunctions(
+      PureParser.parse("a::b::filter($this.qty)"), fns)
+    assert(PureToSql.lambda(inlined) == "(qty * 3)")
+    // and a bare call of a non-colliding name still resolves (the r13
+    // convenience is preserved)
+    val (ok, _) = PureParser.parseScript(
+      "function a::b::treble(x: Integer[1]): Integer[1] { $x * 3 }")
+    assert(PureToSql.lambda(PureExpr.inlineUserFunctions(
+      PureParser.parse("treble($this.qty)"), ok)) == "(qty * 3)")
+  }
+
   test("rejection frontier: the documented still-unsupported constructs fail loudly") {
     // The round-11 frontier survey (every corpus lambda + every
     // reference test string parses clean — proven above and in
@@ -709,14 +780,18 @@ class LegendParserSpec extends SparkTestBase {
     // round 12 (late): explicit ->fold also left the frontier (the
     // aggregate()-HOF rendering, tested above)
     // round 13: user-defined functions, eval over lambda VALUES, and
-    // cast(@T) all left the frontier (the r13 tests above). What
-    // remains outside: eval of a function arriving by bare REFERENCE
-    // (no lambda to inline) and ->subType(@T), whose row-filtering
-    // semantics genuinely need a type discriminator column that flat
+    // cast(@T) all left the frontier (the r13 tests above)
+    // round 14: ->subType(@T) left the frontier for PROVABLY-VACUOUS
+    // narrowings (target = receiver's static type or an ancestor,
+    // decided by the TypeCtx the loaders bind — the r14 test above).
+    // What remains outside: eval of a function arriving by bare
+    // REFERENCE (no lambda to inline), subType on a chain the lattice
+    // can't type, and STRICT downcasts — those have row-filtering
+    // semantics that genuinely need a type discriminator column flat
     // single-class mappings don't have
     val stillRejected = Seq(
       "meta::pure::functions::lang::eval(f, 1)",      // function POINTER by reference
-      "$this.sme->subType(@SomeClass)")               // subtype narrowing
+      "$this.sme->subType(@SomeClass)")               // untypeable chain / no context
     for (s <- stillRejected) {
       val r = scala.util.Try {
         val ast = PureParser.parse(s)
