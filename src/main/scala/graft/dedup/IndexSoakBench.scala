@@ -1,0 +1,94 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.{GraftSession, Tables}
+
+/** Index lifecycle under churn (round 14): N append/probe/compact
+  * cycles on the persisted dedup index, bucket health tracked per
+  * cycle. [[IndexProbeBench]] showed probe cost flat in INDEX SIZE for
+  * a one-shot build; this soak shows the production loop — probe a new
+  * batch, drop its duplicates, append the survivors, compact when the
+  * health metric trips — keeps probe latency flat across cycles while
+  * the index absorbs the whole corpus, and that compact() actually
+  * clears the cross-append over-cap debt it claims to.
+  *
+  * Protocol: documents split by id-hash into a 50% base and `Cycles`
+  * equal batches. Build on base; per cycle: time probe(batch), drop
+  * flagged duplicates, append survivors, record bucketSizes stats
+  * (max, p99, over-cap count), compact when [[DedupIndex.needsCompaction]]
+  * fires (timed separately — never inside the probe measurement).
+  *
+  * Usage: IndexSoakBench <sfDir> [cycles=6]; GRAFT_BENCH_RUNS probes
+  * per cycle (default 3, median reported).
+  */
+object IndexSoakBench {
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("scale_sf1")
+    val cycles = if (args.length > 1) args(1).toInt else 6
+    val runs = sys.env.get("GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3)
+    val spark = GraftSession.local("graft-index-soak-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    import DedupQueries._
+
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    // deterministic disjoint slices: slots [0, cycles) = base (50%),
+    // slot cycles+i = batch i (each 1/(2*cycles) of the corpus)
+    val slots = 2 * cycles
+    val sliced = docs.withColumn("graft_slot",
+      graft.ops.Sampling.hashBucket(col("doc_id"), slots)).cache()
+    val base = sliced.filter(col("graft_slot") < cycles).drop("graft_slot")
+    def batch(i: Int) = sliced
+      .filter(col("graft_slot") === cycles + i)
+      .drop("graft_slot").cache()
+
+    val tBuild0 = System.nanoTime()
+    val idx = DedupIndex.build(base, "doc_id", "text", "graft_soak_index",
+      IndexBuckets, ShingleK, NumHashes, NumBands, MaxBucket)
+    val buildSec = (System.nanoTime() - tBuild0) / 1e9
+    val baseN = base.count()
+    println(s"""{"bench":"index_soak","sf_dir":"$dir","base_docs":$baseN,"cycles":$cycles,"runs":$runs,"build_sec":${graft.Fmt.dec(buildSec, 2)}}""")
+
+    for (i <- 0 until cycles) {
+      val b = batch(i)
+      val nB = b.count()
+      // probe latency: median of `runs` timed probes (count() forces)
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        DedupIndex.probe(idx, b, "doc_id", "text", IndexThreshold).count()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      val dups = DedupIndex.probe(idx, b, "doc_id", "text", IndexThreshold)
+        .select(col("batch_id")).distinct()
+      val survivors = b.join(dups, b("doc_id") === dups("batch_id"), "left_anti")
+      val nDup = nB - survivors.count()
+      val tApp0 = System.nanoTime()
+      DedupIndex.append(idx, survivors, "doc_id", "text", MaxBucket)
+      val appendSec = (System.nanoTime() - tApp0) / 1e9
+      // bucket health AFTER the append (what the next probe will see)
+      val health = DedupIndex.bucketSizes(idx)
+        .agg(max(col("n_rows")).as("mx"),
+          expr("approx_percentile(n_rows, 0.99)").as("p99"),
+          sum(when(col("n_rows") > MaxBucket, 1L).otherwise(0L)).as("over"),
+          count(lit(1)).as("buckets"), sum(col("n_rows")).as("rows"))
+        .collect()(0)
+      val tripped = DedupIndex.needsCompaction(idx, MaxBucket)
+      val compactSec = if (tripped) {
+        val t0 = System.nanoTime()
+        DedupIndex.compact(idx, MaxBucket)
+        (System.nanoTime() - t0) / 1e9
+      } else 0.0
+      println(s"""{"cycle":${i + 1},"batch_docs":$nB,"dup_docs":$nDup,""" +
+        s""""probe_median_sec":${graft.Fmt.dec(times(times.size / 2), 3)},""" +
+        s""""probe_all":[${times.map(graft.Fmt.dec(_, 3)).mkString(",")}],""" +
+        s""""append_sec":${graft.Fmt.dec(appendSec, 2)},""" +
+        s""""index_rows":${health.getLong(4)},"band_buckets":${health.getLong(3)},""" +
+        s""""max_bucket":${health.getLong(0)},"p99_bucket":${health.get(1)},""" +
+        s""""over_cap_buckets":${health.getLong(2)},""" +
+        s""""compacted":$tripped,"compact_sec":${graft.Fmt.dec(compactSec, 2)}}""")
+      b.unpersist()
+    }
+    spark.stop()
+  }
+}

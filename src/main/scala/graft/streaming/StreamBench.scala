@@ -161,6 +161,40 @@ object StreamBench {
         .writeStream.format("noop").outputMode("update"), s"$work/cp_st14b")
     }
 
+    // ST15: cohort retention deltas — same replay, lifetime-cohort state
+    bench("st15_retention") { () =>
+      runToEnd(Streaming.retentionStream(dauDs())
+        .writeStream.format("noop").outputMode("update"), s"$work/cp_st15")
+    }
+
+    // ---- ST8: governed ingest — the reference's core contract, run
+    // continuously. Validation is the codegen'd batch Validator; every
+    // micro-batch lands TWICE (clean + quarantine), each an idempotent
+    // dynamic-partition overwrite — so the measured cost includes the
+    // full exactly-once durable-write tax, unlike the noop-sink ops.
+    Seq("sb_st8_clean", "sb_st8_quarantine").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+    val ingestRules = Seq(
+      "[user_id] is mandatory" -> "user_id IS NOT NULL",
+      "[ts] is mandatory" -> "ts IS NOT NULL",
+      "known event type" ->
+        "event_type IN ('click','view','signup','purchase','error')",
+      "value in range" -> "value IS NULL OR value >= 0.0")
+    val evFullDir = s"$work/events_full_stream"
+    stageSlices(graft.Tables(spark, dir, "events"), "ts", evFullDir, chunks)
+    val evFullSchema = spark.read.parquet(evFullDir).schema
+    bench("st8_governed_ingest") { () =>
+      val stream = spark.readStream.schema(evFullSchema)
+        .option("maxFilesPerTrigger", "1").parquet(evFullDir)
+      runToEnd(Streaming.governedIngest(stream, ingestRules,
+        "sb_st8_clean", "sb_st8_quarantine"), s"$work/cp_st8")
+    }
+
     // ---- ST16: documents replay against the persisted index ----
     import graft.dedup.{DedupIndex, DedupQueries}
     // a previous bench run's sinks would otherwise absorb this run's
