@@ -528,7 +528,13 @@ object Relational {
     * plain count IS the distinct-user count, no count(DISTINCT) state.
     * Offsets are exact: both engines Monday-truncate weeks, so the day
     * difference is always divisible by 7. */
-  def q32Retention(s: SparkSession, dir: String): DataFrame = {
+  def q32Retention(s: SparkSession, dir: String): DataFrame =
+    retention(t(s, dir, "events"))
+
+  /** Core of R32, on any (user_id, ts) relation — factored out (r14)
+    * so the events-layout probe can drive flat vs user-bucketed scans
+    * through the identical pipeline. */
+  def retention(events: DataFrame): DataFrame = {
     // distinct() BEFORE collect_set (r12, re-learned at sf100): the
     // set aggregate is ObjectHashAggregate and SORT-falls-back past 128
     // groups/task, so it must be fed the deduped (user, week) pair set
@@ -536,7 +542,7 @@ object Relational {
     // distinct looked like a win at sf10 (2.63 → 1.27 s, the sort still
     // fit) and went ×16.5 superlinear at sf100 when the full-fact sort
     // spilled. cohort = array_min of the set — no second row aggregate.
-    val perUser = t(s, dir, "events")
+    val perUser = events
       .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("week"))
       .distinct()
       .groupBy(col("user_id"))

@@ -3,11 +3,11 @@
 # Varies SPARK_GRAFT_SHUFFLE_PARTITIONS (and one AQE initial-partitions
 # config) over q31/q32 at sf10, then probes the four perf-weak queries at
 # sf100 with the winning vs pinned geometry. Appends labeled JSON lines to
-# bench_sweeps_r13/geom_sweep.jsonl. Run ALONE (quiet machine).
+# bench_sweeps_r14/geom_sweep.jsonl. Run ALONE (quiet machine).
 set -u
 cd /root/repo
-OUT=bench_sweeps_r13/geom_sweep.jsonl
-mkdir -p bench_sweeps_r13
+OUT=bench_sweeps_r14/geom_sweep.jsonl
+mkdir -p bench_sweeps_r14
 
 run_cfg() {  # label, sfdir, queries, runs, extra env as K=V pairs...
   local label="$1" sfdir="$2" queries="$3" runs="$4"; shift 4
