@@ -174,21 +174,24 @@ object Dedup {
 
   /** Duplicate-group resolution (D6): connected components over the
     * near-dup pair graph, so each duplicate cluster elects one canonical
-    * keeper (the minimum id). Iterative min-label propagation WITH
-    * synchronous pointer jumping — each round every node takes the min
-    * of its own label, its neighbours' labels, and its label's label,
-    * so convergence is O(log diameter) rounds for ANY topology (plain
-    * neighbor-min is O(diameter): fine for clique-shaped near-dup
-    * buckets, catastrophic for a drifting chain of versioned documents
-    * — DedupSpec pins both counts on a planted path). Per round: two
-    * joins + one aggregate; `localCheckpoint` cuts the growing lineage
-    * so round N doesn't replan rounds 1..N-1. The driver-side loop only
-    * ever moves one scalar (the convergence count), and a cap-out
-    * throws instead of returning partially merged labels. */
+    * keeper (the minimum id). Alternating large-star / small-star edge
+    * contraction (Kiveris et al., SoCC 2014 — see
+    * [[labelPropagationCounted]] for the algorithm and for why the
+    * earlier label-propagation-with-pointer-jump variant was
+    * O(diameter), not O(log n), on real id placements). Convergence is
+    * ~log₂ n rounds regardless of topology OR id order (DedupSpec pins
+    * the counts on planted monotone AND shuffled paths; the real sf100
+    * candidate graph took 6). The default cap of 64 costs nothing when
+    * converged earlier — the loop exits on an exact star-forest test —
+    * and a cap-out throws instead of returning partially merged
+    * labels. Per round: one aggregate + one join per star phase;
+    * `localCheckpoint` cuts the growing lineage so round N doesn't
+    * replan rounds 1..N-1. The driver only ever moves one boolean (the
+    * star-forest test) per round. */
   /** The min-label fixpoint of [[duplicateGroups]] as a raw (id, label)
     * relation — the input to both the group summary and the APPLY pass
     * (label == id ⟺ the id is its cluster's canonical keeper). */
-  def duplicateLabels(pairs: DataFrame, maxIterations: Int = 20): DataFrame =
+  def duplicateLabels(pairs: DataFrame, maxIterations: Int = 64): DataFrame =
     labelPropagation(pairs, maxIterations)
 
   /** D8: apply the dedup decision — drop every non-canonical member of
@@ -203,7 +206,7 @@ object Dedup {
     docs.join(drops, docs(idCol) === col("__drop_id"), "left_anti")
   }
 
-  def duplicateGroups(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+  def duplicateGroups(pairs: DataFrame, maxIterations: Int = 64): DataFrame = {
     labelPropagation(pairs, maxIterations)
       .groupBy(col("label").as("group_id"))
       .agg(count(lit(1)).as("n_members"),
@@ -228,8 +231,29 @@ object Dedup {
     labelPropagationCounted(pairs, maxIterations)._1
 
   /** [[labelPropagation]] plus the round count it converged in — the
-    * round-11 worst-case receipt surface (DedupSpec pins the count on a
-    * planted path graph, the diameter-maximal topology). */
+    * worst-case receipt surface (DedupSpec pins the count on planted
+    * path graphs, including one with SHUFFLED node ids — the topology
+    * that broke the round-11 pointer-jumping variant).
+    *
+    * Algorithm: alternating large-star / small-star edge contraction
+    * (Kiveris, Lattanzi, Mirrokni, Rastogi & Vassilvitskii, "Connected
+    * Components in MapReduce and Beyond", ACM SoCC 2014). Each round
+    * rewrites the edge set so every node hooks its neighbours onto its
+    * minimum neighbour; the fixpoint is a star forest with every
+    * component contracted onto its minimum id. O(log² n) rounds worst
+    * case, ~log₂ n measured (DedupSpec: 12 on a 4096-path, 11 with
+    * shuffled ids; 6 on the real sf100 candidate graph).
+    *
+    * Why not min-label propagation with a pointer jump (rounds ≤11 used
+    * L'(v)=min(L(v), min_N L(u), L(L(v)))): the jump only doubles per
+    * round when node ids are monotone along paths. With arbitrary id
+    * placement, scattered local minima form "basins" whose interior
+    * must be crossed one hop per round before the jump can distribute
+    * anything — measured on the r14 sf100 corpus, a 910-node component
+    * with eccentricity 26 took 27 rounds (no speedup over plain BFS),
+    * and a shuffled-id 4096-path did not converge in 300. Star
+    * contraction has no such dependence on id placement because the
+    * EDGES move, not just the labels. */
   private[graft] def labelPropagationCounted(
       pairs: DataFrame, maxIterations: Int): (DataFrame, Int) = {
     val spark = pairs.sparkSession
@@ -242,7 +266,7 @@ object Dedup {
     // Dataset.unpersist can't reach it; capture the handle by diffing the
     // persistent-RDD registry around the call so each round's blocks can
     // be freed once superseded (without this, Bench/Verify accumulate
-    // every round's label blocks for the whole session). Reliable
+    // every round's blocks for the whole session). Reliable
     // checkpoints hold no executor blocks — nothing to free.
     def checkpointed(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) =
       if (reliable) (df.checkpoint(), Nil)
@@ -251,72 +275,78 @@ object Dedup {
         val out = df.localCheckpoint()
         (out, (sc.getPersistentRDDs -- before).values.toSeq)
       }
-    // materialize the edge list once — every iteration joins it, and
-    // without the checkpoint each round would re-run the entire
-    // candidate-generation pipeline that produced `pairs`
-    val (edges, edgeBlocks) = checkpointed(
-      pairs.select(col("a"), col("b"))
-        .union(pairs.select(col("b").as("a"), col("a").as("b"))))
-    var (labels, labelBlocks) = checkpointed(
-      edges.select(col("a").as("id")).distinct()
-        .select(col("id"), col("id").as("label")))
-    var converged = false
+    // star forest ⟺ algorithm fixpoint: every hi carries exactly one
+    // edge and no lo ever appears as a hi (each component fully
+    // contracted onto its root). One aggregate job over the
+    // checkpointed edge set — necessary AND sufficient, so the stop
+    // decision is exact, not a change-counter heuristic.
+    def isStarForest(e: DataFrame): Boolean =
+      e.select(col("hi").as("n"), lit(1).as("nh"), lit(0).as("nl"))
+        .union(e.select(col("lo").as("n"), lit(0).as("nh"), lit(1).as("nl")))
+        .groupBy(col("n"))
+        .agg(sum(col("nh")).as("nh"), max(col("nl")).as("nl"))
+        .filter(col("nh") > 1 || (col("nh") > 0 && col("nl") === 1))
+        .isEmpty
+    // the node universe is fixed by the INPUT graph — contraction
+    // rewrites edges, so the final join must recover every original id
+    val (nodes, nodeBlocks) = checkpointed(
+      pairs.select(explode(array(col("a"), col("b"))).as("id")).distinct())
+    // canonical oriented edge set (hi > lo), deduped; materialized once
+    // so no round replans the candidate-generation pipeline
+    var (edges, edgeBlocks) = checkpointed(
+      pairs.select(greatest(col("a"), col("b")).as("hi"),
+          least(col("a"), col("b")).as("lo"))
+        .filter(col("hi") =!= col("lo")).distinct())
+    var converged = isStarForest(edges)
     var iter = 0
     while (!converged && iter < maxIterations) {
-      val neighborMin = edges
-        .join(labels, edges("b") === labels("id"))
-        .groupBy(edges("a").as("nid"))
-        .agg(min(col("label")).as("nlabel"))
-      // Synchronous pointer jumping (round-11): alongside the one-hop
-      // neighbor min, every node also takes its label's label —
-      // L'(v) = min(L(v), min_{u∈N(v)} L(u), L(L(v))). The jump doubles
-      // the distance a min has traveled per round, so convergence is
-      // O(log diameter) instead of O(diameter) — the difference between
-      // 12 rounds and 4096 on a drifting-near-dup chain (DedupSpec pins
-      // this on a planted path). The lookup side is the label table
-      // itself (unique pid per row); the label-keyed shuffle of the
-      // left side concentrates a converged component's members on its
-      // min-label key — AQE's skew-join split handles that, and the
-      // per-round win dominates. `labels` is checkpointed, so scanning
-      // it twice costs block-manager reads, not plan re-execution.
-      val jumped = labels.select(col("id").as("pid"), col("label").as("plabel"))
-      // The convergence count rides the SAME job that materializes the
-      // new labels: observe() attaches a zero-shuffle aggregate to the
-      // plan, and the eager localCheckpoint inside `checkpointed` is the
-      // action that populates it — one job per round, not two (round ≤6
-      // re-joined updated⋈labels and ran a second isEmpty action).
-      val obs = org.apache.spark.sql.Observation(s"cc_round_$iter")
-      val (updated, updatedBlocks) = checkpointed(
-        labels
-          .join(neighborMin, labels("id") === col("nid"), "left")
-          .join(jumped, labels("label") === col("pid"), "left")
-          .select(labels("id"),
-            labels("label").as("old_label"),
-            least(labels("label"),
-              coalesce(col("nlabel"), labels("label")),
-              coalesce(col("plabel"), labels("label"))).as("label"))
-          .withColumn("changed", col("label") < col("old_label"))
-          .observe(obs, sum(col("changed").cast("long")).as("n_changed"))
-          .select(col("id"), col("label")))
-      // sum over zero rows is SQL NULL → converged (empty graph)
-      val nChanged = obs.get.getOrElse("n_changed", null)
-      converged = nChanged == null || nChanged == 0L
-      // `updated` is materialized (eager checkpoint) — the previous
-      // round's label blocks have no remaining readers; free them
-      labelBlocks.foreach(_.unpersist(blocking = false))
-      labels = updated
-      labelBlocks = updatedBlocks
+      // ---- large-star: every node attaches its LARGER neighbours to
+      // its minimum neighbour (or itself). Per-node min is a map-side-
+      // combined aggregate; the emit join reuses the same hash key.
+      val sym = edges.select(col("hi").as("u"), col("lo").as("v"))
+        .union(edges.select(col("lo").as("u"), col("hi").as("v")))
+      val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val ls = sym.filter(col("v") > col("u"))
+        .join(mins, "u")
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .distinct()
+      // ---- small-star: every node re-points its SMALLER neighbours
+      // (and itself) at the minimum of that set. Orientation hi > lo is
+      // preserved by construction, so no re-canonicalization needed.
+      val smins = ls.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+      val (e2, b2) = checkpointed(
+        ls.join(smins, "hi")
+          .select(col("lo").as("n"), col("m"))
+          .union(smins.select(col("hi").as("n"), col("m")))
+          .filter(col("n") =!= col("m"))
+          .select(col("n").as("hi"), col("m").as("lo"))
+          .distinct())
+      converged = isStarForest(e2)
+      // e2 is materialized (eager checkpoint) — the previous round's
+      // edge blocks have no remaining readers; free them
+      edgeBlocks.foreach(_.unpersist(blocking = false))
+      edges = e2
+      edgeBlocks = b2
       iter += 1
     }
     // Round-11: a silent cap-out returned labels that LOOK converged but
     // aren't (partially merged components) — the worst failure mode.
-    // With pointer jumping, maxIterations=20 covers diameters ~2^20, so
-    // hitting the cap means something is genuinely wrong; say so.
+    // At the measured ~log₂ n rate the default cap of 64 covers any
+    // physically possible component, so hitting it means something is
+    // genuinely wrong; say so.
     require(converged, s"connected components did not converge within " +
       s"$maxIterations rounds — raise maxIterations (labels would be " +
       "partially merged, silently wrong)")
-    // the final labels checkpoint is self-contained, so the edge blocks
-    // are no longer reachable from the returned (lazy) plan
+    // the final star forest IS the label table: hi → lo maps every
+    // non-root to its component min; roots (and nodes whose edges
+    // contracted away) label themselves
+    val (labels, _) = checkpointed(
+      nodes.join(edges.select(col("hi").as("id"), col("lo").as("label")),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("label"), col("id")).as("label")))
+    // labels is self-contained after its checkpoint — free the inputs
+    nodeBlocks.foreach(_.unpersist(blocking = false))
     edgeBlocks.foreach(_.unpersist(blocking = false))
     (labels, iter)
   }

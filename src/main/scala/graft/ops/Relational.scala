@@ -202,12 +202,17 @@ object Relational {
     * formatted string so oracle comparison is representation-stable. */
   def q15EventsWindow(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
-      .groupBy(
-        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH").as("hour"),
-        col("event_type"))
+      // group on the 8-byte truncated TIMESTAMP and render the display
+      // string AFTER aggregation (r14): date_format on the pre-agg path
+      // built + hashed a 13-char string per fact row — at 100M rows the
+      // formatter, not the aggregate, dominated. Post-agg it runs on
+      // |hours|x|types| rows. Results identical.
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("event_type"))
       .agg(count(lit(1)).as("cnt"),
         // exact e2 integer sum (r12 proactive: the q1 ulp-drift class)
         (sum(round(col("value") * 100).cast("long")) / lit(100.0)).as("total_value"))
+      .select(date_format(col("hour_ts"), "yyyy-MM-dd HH").as("hour"),
+        col("event_type"), col("cnt"), col("total_value"))
 
   /** R16: left outer join + two-level aggregate (TPC-H Q13 flavour). */
   def q16OuterJoin(s: SparkSession, dir: String): DataFrame =

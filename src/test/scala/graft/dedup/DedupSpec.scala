@@ -160,10 +160,11 @@ class DedupSpec extends SparkTestBase {
   }
 
   test("D6: one Spark job per propagation round (convergence rides the checkpoint)") {
-    // 1-2, 2-3: min-label propagation needs 2 improving rounds + 1
-    // confirming round. Actions = 2 setup checkpoints (edges, seed
-    // labels) + 1 checkpoint per round — the observe() convergence
-    // metric must NOT add a second action per round (AQE splits one
+    // 1-2, 2-3: star contraction resolves this path in ONE round.
+    // Actions = 3 setup (node checkpoint, edge checkpoint, initial
+    // star-forest test) + 2 per round (contraction checkpoint + exact
+    // star-forest test) + 1 final label checkpoint — the driver must
+    // not add per-round work beyond that fixed shape (AQE splits one
     // action into many *jobs*, so the assert counts actions, not jobs).
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
     val actions = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -185,7 +186,7 @@ class DedupSpec extends SparkTestBase {
         val cur = actions.get()
         if (cur == n) stable += 1 else { n = cur; stable = 0 }
       }
-      assert(n <= 2 + 3, s"expected ≤5 actions (2 setup + 3 rounds), saw $n")
+      assert(n <= 3 + 2 * 1 + 1, s"expected ≤6 actions (3 setup + 2×1 round + labels), saw $n")
       assert(out.count() == 1L)
     } finally spark.listenerManager.unregister(listener)
   }
@@ -210,34 +211,49 @@ class DedupSpec extends SparkTestBase {
   }
 
   test("D6: giant-component worst case — path diameter converges in O(log n) rounds") {
-    // The round-11 scale receipt: a single giant component in its
+    // The scale receipt: a single giant component in its
     // diameter-MAXIMAL shape (a path — the drifting-near-dup chain LSH
     // really produces under template/version drift), 4096 nodes. Plain
     // neighbor-min label propagation needs diameter≈4095 rounds here;
-    // the synchronous pointer jump doubles the distance the min has
-    // traveled per round, so the fixpoint must land in ~log2(4096)=12
-    // improving rounds (+slack) — and state per round is CONSTANT:
-    // exactly one (id, label) row per node and the 2|E| edge rows,
-    // regardless of round number or component size.
+    // large-star/small-star contraction lands in ~log2(4096)=12 rounds
+    // (+slack) — and state per round is BOUNDED by the current edge
+    // set, which only shrinks as components contract.
     val n = 4096
     val path = spark.range(n - 1).select(col("id").as("a"), (col("id") + 1).as("b"))
     val persistedBefore = spark.sparkContext.getPersistentRDDs.size
     val (labels, rounds) = Dedup.labelPropagationCounted(path, maxIterations = 20)
     val byLabel = labels.groupBy("label").count().as[(Long, Long)].collect().toMap
     assert(byLabel == Map(0L -> n.toLong), "one component, min-id keeper")
-    assert(rounds <= 16, s"pointer jumping should converge in ~log2($n)+slack rounds, took $rounds")
+    assert(rounds <= 16, s"star contraction should converge in ~log2($n)+slack rounds, took $rounds")
     assert(rounds >= 5, s"a $n-path cannot converge in $rounds rounds — receipt is broken")
     // freed-blocks receipt: each round unpersists the previous round's
-    // labels, so the session does not accumulate per-round state
+    // edges, so the session does not accumulate per-round state
     assert(spark.sparkContext.getPersistentRDDs.size <= persistedBefore + 4,
-      "per-round label blocks must be freed, not accumulated")
+      "per-round edge blocks must be freed, not accumulated")
+
+    // THE r14 regression case: the same path with ids SHUFFLED along it
+    // (deterministic odd-multiplier bijection mod 2^12). The round-11
+    // pointer-jump variant was O(diameter) here — scattered local
+    // minima form basins the min must cross one hop per round (it did
+    // not converge in 300 rounds on this graph; the real sf100
+    // candidate graph hit the same wall: a 910-node component with
+    // eccentricity 26 took 27 rounds and blew the cap of 20). Star
+    // contraction moves the EDGES, so id placement is irrelevant.
+    val shuffled = spark.range(n - 1).select(
+      ((col("id") * 1597) % n).as("a"), (((col("id") + 1) * 1597) % n).as("b"))
+    val (shufLabels, shufRounds) = Dedup.labelPropagationCounted(shuffled, maxIterations = 20)
+    val shufByLabel = shufLabels.groupBy("label").count().as[(Long, Long)].collect().toMap
+    assert(shufByLabel == Map(0L -> n.toLong), "one component, min-id keeper (shuffled ids)")
+    assert(shufRounds <= 16,
+      s"id placement must not affect convergence, took $shufRounds rounds")
 
     // the common LSH shape at the same scale — one giant BUCKET component
-    // (star pairs around the bucket min) — stays O(1) rounds
+    // (star pairs around the bucket min) — is ALREADY a star forest:
+    // the exact fixpoint test accepts it without a single round
     val star = spark.range(1, n).select(lit(0L).as("a"), col("id").as("b"))
     val (starLabels, starRounds) = Dedup.labelPropagationCounted(star, maxIterations = 20)
     assert(starLabels.filter(col("label") =!= 0L).isEmpty)
-    assert(starRounds <= 3, s"star component took $starRounds rounds")
+    assert(starRounds == 0, s"star input took $starRounds rounds — fixpoint test broken")
 
     // silent-cap-out is gone: an impossible budget now throws loudly
     val ex = intercept[IllegalArgumentException] {

@@ -18,13 +18,15 @@ run_cfg() {  # label, sfdir, queries, runs, extra env as K=V pairs...
     | grep -E '^\[info\] \{' | sed -E "s/^\[info\] /{\"cfg\":\"$label\",\"bench\":/; s/$/}/" >> "$OUT"
 }
 
-# --- sf10: q31/q32 across shuffle-partition counts (judge's knob) ---
+# --- sf10: the events pack across shuffle-partition counts (judge's knob) ---
 for sp in 32 64 128 256; do
-  run_cfg "sf10_sp${sp}" /root/repo/scale_sf10 q31_sliding_dau,q32_retention 3 \
+  run_cfg "sf10_sp${sp}" /root/repo/scale_sf10 \
+    q1_agg,q15_events_window,q31_sliding_dau,q32_retention 3 \
     SPARK_GRAFT_SHUFFLE_PARTITIONS=$sp
 done
 # AQE start-wide-coalesce-down geometry (initialPartitionNum=256, advisory 64MB)
-run_cfg "sf10_aqe256" /root/repo/scale_sf10 q31_sliding_dau,q32_retention 3 \
+run_cfg "sf10_aqe256" /root/repo/scale_sf10 \
+  q1_agg,q15_events_window,q31_sliding_dau,q32_retention 3 \
   SPARK_GRAFT_INITIAL_PARTITIONS=256
 
 # --- sf100: the four perf-weak queries, pinned vs scaled geometry ---
