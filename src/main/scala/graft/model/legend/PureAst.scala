@@ -195,7 +195,21 @@ object PureExpr {
     * ([[PureToSql.reservedNames]]): a registered function named e.g.
     * `a::b::filter` must be called by its full path — otherwise every
     * `->filter(...)` call site in the query would silently inline the
-    * user function instead of translating the relational verb. */
+    * user function instead of translating the relational verb.
+    *
+    * Round-14 widening — `eval` of a function POINTER: when eval's
+    * function argument is a packageable-element reference (`PPtr`) that
+    * names a registered function — by full path, by Legend's
+    * signature-mangled pointer form (`a::b::f_Integer_1__Integer_1_`,
+    * the spelling `let f = a::b::f_…_;` produces), or by unambiguous
+    * bare name — the eval rewrites to a direct call and inlines through
+    * the machinery above (let-bound pointers arrive here already
+    * substituted by desugarLets). A pointer that does NOT resolve
+    * rejects loudly right here, naming the registry; what remains
+    * outside the subset is eval of an OPAQUE function value (a
+    * lambda-parameter-bound `$f`), which genuinely needs runtime
+    * function values. Reserved-colliding bare pointer names still
+    * require the full path, same rule as calls. */
   def inlineUserFunctions(e: PureExpr, funcs: Map[String, PFunction],
                           stack: List[String] = Nil): PureExpr = {
     if (funcs.isEmpty) return e
@@ -209,7 +223,29 @@ object PureExpr {
           bySimple.headOption
         }
       }
+    // pointer-position resolution: exact path, signature-mangled
+    // pointer (path + "_" + mangled signature), or bare name (directly
+    // or signature-mangled) through `resolve`'s ambiguity/reserved rules
+    def resolvePointer(path: String): Option[PFunction] = {
+      val mangled = funcs.values.filter(f =>
+        path.startsWith(f.path + "_") ||
+          (!path.contains("::") && !PureToSql.reservedNames(path) &&
+            path.startsWith(f.path.split("::").last + "_"))).toSeq
+      if (mangled.size > 1) throw new IllegalArgumentException(
+        s"ambiguous function pointer [$path]: matches ${mangled.map(_.path).sorted.mkString(", ")}")
+      funcs.get(path).orElse(mangled.headOption).orElse(resolve(path))
+    }
     e match {
+      case PFunc("eval", fnExpr +: args) =>
+        inlineUserFunctions(fnExpr, funcs, stack) match {
+          case PPtr(path) =>
+            val fn = resolvePointer(path).getOrElse(throw new IllegalArgumentException(
+              s"eval: function pointer [$path] does not name a registered " +
+                s"user function (have: ${funcs.keys.toSeq.sorted.mkString(", ")})"))
+            inlineUserFunctions(PFunc(fn.path, args), funcs, stack)
+          case inlined => // lambda literal (or opaque $f → translation-time reject)
+            PFunc("eval", inlined +: args.map(inlineUserFunctions(_, funcs, stack)))
+        }
       case PFunc(name, args) if resolve(name).isDefined =>
         val fn = resolve(name).get
         require(!stack.contains(fn.path),

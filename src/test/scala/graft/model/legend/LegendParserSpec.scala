@@ -696,6 +696,44 @@ class LegendParserSpec extends SparkTestBase {
     assert(q.isFailure && q.failed.get.getMessage.contains("query expression"), q.toString)
   }
 
+  test("r14 widening: eval of a function POINTER resolves against the registry and inlines") {
+    val (fns, _) = PureParser.parseScript(
+      """function demo::fns::double(x: Integer[1]): Integer[1] { $x * 2 }
+        |function demo::fns::manyHighFives(e: Integer[1]): Boolean[1] { $e > 20 }
+        |""".stripMargin)
+    def sql(s: String): String =
+      PureToSql.lambda(PureExpr.inlineUserFunctions(PureParser.parse(s), fns))
+    // full-path pointer, prefix spelling
+    assert(sql("eval(demo::fns::double, $this.qty) > 4") == "((qty * 2) > 4)")
+    // arrow spelling: pointer receiver
+    assert(sql("demo::fns::double->eval(3)") == "(3 * 2)")
+    // bare-name pointer
+    assert(sql("eval(double, $this.qty)") == "(qty * 2)")
+    // Legend's signature-mangled pointer form, through a let binding
+    assert(sql("let f = demo::fns::double_Integer_1__Integer_1_; $f->eval($this.qty)")
+      == "(qty * 2)")
+    // end-to-end through a relational filter (pointer stays inside pushdown)
+    val q = PureParser.querySql(model,
+      s"$Employee->getAll()->filter(x|eval(demo::fns::manyHighFives, $$x.highFives))",
+      functions = fns)
+    assert(q.contains("high_fives > 20"), q)
+    // an unresolvable pointer rejects loudly, naming the registry
+    val bad = scala.util.Try(sql("eval(demo::fns::nosuch, 1)"))
+    assert(bad.isFailure && bad.failed.get.getMessage.contains("does not name"), bad.toString)
+    // ambiguous bare pointer rejects
+    val both = PureParser.parseScript(
+      """function a::f(x: Integer[1]): Integer[1] { $x }
+        |function b::f(x: Integer[1]): Integer[1] { $x }
+        |""".stripMargin)._1
+    val amb = scala.util.Try(PureToSql.lambda(
+      PureExpr.inlineUserFunctions(PureParser.parse("eval(f, 1)"), both)))
+    assert(amb.isFailure && amb.failed.get.getMessage.contains("ambiguous"), amb.toString)
+    // what REMAINS outside: an OPAQUE function value (lambda-parameter-
+    // bound $f) — no pointer to resolve, rejects at translation
+    val opaque = scala.util.Try(sql("{f | $f->eval(1)}"))
+    assert(opaque.isFailure && opaque.failed.get.getMessage.contains("eval"), opaque.toString)
+  }
+
   test("r14 widening: subType(@Ancestor) on a typed chain compiles to identity") {
     // the two-level lattice corpus (LegendQueries.subModel): bigOrder
     // extends baseOrder, entity files loaded SUBCLASS-FIRST — the
@@ -783,14 +821,17 @@ class LegendParserSpec extends SparkTestBase {
     // cast(@T) all left the frontier (the r13 tests above)
     // round 14: ->subType(@T) left the frontier for PROVABLY-VACUOUS
     // narrowings (target = receiver's static type or an ancestor,
-    // decided by the TypeCtx the loaders bind — the r14 test above).
-    // What remains outside: eval of a function arriving by bare
-    // REFERENCE (no lambda to inline), subType on a chain the lattice
+    // decided by the TypeCtx the loaders bind — the r14 test above),
+    // and eval of a function POINTER left it when the pointer names a
+    // REGISTERED function (full path / mangled / bare — the r14 eval
+    // test above). What remains outside: eval of an OPAQUE function
+    // value (a pointer with no registry entry, or a lambda-parameter-
+    // bound $f — nothing to inline), subType on a chain the lattice
     // can't type, and STRICT downcasts — those have row-filtering
     // semantics that genuinely need a type discriminator column flat
     // single-class mappings don't have
     val stillRejected = Seq(
-      "meta::pure::functions::lang::eval(f, 1)",      // function POINTER by reference
+      "meta::pure::functions::lang::eval(f, 1)",      // pointer, EMPTY registry
       "$this.sme->subType(@SomeClass)")               // untypeable chain / no context
     for (s <- stillRejected) {
       val r = scala.util.Try {
