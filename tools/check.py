@@ -59,6 +59,15 @@ def main():
     if threads:
         con.sql(f"SET threads TO {int(threads)}")
         con.sql("SET preserve_insertion_order=false")
+    # DuckDB's default memory_limit is 80% of PHYSICAL RAM, blind to
+    # other residents — run concurrently with a big Spark JVM and the
+    # kernel OOM-kills python before DuckDB's own limiter engages
+    # (observed r14: d3's sf100 oracle at 82 GB RSS beside a 51 GB
+    # verify JVM). A hard cap makes DuckDB spill to temp_directory
+    # instead of dying.
+    mem = os.environ.get("GRAFT_CHECK_MEMORY")
+    if mem:
+        con.sql(f"SET memory_limit='{mem}'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
