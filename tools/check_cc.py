@@ -1,0 +1,141 @@
+#!/usr/bin/env python3
+"""Tractable DuckDB mirror for d6_dup_groups at the big decades.
+
+The gate's recursive-CTE oracle computes the FULL transitive closure
+(reach = every (node, reachable-node) pair): O(sum_k k^2) working rows
+re-joined once per diameter step. Exact and fine through sf10, but at
+sf100 the fixed-corpus candidate graph has a 5,297-node component and
+sum k^2 = 468M, so the closure grinds for hours (killed at 2.4h in
+round 14). This mirror computes the SAME grouping in DuckDB with
+pointer-jumped min-label propagation driven by a tiny Python loop —
+O(log n) rounds of linear-size joins — then compares against graft's
+materialized d6 result exactly (same columns, same canonical form).
+
+DuckDB still does ALL the data work (shingles, minhash, banding,
+candidate pairs via the committed oracle SQL prefix; label joins); the
+loop only sequences rounds, exactly like graft's own driver. The
+recursive-CTE oracle stays in oracle_sql.json for the driver gate at
+the small SFs, where it is the stronger, loop-free form.
+
+Usage: python3 tools/check_cc.py <verify_out_dir> <sf_dir>
+Env: GRAFT_CHECK_THREADS, GRAFT_CHECK_MEMORY (as tools/check.py).
+"""
+import sys, os, json, time
+import duckdb
+
+TABLES = ["documents"]
+
+
+def main():
+    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    con.sql("SET temp_directory='/tmp/duckdb_spill'")
+    threads = os.environ.get("GRAFT_CHECK_THREADS")
+    if threads:
+        con.sql(f"SET threads TO {int(threads)}")
+        con.sql("SET preserve_insertion_order=false")
+    mem = os.environ.get("GRAFT_CHECK_MEMORY")
+    if mem:
+        con.sql(f"SET memory_limit='{mem}'")
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    sql = oracle["d6_dup_groups"]
+    # Reuse the committed oracle text up to the candidate-pair CTE, so
+    # the shingle/minhash/banding semantics being verified are the very
+    # SQL the driver gate runs — only the closure algorithm differs.
+    cut = sql.index("und AS ")
+    prefix = sql[:cut].rstrip().rstrip(",")
+    t0 = time.time()
+    con.sql(f"CREATE TABLE und AS WITH RECURSIVE {prefix[len('WITH RECURSIVE '):]} "
+            "SELECT a, b FROM cand UNION SELECT b, a FROM cand")
+    n_edges = con.sql("SELECT count(*) FROM und").fetchone()[0]
+    print(f"[cc] candidate edges (directed): {n_edges} "
+          f"({time.time() - t0:.1f}s)", flush=True)
+
+    # min-label propagation with pointer jumping: lbl(id) starts at id;
+    # each round takes the min over neighbours' labels AND the label's
+    # label (path halving), so convergence is O(log n) rounds.
+    con.sql("CREATE TABLE lbl AS SELECT DISTINCT a AS id, a AS l FROM und")
+    rounds = 0
+    while True:
+        rounds += 1
+        t1 = time.time()
+        con.sql("""
+            CREATE OR REPLACE TABLE lbl2 AS
+            SELECT x.id, least(x.l, coalesce(min(nl.l), x.l),
+                               coalesce(min(ll.l), x.l)) AS l
+            FROM lbl x
+            LEFT JOIN und u ON u.a = x.id
+            LEFT JOIN lbl nl ON nl.id = u.b
+            LEFT JOIN lbl ll ON ll.id = x.l
+            GROUP BY x.id, x.l""")
+        changed = con.sql(
+            "SELECT count(*) FROM lbl2 j JOIN lbl o ON j.id = o.id "
+            "WHERE j.l <> o.l").fetchone()[0]
+        con.sql("DROP TABLE lbl"); con.sql("ALTER TABLE lbl2 RENAME TO lbl")
+        print(f"[cc] round {rounds}: {changed} labels moved "
+              f"({time.time() - t1:.1f}s)", flush=True)
+        if changed == 0:
+            break
+        if rounds > 64:
+            raise SystemExit("FAIL d6_dup_groups: label propagation did not converge")
+
+    con.sql("""
+        CREATE TABLE expect AS
+        SELECT l AS group_id, count(*) AS n_members,
+               array_to_string(list_sort(list(id)), ',') AS members
+        FROM lbl GROUP BY 1""")
+    got = con.sql(f"SELECT * FROM '{out_dir}/d6_dup_groups/*.parquet'")
+    n_exp = con.sql("SELECT count(*) FROM expect").fetchone()[0]
+    n_got = got.count("*").fetchone()[0]
+    diff = con.sql(f"""
+        SELECT count(*) FROM (
+          (SELECT group_id, n_members, members FROM expect
+           EXCEPT SELECT group_id, n_members, members
+           FROM '{out_dir}/d6_dup_groups/*.parquet')
+          UNION ALL
+          (SELECT group_id, n_members, members
+           FROM '{out_dir}/d6_dup_groups/*.parquet'
+           EXCEPT SELECT group_id, n_members, members FROM expect))""").fetchone()[0]
+    ok = True
+    if n_exp == n_got and diff == 0:
+        print(f"PASS d6_dup_groups: {n_got} rows ({rounds} rounds, "
+              f"{time.time() - t0:.1f}s total)")
+    else:
+        print(f"FAIL d6_dup_groups: rows graft={n_got} duckdb={n_exp}, "
+              f"symmetric diff={diff}")
+        ok = False
+
+    # d8_dedup_apply shares the closure (its oracle's `drops` CTE =
+    # non-minimum members of each group); verify it from the same lbl
+    # fixpoint, mirroring the committed oracle's final SELECT verbatim.
+    if os.path.isdir(os.path.join(out_dir, "d8_dedup_apply")):
+        t2 = time.time()
+        d8_diff = con.sql(f"""
+            SELECT count(*) FROM (
+              (SELECT doc_id, lang, source FROM documents
+               WHERE doc_id NOT IN (SELECT id FROM lbl WHERE id <> l)
+               EXCEPT SELECT doc_id, lang, source
+               FROM '{out_dir}/d8_dedup_apply/*.parquet')
+              UNION ALL
+              (SELECT doc_id, lang, source
+               FROM '{out_dir}/d8_dedup_apply/*.parquet'
+               EXCEPT SELECT doc_id, lang, source FROM documents
+               WHERE doc_id NOT IN (SELECT id FROM lbl WHERE id <> l)))
+            """).fetchone()[0]
+        n8_got = con.sql(f"SELECT count(*) FROM "
+                         f"'{out_dir}/d8_dedup_apply/*.parquet'").fetchone()[0]
+        if d8_diff == 0:
+            print(f"PASS d8_dedup_apply: {n8_got} rows "
+                  f"({time.time() - t2:.1f}s)")
+        else:
+            print(f"FAIL d8_dedup_apply: symmetric diff={d8_diff}")
+            ok = False
+    if not ok:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
