@@ -27,16 +27,35 @@ object ChecksumVerify {
     val spark = GraftSession.local("graft-checksum-verify")
     spark.sparkContext.setLogLevel("ERROR")
     val t0 = System.nanoTime()
+    // Two-level exact sum: BIGINT partials grouped on a row-level key
+    // (pure LONG math in the hot loop — a row-wise DECIMAL(38) sum
+    // allocates per row and dominated the sf100 wall time), then a
+    // DECIMAL(38) sum over the ~131k partials. Identical exact totals.
+    // The partial key MUST be row-derived, not task-derived: AQE
+    // coalesces the range join's small input shuffle to a handful of
+    // partitions while the join OUTPUT is 557G rows at sf100, so a
+    // spark_partition_id() partial overflows BIGINT (term < 2^31 needs
+    // every group < 4.3e9 rows; measured ARITHMETIC_OVERFLOW). With
+    // event_id % 131072 each group is ~n/131072 rows — bounded by data,
+    // not by planner geometry — and ANSI sum still throws rather than
+    // wraps if a future decade breaks the bound (max(n) shows headroom).
     val r = graft.ops.Relational.q25RangeJoin(spark, sfDir)
       .select(
-        count(lit(1)).as("n"),
-        sum(((col("window_id") * lit(A1) + col("event_id")) % lit(M1))
-          .cast("decimal(38,0)")).as("fp1"),
-        sum(((col("window_id") * lit(A2) + col("event_id")) % lit(M2))
-          .cast("decimal(38,0)")).as("fp2"))
+        col("event_id"),
+        ((col("window_id") * lit(A1) + col("event_id")) % lit(M1)).as("t1"),
+        ((col("window_id") * lit(A2) + col("event_id")) % lit(M2)).as("t2"))
+      .groupBy(pmod(col("event_id"), lit(131072L)).as("g"))
+      .agg(count(lit(1)).as("n"), sum("t1").as("s1"), sum("t2").as("s2"))
+      .select(
+        sum("n").as("n"), max("n").as("max_group"),
+        sum(col("s1").cast("decimal(38,0)")).as("fp1"),
+        sum(col("s2").cast("decimal(38,0)")).as("fp2"))
       .first()
+    require(r.getLong(1) < 4300000000L,
+      s"per-group partial of ${r.getLong(1)} rows is too close to BIGINT " +
+        "overflow — widen the partial key modulus")
     val sec = (System.nanoTime() - t0) / 1e9
-    println(s"""{"query":"q25_range_join","engine":"graft","sf_dir":"$sfDir","n":${r.getLong(0)},"fp1":"${r.getDecimal(1)}","fp2":"${r.getDecimal(2)}","sec":${Fmt.dec(sec)}}""")
+    println(s"""{"query":"q25_range_join","engine":"graft","sf_dir":"$sfDir","n":${r.getLong(0)},"fp1":"${r.getDecimal(2)}","fp2":"${r.getDecimal(3)}","sec":${Fmt.dec(sec)}}""")
     spark.stop()
   }
 }
