@@ -46,11 +46,15 @@ object Quantile {
     * `maxDriverCells` explicitly (an informed opt-in, not a silent OOM). */
   val DefaultMaxDriverCells: Int = 4 * 1000 * 1000
 
-  /** Group-cardinality ceiling for the inlined-literal bin/filter forms
-    * (r12): a when-ladder this deep stays comfortably inside whole-stage
-    * codegen; past it the operator falls back to the broadcast-join
-    * form rather than risk a codegen split/fallback on the hot path. */
-  val MaxInlineGroups: Int = 64
+  /** Group-cardinality ceiling for the inlined-literal bin/filter forms.
+    * Measured, not assumed (QuantileFallbackBench, sf10, 10M rows,
+    * round 14): inline wins through 32 groups (4.1 s vs broadcast's
+    * ~3 s amortized floor) but DEGRADES ~7× at 64 (22.9 s vs 2.7 s for
+    * the broadcast form at 65) — a 64-deep per-row when-ladder blows
+    * the JIT/codegen budget long before Spark formally splits the
+    * stage. The r12 default of 64 was set by codegen-split reasoning
+    * alone; the bench moved it to the measured crossover. */
+  val MaxInlineGroups: Int = 32
 
   def exactQuantiles(df: DataFrame, groupCol: String, valCol: String,
                      qs: Seq[Double], bins: Int = 8192,
