@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.Exact
+
 /** As-of join (SURVEY §2.2 R19) — for each left row, the single right
   * row with the greatest right-time <= left-time within the same key.
   * Spark has no native ASOF operator; the scalable re-expression is the
@@ -62,7 +64,7 @@ object AsofJoin {
         count(col("p_ts")).as("n_matched"),
         sum(unix_micros(col("ts")) - unix_micros(col("p_ts"))).as("sum_gap_us"),
         // exact e2 integer sum (r12 proactive: the q1 ulp-drift class)
-        (sum(round(col("p_value") * 100).cast("long")) / lit(100.0)).as("attr_value"))
+        (sum(Exact.e2(col("p_value"))) / lit(100.0)).as("attr_value"))
   }
 
   val oracle: String =

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.Tables
+import graft.functions.Exact
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -32,9 +33,9 @@ object Relational {
   def q1Agg(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
-      .withColumn("qty_l", round(col("l_quantity")).cast("long"))
-      .withColumn("price_e2", round(col("l_extendedprice") * 100).cast("long"))
-      .withColumn("disc_e2", round(col("l_discount") * 100).cast("long"))
+      .withColumn("qty_l", Exact.roundLong(col("l_quantity")))
+      .withColumn("price_e2", Exact.e2(col("l_extendedprice")))
+      .withColumn("disc_e2", Exact.e2(col("l_discount")))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(col("qty_l")).cast("double").as("sum_qty"),
@@ -60,7 +61,7 @@ object Relational {
         count(lit(1)).as("num_customers"),
         // exact e2 integer sum (r12 proactive: the q1 ulp-drift class —
         // 2-decimal doubles summed at growing magnitude)
-        (sum(round(col("c_acctbal") * 100).cast("long")) / lit(100.0)).as("total_acctbal"))
+        (sum(Exact.e2(col("c_acctbal"))) / lit(100.0)).as("total_acctbal"))
 
   /** R4: fact⨝fact shuffle join + aggregate (TPC-H Q3 flavour).
     * Revenue is aggregated in exact scaled-integer space (cents × discount
@@ -71,8 +72,8 @@ object Relational {
       .filter(col("o_orderdate") < to_timestamp(lit("1997-01-01")))
       .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
       .withColumn("rev_e4",
-        round(col("l_extendedprice") * 100).cast("long") *
-          (lit(100L) - round(col("l_discount") * 100).cast("long")))
+        Exact.e2(col("l_extendedprice")) *
+          (lit(100L) - Exact.e2(col("l_discount"))))
       .groupBy(col("o_orderkey"), col("o_orderpriority"))
       .agg(sum(col("rev_e4")).as("sum_e4"))
       .filter(col("sum_e4") > lit(1000000000L))
@@ -92,8 +93,8 @@ object Relational {
       .groupBy(col("r_name"), col("n_name"))
       // revenue in exact scaled-integer space like q4/q6 (r12: the
       // float form drifted an ulp at sf10's 1e11 magnitudes)
-      .agg((sum(round(col("l_extendedprice") * 100).cast("long") *
-          (lit(100L) - round(col("l_discount") * 100).cast("long"))) / lit(10000.0))
+      .agg((sum(Exact.e2(col("l_extendedprice")) *
+          (lit(100L) - Exact.e2(col("l_discount")))) / lit(10000.0))
           .as("revenue"),
         count(lit(1)).as("num_items"))
 
@@ -107,8 +108,8 @@ object Relational {
     t(s, dir, "lineitem")
       .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
       .withColumn("rev_e4",
-        round(col("l_extendedprice") * 100).cast("long") *
-          (lit(100L) - round(col("l_discount") * 100).cast("long")))
+        Exact.e2(col("l_extendedprice")) *
+          (lit(100L) - Exact.e2(col("l_discount"))))
       .agg(
         (sum(when(col("p_type") === lit("PROMO"), col("rev_e4")).otherwise(lit(0L)))
           / lit(10000.0)).as("promo_revenue"),
@@ -180,7 +181,7 @@ object Relational {
       // exact scaled-integer sum (r12, ulp drift at sf10); the avg-qty
       // FILTER stays float — each per-partkey avg divides a small exact
       // integer sum by an exact count, identical in every engine
-      .agg((sum(round(col("l_extendedprice") * 100).cast("long")) / lit(100.0))
+      .agg((sum(Exact.e2(col("l_extendedprice"))) / lit(100.0))
           .as("low_qty_revenue"),
         count(lit(1)).as("low_qty_items"))
   }
@@ -194,7 +195,7 @@ object Relational {
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("cnt"),
         // exact scaled-integer sum (r12, ulp drift at sf10)
-        (sum(round(col("o_totalprice") * 100).cast("long")) / lit(100.0)).as("total"))
+        (sum(Exact.e2(col("o_totalprice"))) / lit(100.0)).as("total"))
   }
 
   /** R15: time-bucketed aggregation on the events stream table (batch
@@ -202,16 +203,20 @@ object Relational {
     * formatted string so oracle comparison is representation-stable. */
   def q15EventsWindow(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
-      // group on the 8-byte truncated TIMESTAMP and render the display
-      // string AFTER aggregation (r14): date_format on the pre-agg path
-      // built + hashed a 13-char string per fact row — at 100M rows the
-      // formatter, not the aggregate, dominated. Post-agg it runs on
-      // |hours|x|types| rows. Results identical.
-      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("event_type"))
+      // group on a pure-integer hour index and render the display string
+      // AFTER aggregation. r14 moved the formatter post-agg (13-char
+      // string per fact row dominated at 100M rows); r15 replaced
+      // date_trunc('hour') on the grouping path with epoch-micros
+      // integer division — the truncation ran Java time logic per row,
+      // the division is one codegen'd long op. Exact equivalence needs
+      // session TZ = UTC (GraftSession pins it) and non-negative epochs
+      // (div truncates toward zero; the corpus is 2024+).
+      .groupBy(expr("unix_micros(ts) div 3600000000").as("hour_idx"), col("event_type"))
       .agg(count(lit(1)).as("cnt"),
         // exact e2 integer sum (r12 proactive: the q1 ulp-drift class)
-        (sum(round(col("value") * 100).cast("long")) / lit(100.0)).as("total_value"))
-      .select(date_format(col("hour_ts"), "yyyy-MM-dd HH").as("hour"),
+        (sum(Exact.e2(col("value"))) / lit(100.0)).as("total_value"))
+      .select(date_format(timestamp_micros(col("hour_idx") * lit(3600000000L)),
+          "yyyy-MM-dd HH").as("hour"),
         col("event_type"), col("cnt"), col("total_value"))
 
   /** R16: left outer join + two-level aggregate (TPC-H Q13 flavour). */
@@ -246,7 +251,7 @@ object Relational {
       .orderBy(col("ts").asc, col("event_id").asc)
       .rowsBetween(-3, Window.currentRow)
     t(s, dir, "events")
-      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .withColumn("cents", Exact.e2(col("value")))
       .select(col("event_id"), col("user_id"),
         sum(col("cents")).over(w).as("msum_cents"),
         count(lit(1)).over(w).as("n_window"))
@@ -460,16 +465,10 @@ object Relational {
   /** R31: sliding-window distinct users (trailing-7-day DAU per day) —
     * the op a naive engine recomputes as a per-day COUNT(DISTINCT) over
     * a 7-day self-join (7× re-scan) or a windowed distinct (holds user
-    * sets in window state). Here: distinct (user, day) pairs (the ONE
-    * fact-sized Exchange, map-side partial distinct), then each user's
-    * sorted active days become DISJOINT contribution intervals
-    * [dᵢ, min(dᵢ+6, dᵢ₊₁−1)] via one lead() over the deduped relation
-    * (≤ |users|×|day domain| rows), then ±1 boundary deltas aggregate
-    * per day and a cumulative sum over the TINY day domain yields every
-    * day's distinct count — no user set ever materializes, nothing
-    * fact-sized is sorted. The single-partition cumsum window is over
-    * |days| rows (bounded by the calendar, not the data) — same
-    * bounded-relation pattern as q22's median selection. */
+    * sets in window state). r15: day-bitmask aggregate (see
+    * [[slidingDau]]) — ONE fact-sized Exchange, then a single-row
+    * popcount reduce; the interval explode, the ±1-delta shuffle, and
+    * the ordered cumulative window are all gone. */
   def q31SlidingDau(s: SparkSession, dir: String): DataFrame =
     slidingDau(t(s, dir, "events"))
 
@@ -479,18 +478,60 @@ object Relational {
     * events has no row, even when inside some user's trailing window) —
     * the same domain the oracle's `dom` CTE uses. */
   def slidingDau(events: DataFrame): DataFrame = {
-    // Two codegen'd shuffle waves, then per-user array work (r12,
-    // re-measured at sf100): the distinct() pre-shrink BEFORE
-    // collect_set is load-bearing — collect_set plans as
-    // ObjectHashAggregate, which falls back to SORT-based aggregation
-    // past 128 groups/task, so feeding it raw events sorts the full
-    // fact (measured ×11.5 on ×10 data at sf100); distinct is a plain
-    // codegen'd hash aggregate that cuts the sorted input to the
-    // bounded (user, day) pair set first. The lead()-window of the
-    // original form stays gone: the per-user successor is a transform
-    // over the user's sorted day array (calendar-bounded), which
-    // removed the window's third Exchange + sort.
-    // Interval end = min(day+6, next_day−1), exactly the old window's.
+    // r15: 64-bit day-bitmask aggregate, the q32 trick one step further.
+    // Per user, active days live as bits at (unix_date mod 64) — exact
+    // while the GLOBAL day span ≤ 57 (span + 6 window positions must fit
+    // the 64-bit cycle; the events corpora span 30 days, and a guard
+    // asserts it LOUDLY on wider data). The trailing-7-day coverage is
+    // then pure bit algebra: covered = OR of the mask cyclically
+    // left-rotated 0..6 — bit d of covered says "this user counts toward
+    // day d's DAU7". One fact-sized Exchange (user-keyed min/max/bit_or,
+    // Long state, codegen'd, duplicates free via idempotent bit_or — the
+    // old distinct wave is unnecessary), then a SINGLE-ROW reduce of 64
+    // popcount sums (dau7 per bit) + 64 domain maxes (is the day
+    // active) + the global min/max for the guard and for mapping bit
+    // positions back to real dates. The interval explode, the ±1-delta
+    // shuffle, and the single-partition ordered cumsum of the r12 form
+    // (kept as [[slidingDauIntervals]] for the A/B) are all gone.
+    // Measured (EventsLayoutProbe sf100, 32 cores): 7.29 → 4.80 s flat,
+    // 4.33 → 1.29 s bucketed vs DuckDB's 4.69 s same-day matched pair.
+    val perUser = events
+      .select(col("user_id"), expr("unix_date(cast(ts as date))").as("d"))
+      .groupBy(col("user_id"))
+      .agg(min(col("d")).as("dmin"), max(col("d")).as("dmax"),
+        expr("bit_or(shiftleft(1L, cast(d % 64 as int)))").as("mask"))
+      // Java shift semantics mask the amount to 6 bits, so every rotl
+      // term below is well-defined (i is 1..6, never 0 or 64)
+      .withColumn("covered", expr(
+        (1 to 6).map(i =>
+          s"(shiftleft(mask, $i) | shiftrightunsigned(mask, ${64 - i}))")
+          .mkString("mask | ", " | ", "")))
+    val aggs =
+      (0 until 64).map(i => sum(expr(s"shiftright(covered, $i) & 1")).as(s"c$i")) ++
+        (0 until 64).map(i => max(expr(s"shiftright(mask, $i) & 1")).as(s"a$i")) ++
+        Seq(min(col("dmin")).as("gmin"), max(col("dmax")).as("gmax"))
+    val one = perUser.agg(aggs.head, aggs.tail: _*)
+      .filter(coalesce(assert_true(col("gmax") - col("gmin") <= lit(57L),
+        lit("sliding-DAU bitmask: global day span exceeds 57 — widen to a " +
+          "blocked-mask form before trusting this result")), lit(true)))
+    val stacked = s"stack(64, ${(0 until 64).map(i => s"$i, c$i, a$i").mkString(", ")})" +
+      " as (p, dau7, dom)"
+    // bit position p → the unique real day in [gmin, gmax+6] with
+    // d mod 64 = p (unique because the guarded span fits one cycle)
+    one.select(col("gmin"), expr(stacked))
+      .filter(col("dom") > 0)
+      .select(
+        date_format(date_add(to_date(lit("1970-01-01")),
+          (col("gmin") + pmod(col("p") - col("gmin"), lit(64L))).cast("int")),
+          "yyyy-MM-dd").as("day"),
+        col("dau7"))
+  }
+
+  /** Pre-r15 q31 form (distinct → collect_set day array → disjoint
+    * contribution intervals → ±1 deltas → ordered cumsum) — retained
+    * solely as the layout/A-B baseline; see [[slidingDau]] for why the
+    * bitmask form replaced it. */
+  def slidingDauIntervals(events: DataFrame): DataFrame = {
     val iv = events
       .select(col("user_id"), date_trunc("day", col("ts")).cast("date").as("day"))
       .distinct()
@@ -502,9 +543,6 @@ object Relational {
           |    THEN least(date_add(d, 6), date_sub(element_at(ds, i + 2), 1))
           |    ELSE date_add(d, 6) END AS end_day))""".stripMargin)).as("x"))
       .select(col("x.day").as("day"), col("x.end_day").as("end_day"))
-    // both boundary deltas explode out of the ONE interval relation (no
-    // re-scan per branch), and the day domain needs no third branch:
-    // every active day STARTS an interval, so domain = {d | a +1 at d}
     val deltas = iv
       .select(explode(array(
         struct(col("day").as("d"), lit(1L).as("delta")),
@@ -523,14 +561,10 @@ object Relational {
 
   /** R32: cohort retention triangle — users cohorted by their FIRST
     * active week; cell (cohort_week, week_offset) counts the cohort's
-    * distinct users active that many weeks later. Shape: distinct
-    * (user, week) pairs (the one fact-sized Exchange, map-side partial
-    * distinct) → per-user `min(week)` + `collect_set(week)` in a single
-    * user-keyed aggregate (the set is CALENDAR-bounded — ≤ 52/yr — the
-    * same boundedness argument as q31's day domain, and it saves the
-    * self-join of pairs⨝cohorts AND its shuffle) → explode to
-    * (cohort, offset) and count: each (user, week) is unique, so a
-    * plain count IS the distinct-user count, no count(DISTINCT) state.
+    * distinct users active that many weeks later. Shape (r15, bitmask —
+    * see [[retention]]): ONE fact-sized Exchange into a per-user
+    * min/max/bit_or Long aggregate, then a triangle-sized popcount
+    * aggregate; no distinct wave, no object aggregate, no explode.
     * Offsets are exact: both engines Monday-truncate weeks, so the day
     * difference is always divisible by 7. */
   def q32Retention(s: SparkSession, dir: String): DataFrame =
@@ -538,15 +572,65 @@ object Relational {
 
   /** Core of R32, on any (user_id, ts) relation — factored out (r14)
     * so the events-layout probe can drive flat vs user-bucketed scans
-    * through the identical pipeline. */
+    * through the identical pipeline.
+    *
+    * r15: the 64-bit week-bitmask aggregate replaced the
+    * distinct+collect_set pipeline (old form kept as
+    * [[retentionCollectSet]] for the A/B). Per user, the weeks-active
+    * set is a Long bitmask: ONE fact-sized Exchange (the old form paid
+    * two — distinct, then re-shuffle into the set aggregate), pure
+    * codegen'd Long state (min/max/bit_or — no ObjectHashAggregate, no
+    * sort fallback, no per-row array), duplicates collapse for free
+    * (bit_or is idempotent, so the distinct() wave is unnecessary, not
+    * just fused), and the triangle count is 64 conditional popcount
+    * sums per cohort — no explode of data-sized rows at all. Measured
+    * (RetentionAb + EventsLayoutProbe, r15, 32 cores): sf10 1.19 s vs
+    * collect_set 1.62 s; sf100 3.9–5.5 s flat vs 8.9 s, 0.95 s on the
+    * user-bucketed layout — vs DuckDB's 1.31 s same-day matched pair
+    * that is ~3× flat and 0.73× bucketed.
+    *
+    * Week index is pure integer arithmetic on the grouping path
+    * (floor((unix_date − 4) / 7), Monday-aligned exactly like
+    * date_trunc('week') in both engines; session TZ is pinned UTC);
+    * the display string is rendered post-aggregation on triangle-sized
+    * rows, the q15 lesson. Mask bits live at widx MOD 64 — exact while
+    * every user's week span < 64 (events corpora span 5 weeks; a whole
+    * YEAR is 53) because (widx − cohort) mod 64 ≡ widx − cohort; a
+    * wider-span user fails the assert_true LOUDLY rather than aliasing,
+    * same contract as the quantile histogram caps. */
   def retention(events: DataFrame): DataFrame = {
-    // distinct() BEFORE collect_set (r12, re-learned at sf100): the
-    // set aggregate is ObjectHashAggregate and SORT-falls-back past 128
-    // groups/task, so it must be fed the deduped (user, week) pair set
-    // (codegen'd hash distinct), not the raw fact — dropping the
-    // distinct looked like a win at sf10 (2.63 → 1.27 s, the sort still
-    // fit) and went ×16.5 superlinear at sf100 when the full-fact sort
-    // spilled. cohort = array_min of the set — no second row aggregate.
+    val perUser = events
+      // dates are modern (unix_date ≥ 4) so integer div == floor here
+      .select(col("user_id"), expr("(unix_date(cast(ts as date)) - 4) div 7").as("w"))
+      .groupBy(col("user_id"))
+      .agg(min(col("w")).as("cw"), max(col("w")).as("mw"),
+        expr("bit_or(shiftleft(1L, cast(w % 64 as int)))").as("mask"))
+    // rotate the mask so bit i == "active at week_offset i"; Java shift
+    // semantics mask the amount to 6 bits, so the r=0 edge (shift by 64)
+    // degenerates to mask|mask — still correct.
+    val rel = perUser
+      .filter(coalesce(assert_true(col("mw") - col("cw") < lit(64L),
+        lit("retention bitmask: a user's active-week span is >= 64 weeks — " +
+          "widen to the blocked-mask form before trusting this result")), lit(true)))
+      .select(col("cw"), expr(
+        "shiftrightunsigned(mask, cast(cw % 64 as int)) | " +
+          "shiftleft(mask, cast(64 - cw % 64 as int))").as("rm"))
+    val bitSums = (0 until 64).map(i => sum(expr(s"shiftright(rm, $i) & 1")).as(s"o$i"))
+    val stacked = s"stack(64, ${(0 until 64).map(i => s"${i}L, o$i").mkString(", ")})" +
+      " as (week_offset, n_users)"
+    rel.groupBy(col("cw")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("cw"), expr(stacked))
+      .filter(col("n_users") > 0)
+      .select(
+        date_format(date_add(to_date(lit("1970-01-05")), (col("cw") * 7).cast("int")),
+          "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"), col("n_users"))
+  }
+
+  /** Pre-r15 q32 form (distinct → collect_set → explode) — retained
+    * solely as the RetentionAb baseline; see [[retention]] for why the
+    * bitmask form replaced it. */
+  def retentionCollectSet(events: DataFrame): DataFrame = {
     val perUser = events
       .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("week"))
       .distinct()

@@ -41,8 +41,9 @@ object RetentionAb {
     val events = Tables(spark, sfDir, "events")
 
     val forms: Seq[(String, DataFrame => DataFrame)] = Seq(
-      "collect_set" -> (Relational.retention _),
-      "min_join" -> (retentionMinJoin _))
+      "collect_set" -> (Relational.retentionCollectSet _),
+      "min_join" -> (retentionMinJoin _),
+      "bitmask" -> (Relational.retention _))
 
     def hash(df: DataFrame): Long = df
       .selectExpr("sum(hash(cohort_week, week_offset, n_users))").first().getLong(0)

@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.Exact
+
 /** Salted equi-join for skewed keys (SURVEY §2.2 R18, §4).
   *
   * When one join key carries a disproportionate share of rows ("hot
@@ -95,8 +97,8 @@ object SkewJoin {
   def q18SaltedJoin(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val li = graft.Tables(s, dir, "lineitem")
       .withColumn("rev_e4",
-        round(col("l_extendedprice") * 100).cast("long") *
-          (lit(100L) - round(col("l_discount") * 100).cast("long")))
+        Exact.e2(col("l_extendedprice")) *
+          (lit(100L) - Exact.e2(col("l_discount"))))
     val orders = graft.Tables(s, dir, "orders")
       .select(col("o_orderkey"), col("o_orderpriority"))
     // saltParts = 4: enough to demonstrate hot-key spreading while
