@@ -8,10 +8,12 @@ import org.apache.spark.sql.functions._
   *
   * Emits an engine-agnostic fingerprint triple over the (window_id,
   * event_id) result: row count plus two independent modular sums
-  *   fp_k = SUM( (window_id * A_k + event_id) mod M_k )
+  *   fp_k = SUM( ((window_id mod M_k) * A_k + event_id) mod M_k )
   * accumulated in DECIMAL(38,0) — exact in both engines at any SF
   * (per-row value < 2^31, so even 10^12 rows stay under 38 digits;
-  * a BIGINT sum would overflow past ~5×10^18 under ANSI). DuckDB's
+  * a BIGINT sum would overflow past ~5×10^18 under ANSI; window_id is
+  * mod-reduced before the multiply so the per-row term itself can
+  * never overflow either — see the r15 note at the select). DuckDB's
   * mirror (tools/checksum_duckdb.py) computes the identical triple in
   * HUGEINT; all three numbers must agree exactly.
   *
@@ -39,11 +41,18 @@ object ChecksumVerify {
     // event_id % 131072 each group is ~n/131072 rows — bounded by data,
     // not by planner geometry — and ANSI sum still throws rather than
     // wraps if a future decade breaks the bound (max(n) shows headroom).
+    // window_id is mod-reduced BEFORE the multiply (r15, advisory fix):
+    // the raw product window_id * A1 overflows BIGINT once window_id
+    // exceeds ~3.47e9 (decades beyond sf100, but the scaladoc claimed
+    // "any SF"). pmod(w, M) * A tops out at M1*A1 ≈ 2.66e18 < 2^63, and
+    // (w mod M * A + e) ≡ (w*A + e) (mod M), so both fingerprints are
+    // unchanged — the DuckDB mirror (HUGEINT, no reduction needed)
+    // still agrees exactly. Remaining ceiling: event_id < ~6.5e18.
     val r = graft.ops.Relational.q25RangeJoin(spark, sfDir)
       .select(
         col("event_id"),
-        ((col("window_id") * lit(A1) + col("event_id")) % lit(M1)).as("t1"),
-        ((col("window_id") * lit(A2) + col("event_id")) % lit(M2)).as("t2"))
+        ((pmod(col("window_id"), lit(M1)) * lit(A1) + col("event_id")) % lit(M1)).as("t1"),
+        ((pmod(col("window_id"), lit(M2)) * lit(A2) + col("event_id")) % lit(M2)).as("t2"))
       .groupBy(pmod(col("event_id"), lit(131072L)).as("g"))
       .agg(count(lit(1)).as("n"), sum("t1").as("s1"), sum("t2").as("s2"))
       .select(

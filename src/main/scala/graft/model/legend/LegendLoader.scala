@@ -145,20 +145,41 @@ object LegendLoader {
   }
 
   /** Pass 2b: parse + compile a service entity over the fully merged
-    * model, binding the [[TypeCtx]] at the mapped entity (the service's
-    * mapping names it) so typed `$this` chains inside the execution
-    * lambda can prove a subType vacuous. A mapping graft can't resolve
-    * (not loaded, or keyed per-class) compiles context-free — subType
-    * then rejects, the safe default. */
+    * model, binding the [[TypeCtx]] at the entity the execution lambda
+    * actually QUERIES — the `getAll` pointer — so typed `$this` chains
+    * inside the lambda can prove a subType vacuous. r15 (advisory fix):
+    * rooting at the mapping's bare-path entry was wrong for MULTI-class
+    * mappings, whose bare entry is just the first class mapping — a
+    * subType against the real queried entity would be checked against
+    * the wrong root and could be erased as vacuous when it is a genuine
+    * narrowing (PureParser.querySql already rooted at the queried
+    * entity; this aligns the protocol path). When no getAll pointer
+    * resolves to a loaded class, compile context-free — subType then
+    * rejects, the safe default. */
   private def attachService(m: GraftModel, c: JsonNode): GraftModel = {
-    val root = for {
+    val queried = for {
       exec <- Option(c.get("execution"))
-      mapping <- Option(exec.get("mapping")).map(_.asText())
-      gm <- m.mappings.get(mapping)
-    } yield gm.entity
-    val ctx = root.map(TypeCtx.of(m, _)).getOrElse(TypeCtx.empty)
+      fn <- Option(exec.get("func"))
+      entity <- findGetAllEntity(PureExpr.parse(fn))
+      if m.classes.contains(entity)
+    } yield entity
+    val ctx = queried.map(TypeCtx.of(m, _)).getOrElse(TypeCtx.empty)
     val (path, svc) = PureToSql.withTypes(ctx)(parseService(c))
     m.copy(services = m.services.updated(path, svc))
+  }
+
+  /** The class pointer inside the pipeline's `getAll` source — found by
+    * walking DOWN the verb chain's first argument (every pipeline verb
+    * keeps its source first), so arbitrary filter/project/sort stacks
+    * above the getAll don't hide it. */
+  private def findGetAllEntity(e: PureExpr): Option[String] = {
+    import PureExpr._
+    e match {
+      case PLambda(_, b)                        => findGetAllEntity(b)
+      case PFunc("getAll" | "all", PPtr(p) +: _) => Some(p)
+      case PFunc(_, src +: _)                   => findGetAllEntity(src)
+      case _                                    => None
+    }
   }
 
   /** Pass-1 structural parse: classes arrive WITHOUT constraints/

@@ -210,6 +210,20 @@ object PureExpr {
     * lambda-parameter-bound `$f`), which genuinely needs runtime
     * function values. Reserved-colliding bare pointer names still
     * require the full path, same rule as calls. */
+  /** Does `s` parse as Legend's signature-mangle SUFFIX (what follows
+    * `path_` in a mangled function pointer)? Shape: one or more
+    * `Type_Multiplicity` segments joined by `__`, trailing `_` — e.g.
+    * `Integer_1__Integer_1_`, `String_MANY__Boolean_$0_1$_`.
+    * Multiplicities are `1`, `MANY`, or a `$lo_hi$` range. Used by
+    * pointer resolution so a bare path prefix (`a::b::f` against
+    * pointer `a::b::f_v2_Integer_1_...`) can't claim another
+    * function's pointer. */
+  private val MangledSig =
+    ("""([A-Za-z0-9$]+_(?:\d+|MANY|\$\d+_(?:\d+|MANY)\$))""" +
+      """(__[A-Za-z0-9$]+_(?:\d+|MANY|\$\d+_(?:\d+|MANY)\$))*_""").r
+  private[legend] def looksMangledSignature(s: String): Boolean =
+    MangledSig.pattern.matcher(s).matches()
+
   def inlineUserFunctions(e: PureExpr, funcs: Map[String, PFunction],
                           stack: List[String] = Nil): PureExpr = {
     if (funcs.isEmpty) return e
@@ -223,18 +237,30 @@ object PureExpr {
           bySimple.headOption
         }
       }
-    // pointer-position resolution: exact path, signature-mangled
-    // pointer (path + "_" + mangled signature), or bare name (directly
-    // or signature-mangled) through `resolve`'s ambiguity/reserved rules
-    def resolvePointer(path: String): Option[PFunction] = {
-      val mangled = funcs.values.filter(f =>
-        path.startsWith(f.path + "_") ||
-          (!path.contains("::") && !PureToSql.reservedNames(path) &&
-            path.startsWith(f.path.split("::").last + "_"))).toSeq
-      if (mangled.size > 1) throw new IllegalArgumentException(
-        s"ambiguous function pointer [$path]: matches ${mangled.map(_.path).sorted.mkString(", ")}")
-      funcs.get(path).orElse(mangled.headOption).orElse(resolve(path))
-    }
+    // pointer-position resolution: exact path FIRST (an exact hit can
+    // never be ambiguous — r15 advisory: the old order let a prefix
+    // collision spuriously reject an exactly-named function), then
+    // signature-mangled pointer (path or bare name + "_" + a remainder
+    // that actually PARSES as a mangled signature — a bare prefix match
+    // alone would let `a::b::f` swallow `a::b::f_v2_...`'s pointer when
+    // f_v2 is unregistered), then `resolve`'s bare-name rules. The bare
+    // branch tests reservedNames against the function's SIMPLE name
+    // (what the pointer demangles to), not the full mangled string —
+    // reserved-colliding bare pointers require the full path.
+    def resolvePointer(path: String): Option[PFunction] =
+      funcs.get(path).orElse {
+        val mangled = funcs.values.filter { f =>
+          val simple = f.path.split("::").last
+          (path.startsWith(f.path + "_") &&
+            looksMangledSignature(path.stripPrefix(f.path + "_"))) ||
+            (!path.contains("::") && !PureToSql.reservedNames(simple) &&
+              path.startsWith(simple + "_") &&
+              looksMangledSignature(path.stripPrefix(simple + "_")))
+        }.toSeq
+        if (mangled.size > 1) throw new IllegalArgumentException(
+          s"ambiguous function pointer [$path]: matches ${mangled.map(_.path).sorted.mkString(", ")}")
+        mangled.headOption.orElse(resolve(path))
+      }
     e match {
       case PFunc("eval", fnExpr +: args) =>
         inlineUserFunctions(fnExpr, funcs, stack) match {

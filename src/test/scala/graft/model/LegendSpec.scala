@@ -946,4 +946,64 @@ class LegendSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).toSet
     assert(bad == Set(3L))
   }
+
+  test("r15 advisory: service TypeCtx roots at the QUERIED entity, not the mapping's first class") {
+    // lattice: bigOrder extends baseOrder; widget is unrelated. A
+    // multi-class mapping lists widget FIRST — the old rooting (the
+    // mapping's bare-path entry = first class mapping) would check a
+    // subType in the service lambda against widget instead of the
+    // entity the getAll actually queries.
+    val baseJson =
+      s"""{"classifierPath":"meta::pure::metamodel::type::Class","content":{
+         |"_type":"class","name":"baseOrder","package":"mc::entity","superTypes":[],
+         |"properties":[${prop("price", "Float")}],
+         |"constraints":[],"qualifiedProperties":[]}}""".stripMargin
+    val bigJson =
+      s"""{"classifierPath":"meta::pure::metamodel::type::Class","content":{
+         |"_type":"class","name":"bigOrder","package":"mc::entity",
+         |"superTypes":["mc::entity::baseOrder"],
+         |"properties":[${prop("status", "String")}],
+         |"constraints":[],"qualifiedProperties":[]}}""".stripMargin
+    val widgetJson =
+      s"""{"classifierPath":"meta::pure::metamodel::type::Class","content":{
+         |"_type":"class","name":"widget","package":"mc::entity","superTypes":[],
+         |"properties":[${prop("price", "Float")}],
+         |"constraints":[],"qualifiedProperties":[]}}""".stripMargin
+    def cm(clazz: String, table: String) =
+      s"""{"_type":"relational","class":"mc::entity::$clazz",
+         |"mainTable":{"_type":"Table","schema":"default","table":"$table"},
+         |"propertyMappings":[{"_type":"relationalPropertyMapping",
+         |  "property":{"class":"mc::entity::$clazz","property":"price"},
+         |  "relationalOperation":${colOp("price")}}]}""".stripMargin
+    def mappingOf(first: String, second: String) =
+      s"""{"classifierPath":"meta::pure::mapping::Mapping","content":{
+         |"_type":"mapping","name":"m","package":"mc::mapping",
+         |"classMappings":[${cm(first, "t_" + first)}, ${cm(second, "t_" + second)}]}}""".stripMargin
+    val subTypeToBase = func("subType", pvar("x"),
+      """{"_type":"genericTypeInstance","genericType":{"rawType":{"_type":"packageableType","fullPath":"mc::entity::baseOrder"}}}""")
+    def svc(queried: String) =
+      s"""{"classifierPath":"meta::legend::service::metamodel::Service","content":{
+         |"_type":"service","name":"s","package":"mc::service","pattern":"/s",
+         |"execution":{"_type":"pureSingleExecution","mapping":"mc::mapping::m",
+         |"func":${lambda(
+            func("filter",
+              func("getAll", ptr(s"mc::entity::$queried")),
+              lambda(func("greaterThan", pprop(subTypeToBase, "price"),
+                lit("float", "0.0")), "x")))}}}}""".stripMargin
+
+    // queried entity = bigOrder, mapping lists widget first: the
+    // subType(@baseOrder) is vacuous FOR BIGORDER and must compile
+    // (old rooting checked it against widget and rejected)
+    val ok = LegendLoader.fromJsonStrings(Seq(
+      baseJson, bigJson, widgetJson, mappingOf("widget", "bigOrder"), svc("bigOrder")))
+    assert(ok.services.contains("mc::service::s"))
+
+    // queried entity = widget, mapping lists bigOrder first: the
+    // narrowing is UNRELATED for widget and must reject loudly (old
+    // rooting checked it against bigOrder and silently erased it)
+    val badSvc = scala.util.Try(LegendLoader.fromJsonStrings(Seq(
+      baseJson, bigJson, widgetJson, mappingOf("bigOrder", "widget"), svc("widget"))))
+    assert(badSvc.isFailure &&
+      badSvc.failed.get.getMessage.contains("subType"), badSvc.toString)
+  }
 }

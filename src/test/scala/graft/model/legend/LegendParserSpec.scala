@@ -734,6 +734,48 @@ class LegendParserSpec extends SparkTestBase {
     assert(opaque.isFailure && opaque.failed.get.getMessage.contains("eval"), opaque.toString)
   }
 
+  test("r15 advisory: pointer resolution — exact beats prefix, mangle suffix must parse, reserved bare mangles reject") {
+    // (a) a registered function whose PATH prefixes another registered
+    // function's name must not make the exact pointer ambiguous: exact
+    // lookup wins before any prefix matching
+    val pair = PureParser.parseScript(
+      """function a::b::double(x: Integer[1]): Integer[1] { $x * 2 }
+        |function a::b::double_v2(x: Integer[1]): Integer[1] { $x * 3 }
+        |""".stripMargin)._1
+    def sqlWith(fns: Map[String, PureExpr.PFunction])(s: String): String =
+      PureToSql.lambda(PureExpr.inlineUserFunctions(PureParser.parse(s), fns))
+    assert(sqlWith(pair)("eval(a::b::double_v2, 4)") == "(4 * 3)")
+    assert(sqlWith(pair)("eval(a::b::double, 4)") == "(4 * 2)")
+    // and double_v2's MANGLED pointer picks double_v2, not double (the
+    // remainder "v2_Integer_1__Integer_1_" is not a valid mangle for
+    // double, so the bare prefix can't claim it)
+    assert(sqlWith(pair)("eval(a::b::double_v2_Integer_1__Integer_1_, 4)") == "(4 * 3)")
+    // (b) when only `double` is registered, double_v2's mangled pointer
+    // must REJECT, not silently inline the wrong function
+    val only = pair.filter(_._1 == "a::b::double")
+    val wrong = scala.util.Try(
+      sqlWith(only)("eval(a::b::double_v2_Integer_1__Integer_1_, 4)"))
+    assert(wrong.isFailure &&
+      wrong.failed.get.getMessage.contains("does not name"), wrong.toString)
+    // (c) a reserved-colliding BARE mangled pointer requires the full
+    // path (the reserved check applies to the demangled base name, not
+    // the full mangled string)
+    val reserved = PureParser.parseScript(
+      """function demo::fns::filter(x: Integer[1]): Integer[1] { $x + 1 }
+        |""".stripMargin)._1
+    val bare = scala.util.Try(
+      sqlWith(reserved)("eval(filter_Integer_1__Integer_1_, 4)"))
+    assert(bare.isFailure &&
+      bare.failed.get.getMessage.contains("does not name"), bare.toString)
+    assert(sqlWith(reserved)(
+      "eval(demo::fns::filter_Integer_1__Integer_1_, 4)") == "(4 + 1)")
+    // the mangle-suffix recognizer itself
+    assert(PureExpr.looksMangledSignature("Integer_1__Integer_1_"))
+    assert(PureExpr.looksMangledSignature("String_MANY__Boolean_$0_1$_"))
+    assert(!PureExpr.looksMangledSignature("v2_Integer_1__Integer_1_"))
+    assert(!PureExpr.looksMangledSignature(""))
+  }
+
   test("r14 widening: subType(@Ancestor) on a typed chain compiles to identity") {
     // the two-level lattice corpus (LegendQueries.subModel): bigOrder
     // extends baseOrder, entity files loaded SUBCLASS-FIRST — the

@@ -6,10 +6,19 @@ The gate's recursive-CTE oracle computes the FULL transitive closure
 re-joined once per diameter step. Exact and fine through sf10, but at
 sf100 the fixed-corpus candidate graph has a 5,297-node component and
 sum k^2 = 468M, so the closure grinds for hours (killed at 2.4h in
-round 14). This mirror computes the SAME grouping in DuckDB with
-pointer-jumped min-label propagation driven by a tiny Python loop —
-O(log n) rounds of linear-size joins — then compares against graft's
-materialized d6 result exactly (same columns, same canonical form).
+round 14). This mirror computes the SAME grouping in DuckDB by graph
+CONTRACTION (r15, advisory fix): each round every root adopts its
+minimum neighbor ROOT, labels path-compress to a fixpoint, and the
+edge table is REWIRED onto the surviving roots (self-loops dropped) —
+so components at least halve per round and the loop is O(log n) on
+ANY topology, the same Shiloach–Vishkin-family argument as
+Dedup.scala's large-star/small-star. The earlier min-label
+propagation over the STATIC edge table was O(diameter) under
+adversarial id placement even with pointer jumping (measured here: a
+shuffled-id 4096-path blew the old 64-round cap; the contraction form
+closes it in 8), which would have aborted exactly the big-decade runs
+this tool exists for. It then compares against graft's materialized
+d6 result exactly (same columns, same canonical form).
 
 DuckDB still does ALL the data work (shingles, minhash, banding,
 candidate pairs via the committed oracle SQL prefix; label joins); the
@@ -54,33 +63,53 @@ def main():
     print(f"[cc] candidate edges (directed): {n_edges} "
           f"({time.time() - t0:.1f}s)", flush=True)
 
-    # min-label propagation with pointer jumping: lbl(id) starts at id;
-    # each round takes the min over neighbours' labels AND the label's
-    # label (path halving), so convergence is O(log n) rounds.
+    # contraction loop (see module docstring): roots adopt min neighbor
+    # root (nl <= r, so the label forest stays acyclic), compress, then
+    # REWIRE edges onto surviving roots — the edge table shrinks every
+    # round, done when it is empty.
     con.sql("CREATE TABLE lbl AS SELECT DISTINCT a AS id, a AS l FROM und")
+    con.sql("CREATE TABLE e AS SELECT DISTINCT a, b FROM und WHERE a <> b")
     rounds = 0
     while True:
         rounds += 1
         t1 = time.time()
         con.sql("""
+            CREATE OR REPLACE TABLE m AS
+            SELECT a AS r, least(a, min(b)) AS nl FROM e GROUP BY a""")
+        con.sql("""
             CREATE OR REPLACE TABLE lbl2 AS
-            SELECT x.id, least(x.l, coalesce(min(nl.l), x.l),
-                               coalesce(min(ll.l), x.l)) AS l
-            FROM lbl x
-            LEFT JOIN und u ON u.a = x.id
-            LEFT JOIN lbl nl ON nl.id = u.b
-            LEFT JOIN lbl ll ON ll.id = x.l
-            GROUP BY x.id, x.l""")
-        changed = con.sql(
-            "SELECT count(*) FROM lbl2 j JOIN lbl o ON j.id = o.id "
-            "WHERE j.l <> o.l").fetchone()[0]
+            SELECT x.id, coalesce(m.nl, x.l) AS l
+            FROM lbl x LEFT JOIN m ON m.r = x.l""")
+        jumps = 0
+        while True:
+            jumps += 1
+            con.sql("""
+                CREATE OR REPLACE TABLE lbl3 AS
+                SELECT x.id, coalesce(p.l, x.l) AS l
+                FROM lbl2 x LEFT JOIN lbl2 p ON p.id = x.l AND p.l <> x.l""")
+            moved = con.sql(
+                "SELECT count(*) FROM lbl3 j JOIN lbl2 o ON j.id = o.id "
+                "WHERE j.l <> o.l").fetchone()[0]
+            con.sql("DROP TABLE lbl2"); con.sql("ALTER TABLE lbl3 RENAME TO lbl2")
+            if moved == 0:
+                break
+            if jumps > 80:  # 2^80 path length is impossible — a bug, not data
+                raise SystemExit(
+                    "FAIL d6_dup_groups: path compression did not converge")
+        con.sql("""
+            CREATE OR REPLACE TABLE e2 AS
+            SELECT DISTINCT la.l AS a, lb.l AS b FROM e
+            JOIN lbl2 la ON la.id = e.a JOIN lbl2 lb ON lb.id = e.b
+            WHERE la.l <> lb.l""")
+        n_live = con.sql("SELECT count(*) FROM e2").fetchone()[0]
         con.sql("DROP TABLE lbl"); con.sql("ALTER TABLE lbl2 RENAME TO lbl")
-        print(f"[cc] round {rounds}: {changed} labels moved "
+        con.sql("DROP TABLE e"); con.sql("ALTER TABLE e2 RENAME TO e")
+        print(f"[cc] round {rounds}: {n_live} live edges, {jumps} jumps "
               f"({time.time() - t1:.1f}s)", flush=True)
-        if changed == 0:
+        if n_live == 0:
             break
-        if rounds > 64:
-            raise SystemExit("FAIL d6_dup_groups: label propagation did not converge")
+        if rounds > 200:  # ~log2(n) expected; 200 means a logic bug, say so
+            raise SystemExit("FAIL d6_dup_groups: contraction did not converge")
 
     con.sql("""
         CREATE TABLE expect AS

@@ -33,10 +33,14 @@ def main():
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))["q25_range_join"]
     t0 = time.time()
+    # window_id mod-reduced before the multiply, mirroring
+    # ChecksumVerify.scala (r15): (w%M)*A ≡ w*A (mod M) and the product
+    # stays under 2^63, so neither engine's BIGINT path can overflow at
+    # any decade; fingerprint values are unchanged.
     n, fp1, fp2 = con.sql(
         f"SELECT count(*), "
-        f"SUM(((window_id * {A1} + event_id) % {M1})::HUGEINT), "
-        f"SUM(((window_id * {A2} + event_id) % {M2})::HUGEINT) "
+        f"SUM((((window_id % {M1}) * {A1} + event_id) % {M1})::HUGEINT), "
+        f"SUM((((window_id % {M2}) * {A2} + event_id) % {M2})::HUGEINT) "
         f"FROM ({oracle}) t").fetchone()
     sec = time.time() - t0
     print(json.dumps({"query": "q25_range_join", "engine": "duckdb",
