@@ -153,9 +153,24 @@ class ModelSpec extends SparkTestBase {
     assert(sql.contains("c_acctbal"))          // business rule in table space
   }
 
+  /** The delta branches execute against [[graft.testdelta.DeltaishCatalog]]
+    * (r15): an in-memory DSv2 catalog supporting group-based row-level
+    * operations — the same connector contracts Delta implements — so the
+    * dispatch path (availability probe → DDL with USING delta →
+    * `MERGE INTO` SQL) runs END TO END here, with only real-Delta
+    * semantics (log, time travel) out of scope per the BASELINE
+    * infeasibility note. Tables live under an explicit catalog prefix;
+    * the parquet branches keep exercising the session catalog. */
+  private def deltaTable(name: String): String = {
+    spark.conf.set("spark.sql.catalog.graft_delta",
+      classOf[graft.testdelta.DeltaishCatalog].getName)
+    s"graft_delta.default.$name"
+  }
+
   // format-parameterized M9: the DDL/dispatch plumbing is identical for
   // every TableFormat; execution runs for each format the session can
-  // actually execute (parquet always; delta when its jars are present)
+  // actually execute (parquet in the session catalog; delta through the
+  // row-level-ops test catalog)
   for (format <- Seq("parquet", "delta"))
     test(s"M9: table DDL carries comments; create+write+read round trip [$format]") {
       val fmt = TableFormat.forName(format)
@@ -164,14 +179,15 @@ class ModelSpec extends SparkTestBase {
       assert(ddl.contains("COMMENT 'Legal name'"))
       assert(ddl.contains(s"USING $format"))
       assume(fmt.available(spark), s"$format jars not on this classpath")
+      val tbl = if (format == "delta") deltaTable("graft_m9_tmp") else "graft_m9_tmp"
       val tmpModel = model.copy(mappings = model.mappings +
-        ("tmp" -> model.mapping("tpch::mapping::Customer").copy(table = "graft_m9_tmp")))
+        ("tmp" -> model.mapping("tpch::mapping::Customer").copy(table = tbl)))
       try {
         TableGen.create(spark, tmpModel, "tmp", format)
         val src = graft.Tables(spark, sfDir, "customer").limit(5)
         TableGen.write(src, tmpModel, "tmp")
-        assert(spark.table("graft_m9_tmp").count() == 5)
-      } finally spark.sql("DROP TABLE IF EXISTS graft_m9_tmp")
+        assert(spark.table(tbl).count() == 5)
+      } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
     }
 
   // format-parameterized M14 like M9: parquet always executes; the delta
@@ -180,19 +196,20 @@ class ModelSpec extends SparkTestBase {
     test(s"M14: SCD-1 merge round trip - insert, update, no-op rows [$format]") {
       val fmt = TableFormat.forName(format)
       assume(fmt.available(spark), s"$format jars not on this classpath")
+      val tbl = if (format == "delta") deltaTable("graft_m14_tmp") else "graft_m14_tmp"
       val tmpModel = model.copy(mappings = model.mappings +
-        ("tmp" -> model.mapping("tpch::mapping::Customer").copy(table = "graft_m14_tmp")))
+        ("tmp" -> model.mapping("tpch::mapping::Customer").copy(table = tbl)))
       try {
         TableGen.create(spark, tmpModel, "tmp", format)
         val src = graft.Tables(spark, sfDir, "customer")
           .orderBy("c_custkey").limit(5)
         TableGen.write(src, tmpModel, "tmp")
-        val before = spark.table("graft_m14_tmp").collect()
+        val before = spark.table(tbl).collect()
           .map(r => r.getAs[Long]("c_custkey") -> r).toMap
         val keys = before.keySet.toSeq.sorted
         // source: update rows for keys(0), keys(1); insert one new key;
         // keys(2..4) untouched (no-op)
-        val updates = spark.table("graft_m14_tmp")
+        val updates = spark.table(tbl)
           .filter(org.apache.spark.sql.functions.col("c_custkey").isin(keys(0), keys(1)))
           .withColumn("c_acctbal", org.apache.spark.sql.functions.lit(9999.25))
           .localCheckpoint() // detach from the table before it is rewritten
@@ -200,7 +217,7 @@ class ModelSpec extends SparkTestBase {
           .orderBy(org.apache.spark.sql.functions.col("c_custkey").desc).limit(1)
           .withColumn("c_custkey", org.apache.spark.sql.functions.lit(999999L))
         TableGen.merge(spark, tmpModel, "tmp", updates.unionByName(insert), Seq("c_custkey"), format)
-        val after = spark.table("graft_m14_tmp").collect()
+        val after = spark.table(tbl).collect()
           .map(r => r.getAs[Long]("c_custkey") -> r).toMap
         assert(after.size == 6) // 5 originals + 1 insert
         assert(after(keys(0)).getAs[Double]("c_acctbal") == 9999.25)
@@ -208,7 +225,7 @@ class ModelSpec extends SparkTestBase {
         assert(after.contains(999999L))
         // no-op rows byte-identical
         for (k <- keys.drop(2)) assert(after(k) == before(k))
-      } finally spark.sql("DROP TABLE IF EXISTS graft_m14_tmp")
+      } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
     }
 
   test("M14: partitioned merge rewrites ONLY touched partitions") {
@@ -345,11 +362,19 @@ class ModelSpec extends SparkTestBase {
   }
 
   test("M9: an unavailable format fails fast with its name, before any DDL") {
-    assume(!TableFormat.Delta.available(spark), "delta IS available here")
-    val e = intercept[IllegalArgumentException] {
-      TableGen.create(spark, model, "tpch::mapping::Customer", "delta")
-    }
-    assert(e.getMessage.contains("delta"))
+    // r15: the test classpath now carries the DeltaCatalog probe marker,
+    // so unavailability is exercised through the operational kill-switch
+    // (graft.format.disable) rather than the bare classpath — the same
+    // require path either way
+    spark.conf.set("graft.format.disable", "delta")
+    try {
+      assert(!TableFormat.Delta.available(spark))
+      val e = intercept[IllegalArgumentException] {
+        TableGen.create(spark, model, "tpch::mapping::Customer", "delta")
+      }
+      assert(e.getMessage.contains("delta"))
+    } finally spark.conf.unset("graft.format.disable")
+    assert(TableFormat.Delta.available(spark), "probe marker must be on the test classpath")
     // generic formats pass through the seam unprobed
     assert(TableFormat.forName("orc") == TableFormat.Passthrough("orc"))
     assert(TableGen.ddl(model, "tpch::mapping::Customer", "orc").contains("USING orc"))
