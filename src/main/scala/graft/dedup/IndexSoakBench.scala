@@ -19,14 +19,26 @@ import graft.{GraftSession, Tables}
   * (max, p99, over-cap count), compact when [[DedupIndex.needsCompaction]]
   * fires (timed separately — never inside the probe measurement).
   *
-  * Usage: IndexSoakBench <sfDir> [cycles=6]; GRAFT_BENCH_RUNS probes
-  * per cycle (default 3, median reported).
+  * r15 (verdict item — the r14 soak never tripped the compactor): the
+  * `replayCycle` arg re-appends that cycle's survivors a second time,
+  * reproducing the documented at-least-once streaming crash window
+  * (ST10/ST16) — the duplicate (index_id, band_key) rows make
+  * [[DedupIndex.needsCompaction]] fire ORGANICALLY through its own
+  * trigger, not planted table surgery. Around the compaction the soak
+  * asserts the behavioral contract: the NEXT cycle's probe pair-set is
+  * computed against the dirty index and the compacted index and must
+  * be IDENTICAL (pair rows are signature-pure, so replay residue may
+  * cost candidates, never results).
+  *
+  * Usage: IndexSoakBench <sfDir> [cycles=6] [replayCycle=3, 0=off];
+  * GRAFT_BENCH_RUNS probes per cycle (default 3, median reported).
   */
 object IndexSoakBench {
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("scale_sf1")
     val cycles = if (args.length > 1) args(1).toInt else 6
+    val replayCycle = if (args.length > 2) args(2).toInt else 3
     val runs = sys.env.get("GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3)
     val spark = GraftSession.local("graft-index-soak-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -61,11 +73,21 @@ object IndexSoakBench {
       }.sorted
       val dups = DedupIndex.probe(idx, b, "doc_id", "text", IndexThreshold)
         .select(col("batch_id")).distinct()
+      // localCheckpoint PINS the survivor rows: the plan is lazy, and
+      // re-evaluating it after the first append would re-probe an index
+      // that now CONTAINS these documents — every row self-matches and
+      // the replay re-append silently writes nothing (r15 bug)
       val survivors = b.join(dups, b("doc_id") === dups("batch_id"), "left_anti")
+        .localCheckpoint()
       val nDup = nB - survivors.count()
       val tApp0 = System.nanoTime()
       DedupIndex.append(idx, survivors, "doc_id", "text", MaxBucket)
       val appendSec = (System.nanoTime() - tApp0) / 1e9
+      // streaming-replay crash window: the SAME batch appended again
+      // (at-least-once residue) — the duplicate signature rows must
+      // trip needsCompaction below through its own trigger
+      val replayed = (i + 1) == replayCycle
+      if (replayed) DedupIndex.append(idx, survivors, "doc_id", "text", MaxBucket)
       // bucket health AFTER the append (what the next probe will see)
       val health = DedupIndex.bucketSizes(idx)
         .agg(max(col("n_rows")).as("mx"),
@@ -74,12 +96,29 @@ object IndexSoakBench {
           count(lit(1)).as("buckets"), sum(col("n_rows")).as("rows"))
         .collect()(0)
       val tripped = DedupIndex.needsCompaction(idx, MaxBucket)
+      require(!replayed || tripped,
+        "replay residue must trip needsCompaction — the organic trigger is broken")
+      // behavioral contract across the compaction boundary: the next
+      // batch's probe pair-set must be identical dirty vs compacted
+      def probePairsHash(): (Long, Long) = {
+        val nxt = if (i + 1 < cycles) batch(i + 1) else b
+        val pairs = DedupIndex.probe(idx, nxt, "doc_id", "text", IndexThreshold)
+        val h = pairs.selectExpr("count(*) AS n",
+          "sum(hash(batch_id, index_id)) AS h").collect()(0)
+        (h.getLong(0), if (h.isNullAt(1)) 0L else h.getLong(1))
+      }
+      val preCompact = if (tripped) Some(probePairsHash()) else None
       val compactSec = if (tripped) {
         val t0 = System.nanoTime()
         DedupIndex.compact(idx, MaxBucket)
         (System.nanoTime() - t0) / 1e9
       } else 0.0
-      println(s"""{"cycle":${i + 1},"batch_docs":$nB,"dup_docs":$nDup,""" +
+      preCompact.foreach { pre =>
+        val post = probePairsHash()
+        require(pre == post,
+          s"probe results changed across compaction: $pre -> $post")
+      }
+      println(s"""{"cycle":${i + 1},"batch_docs":$nB,"dup_docs":$nDup,"replayed":$replayed,""" +
         s""""probe_median_sec":${graft.Fmt.dec(times(times.size / 2), 3)},""" +
         s""""probe_all":[${times.map(graft.Fmt.dec(_, 3)).mkString(",")}],""" +
         s""""append_sec":${graft.Fmt.dec(appendSec, 2)},""" +

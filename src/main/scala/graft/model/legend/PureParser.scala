@@ -201,7 +201,7 @@ object PureParser {
       val dup = params.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
       fail(dup.isEmpty, s"duplicate parameter name(s) ${dup.mkString(", ")} in function [$path]")
       expect(":")
-      pathIdent(); multiplicity()
+      typeRef(); multiplicity()
       expect("{")
       val body = bodyExpr()
       expect("}")
@@ -211,8 +211,30 @@ object PureParser {
     private def paramDecl(): String = {
       val name = ident()
       expect(":")
-      pathIdent(); multiplicity()
+      typeRef(); multiplicity()
       name
+    }
+
+    /** A type reference: `path` optionally followed by a generic
+      * argument block — `Function<{Integer[1]->Integer[1]}>` — which is
+      * validated for balance and DISCARDED like every other type in the
+      * type-context-free subset (r15: lets real Legend higher-order
+      * signatures parse; the function-typed parameter only becomes
+      * meaningful when a call site substitutes a lambda literal or a
+      * registered function pointer into it). */
+    private def typeRef(): Unit = {
+      pathIdent()
+      skipWs()
+      if (pos < text.length && text(pos) == '<') {
+        var depth = 0
+        do {
+          fail(pos < text.length, "unbalanced generic type arguments")
+          if (text(pos) == '<') depth += 1
+          // `->` inside a function type is an arrow, not a closer
+          if (text(pos) == '>' && text(pos - 1) != '-') depth -= 1
+          pos += 1
+        } while (depth > 0)
+      }
     }
 
     private def pathIdent(): String = {

@@ -847,6 +847,42 @@ class LegendParserSpec extends SparkTestBase {
       PureParser.parse("treble($this.qty)"), ok)) == "(qty * 3)")
   }
 
+  test("r15 widening: higher-order user functions — lambda-bound $f resolves when call sites pass literals or pointers") {
+    // a reusable predicate combinator, the shape real Legend models use
+    // for shared constraint logic: the function-typed parameter
+    // (Function<{...}>[1] generics parse and are discarded like every
+    // other type) becomes resolvable after ONE inlining level
+    val (fns, _) = PureParser.parseScript(
+      """function demo::hof::twice(f: Function<{Integer[1]->Integer[1]}>[1], x: Integer[1]): Integer[1]
+        |{ $f->eval($x) + $f->eval($x) }
+        |function demo::fns::double(x: Integer[1]): Integer[1] { $x * 2 }
+        |function demo::hof::applyTo(f: Function<{Integer[1]->Boolean[1]}>[1], x: Integer[1]): Boolean[1]
+        |{ $f->eval($x) }
+        |""".stripMargin)
+    def sql(s: String): String =
+      PureToSql.lambda(PureExpr.inlineUserFunctions(PureParser.parse(s), fns))
+    // call site passes a lambda LITERAL — $f substitutes, eval reduces
+    assert(sql("demo::hof::twice({y | $y * 3}, $this.qty)")
+      == "((qty * 3) + (qty * 3))")
+    // call site passes a registered function POINTER — resolves via the
+    // r14 pointer machinery after substitution
+    assert(sql("demo::hof::twice(demo::fns::double, 5)") == "((5 * 2) + (5 * 2))")
+    // mangled-pointer spelling through a let binding
+    assert(sql("let g = demo::fns::double_Integer_1__Integer_1_; " +
+      "demo::hof::twice($g, $this.qty)") == "((qty * 2) + (qty * 2))")
+    // end-to-end through a relational filter: the HOF stays pushable
+    val q = PureParser.querySql(model,
+      s"$Employee->getAll()->filter(x|demo::hof::applyTo({h | $$h > 20}, $$x.highFives))",
+      functions = fns)
+    assert(q.contains("high_fives > 20"), q)
+    // the remaining frontier: a lambda-parameter-bound $f with NO
+    // substituting call site (a bare lambda, nothing to inline) still
+    // rejects at translation
+    val opaque = scala.util.Try(sql("{f | $f->eval(1)}"))
+    assert(opaque.isFailure && opaque.failed.get.getMessage.contains("eval"),
+      opaque.toString)
+  }
+
   test("rejection frontier: the documented still-unsupported constructs fail loudly") {
     // The round-11 frontier survey (every corpus lambda + every
     // reference test string parses clean — proven above and in
@@ -866,12 +902,16 @@ class LegendParserSpec extends SparkTestBase {
     // decided by the TypeCtx the loaders bind — the r14 test above),
     // and eval of a function POINTER left it when the pointer names a
     // REGISTERED function (full path / mangled / bare — the r14 eval
-    // test above). What remains outside: eval of an OPAQUE function
+    // test above). round 15: higher-order USER functions left it —
+    // a lambda-bound $f inside a user-function body resolves when the
+    // call site passes a lambda literal or a registered pointer (one
+    // inlining level; the r15 HOF test above), and Function<{..}>
+    // generics parse. What remains outside: eval of an OPAQUE function
     // value (a pointer with no registry entry, or a lambda-parameter-
-    // bound $f — nothing to inline), subType on a chain the lattice
-    // can't type, and STRICT downcasts — those have row-filtering
-    // semantics that genuinely need a type discriminator column flat
-    // single-class mappings don't have
+    // bound $f with NO substituting call site — nothing to inline),
+    // subType on a chain the lattice can't type, and STRICT downcasts —
+    // those have row-filtering semantics that genuinely need a type
+    // discriminator column flat single-class mappings don't have
     val stillRejected = Seq(
       "meta::pure::functions::lang::eval(f, 1)",      // pointer, EMPTY registry
       "$this.sme->subType(@SomeClass)")               // untypeable chain / no context

@@ -102,6 +102,41 @@ class BucketedSpec extends SparkTestBase {
     }
   }
 
+  /** r15 (verdict item): the layout that closed the q31/q32 perf flags
+    * is a SUPPORTED deployment shape, not a bench artifact — pin its
+    * plan contract next to the gate queries themselves. */
+  test("q31/q32 on the user_id-bucketed events layout run with zero user_id shuffles") {
+    val oldAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_events")
+      val flat = graft.Tables(spark, sfDir, "events")
+      Bucketed.writeEventsByUser(flat.select(col("user_id"), col("ts")),
+        "graft_bkt_events", numBuckets = 4)
+      val bucketed = spark.table("graft_bkt_events")
+      import graft.ops.Relational
+      for ((name, q) <- Seq(
+          "q31" -> (Relational.slidingDau _),
+          "q32" -> (Relational.retention _))) {
+        val flatUser = shuffles(q(flat)).count(_.output.exists(_.name == "user_id"))
+        val bktUser = shuffles(q(bucketed)).count(_.output.exists(_.name == "user_id"))
+        assert(flatUser >= 1, s"control: flat $name must shuffle on user_id")
+        assert(bktUser == 0,
+          s"$name on the bucketed layout must not shuffle user_id — bucket " +
+            "partitioning satisfies the per-user aggregate's distribution")
+        // results hash-identical across layouts
+        def h(df: org.apache.spark.sql.DataFrame) = {
+          val cols = df.columns.sorted.mkString(", ")
+          df.selectExpr(s"sum(hash($cols))").first().getLong(0)
+        }
+        assert(h(q(flat)) == h(q(bucketed)), s"$name results differ between layouts")
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", oldAqe)
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_events")
+    }
+  }
+
   test("negative control: the same join unbucketed shuffles both sides") {
     val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
