@@ -117,6 +117,32 @@ class MultimodalSpec extends SparkTestBase {
     assert(batched == byId.map { case (k, v) => k -> v.toSeq })
   }
 
+  test("X4 r15: a corrupt-heavy batch flows through the real decoder — every record lands, none kills the task") {
+    // 50% of the batch is truncated mid-stream (decodable header, dead
+    // pixel data — the codec's real error path, not a length shortcut);
+    // DecodeBench generates the same corpus shape for the throughput
+    // receipt. Contract: output count == input count, corrupt records
+    // carry the byte-histogram fallback, intact ones carry real
+    // luminance features.
+    val recs = (0L until 40L).map { id =>
+      val png = graft.multimodal.DecodeBench.syntheticPng(id, 32)
+      val payload = if (id % 2 == 0) png.take(png.length / 2) else png
+      MediaRecord(id, "png", payload, 32, 32, payload.length.toLong)
+    }
+    val out = Multimodal.extractFeaturesBatched(
+      spark.createDataset(recs), batchSize = 8, decoder = ImageIoDecoder).collect()
+    assert(out.length == 40, "every record must land — no task death on corrupt bytes")
+    val byId = out.map(r => r.doc_id -> r.features).toMap
+    for (r <- recs) {
+      val f = byId(r.doc_id)
+      assert(math.abs(f.sum - 1.0) < 1e-9)
+      if (r.doc_id % 2 == 0) // corrupt -> stub histogram of the truncated bytes
+        assert(f.toSeq == Multimodal.decodeStub(r.payload).toSeq)
+      else                   // intact -> REAL pixel features, not the stub
+        assert(f.toSeq != Multimodal.decodeStub(r.payload).toSeq)
+    }
+  }
+
   test("X4: PNG round-trip is lossless - decoded pixels equal what was encoded") {
     val img = ImageIoDecoder.decode(pngBytes(5, 3)((x, y) => (x * 40 << 16) | (y * 80 << 8) | 7)).get
     for (y <- 0 until 3; x <- 0 until 5)
