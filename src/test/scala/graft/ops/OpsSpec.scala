@@ -237,7 +237,7 @@ class OpsSpec extends SparkTestBase {
     assert(bc.count() == 100)
   }
 
-  test("R31: sliding DAU interval decomposition equals a naive per-day distinct recount") {
+  test("R31: sliding DAU (day-bitmask form) equals a naive per-day distinct recount") {
     import spark.implicits._
     // activity patterns that stress the disjoint-interval construction:
     // A every day; B a single day; C two days exactly 7 apart (adjacent
@@ -273,7 +273,58 @@ class OpsSpec extends SparkTestBase {
     assert(!got.contains("2024-03-11") && got.contains("2024-03-21"))
   }
 
-  test("R31: one scan, no fact-sized sort — the only Window inputs are deduped pairs and the day domain") {
+  test("R31/R32 r15: randomized activity vs brute force, including mod-64 WRAP windows") {
+    import spark.implicits._
+    // the bitmask forms store bits at (day|week index) mod 64 — the
+    // adversarial case is a corpus whose index range straddles a
+    // multiple of 64, where the cyclic rotation must still reconstruct
+    // exact offsets. Base days chosen to force both: 19772 mod 64 = 60
+    // (day wrap inside a 30-day span); epoch day 20150 sits at week
+    // index 2878 ≡ 62 (mod 64) (week wrap inside a 5-week span). Plus a
+    // no-wrap control and a tiny dense corpus.
+    val cases = Seq(
+      (19772L, 30, 20, 7L),  // day-index wrap
+      (20150L, 35, 15, 11L), // week-index wrap
+      (19723L, 28, 10, 3L),  // no wrap (2024-01-01)
+      (19999L, 12, 4, 5L))   // small dense
+    for ((baseDay, spanDays, nUsers, seed) <- cases) {
+      val rng = new scala.util.Random(seed)
+      val rows = for {
+        u <- 1 to nUsers
+        _ <- 0 until (1 + rng.nextInt(8))
+      } yield (u.toLong, baseDay + rng.nextInt(spanDays))
+      val df = rows.map { case (u, d) =>
+        // mid-day instant so date truncation is unambiguous in UTC
+        (u, new java.sql.Timestamp(d * 86400000L + 43200000L))
+      }.toDF("user_id", "ts")
+
+      val active: Map[Long, Set[Long]] =
+        rows.groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).toSet }
+      // --- q31 brute force: per active day, users active in [d-6, d]
+      val domain = active.values.flatten.toSet
+      val expDau = domain.map { d =>
+        java.time.LocalDate.ofEpochDay(d).toString ->
+          active.count { case (_, ds) => ds.exists(a => a <= d && a > d - 7) }.toLong
+      }.toMap
+      val gotDau = Relational.slidingDau(df).as[(String, Long)].collect().toMap
+      assert(gotDau == expDau, s"q31 mismatch for base=$baseDay seed=$seed")
+
+      // --- q32 brute force: Monday weeks, cohort = min week
+      def week(d: Long): Long = Math.floorDiv(d - 4, 7)
+      val perUserWeeks = active.map { case (u, ds) => u -> ds.map(week) }
+      val expRet = perUserWeeks.toSeq
+        .flatMap { case (_, ws) => val c = ws.min; ws.map(w => (c, w - c)) }
+        .groupBy(identity).map { case ((c, o), xs) =>
+          (java.time.LocalDate.ofEpochDay(c * 7 + 4).toString, o) -> xs.size.toLong
+        }
+      val gotRet = Relational.retention(df)
+        .as[(String, Long, Long)].collect()
+        .map { case (cw, o, n) => (cw, o) -> n }.toMap
+      assert(gotRet == expRet, s"q32 mismatch for base=$baseDay seed=$seed")
+    }
+  }
+
+  test("R31: one scan, no Window, no fact-sized sort in the bitmask plan") {
     val df = graft.SparkEntry.queries("q31_sliding_dau")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
     val scans = "Scan parquet".r.findAllIn(plan).size
