@@ -55,6 +55,27 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("\nSort "), "top-k must not globally sort")
   }
 
+  test("r15 q31/q32 bitmask plans: pruned 2-column scan, partial-agg'd Long state, no object aggregate") {
+    for (name <- Seq("q31_sliding_dau", "q32_retention")) {
+      val plan = executedPlanOf(name)
+      // the per-user bitmask needs ONLY (user_id, ts) — payload columns
+      // (event_type, value, props) must never leave the parquet reader
+      val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+      assert(readSchema.contains("user_id") && readSchema.contains("ts"),
+        s"$name: expected user_id+ts in scan: $readSchema")
+      for (c <- Seq("event_type", "value", "props"))
+        assert(!readSchema.contains(c), s"$name: unpruned scan column $c: $readSchema")
+      // codegen'd Long-state aggregate — the whole point of the rewrite:
+      // no ObjectHashAggregate (collect_set) and no SortAggregate
+      // fallback anywhere in the plan
+      assert(!plan.contains("ObjectHashAggregate"), s"$name: object aggregate leaked:\n$plan")
+      assert(!plan.contains("SortAggregate"), s"$name: sort-based aggregate leaked:\n$plan")
+      // map-side combine on the fact-sized exchange
+      assert(plan.linesIterator.count(_.contains("HashAggregate")) >= 2,
+        s"$name: expected partial+final HashAggregate")
+    }
+  }
+
   test("aggregates use map-side partial aggregation") {
     val plan = sparkPlanOf("q1_agg")
     // two HashAggregate nodes (partial + final) around the exchange
