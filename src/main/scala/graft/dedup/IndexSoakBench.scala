@@ -99,24 +99,33 @@ object IndexSoakBench {
       require(!replayed || tripped,
         "replay residue must trip needsCompaction — the organic trigger is broken")
       // behavioral contract across the compaction boundary: the next
-      // batch's probe pair-set must be identical dirty vs compacted
-      def probePairsHash(): (Long, Long) = {
-        val nxt = if (i + 1 < cycles) batch(i + 1) else b
-        val pairs = DedupIndex.probe(idx, nxt, "doc_id", "text", IndexThreshold)
-        val h = pairs.selectExpr("count(*) AS n",
-          "sum(hash(batch_id, index_id)) AS h").collect()(0)
-        (h.getLong(0), if (h.isNullAt(1)) 0L else h.getLong(1))
+      // batch's probe pair-set must be identical dirty vs compacted.
+      // r16 (advisory): compare the SORTED pair keys (batch scale is
+      // test-sized), not an order-insensitive hash sum that can collide
+      // on a changed pair set with equal count; and SKIP the invariant
+      // on the final cycle, where the probe target would fall back to
+      // the just-appended current batch and every row self-matches.
+      val hasNext = i + 1 < cycles
+      def probePairs(): Seq[(Long, Long)] = {
+        val pairs = DedupIndex.probe(idx, batch(i + 1), "doc_id", "text",
+          IndexThreshold)
+        pairs.selectExpr("batch_id", "index_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
       }
-      val preCompact = if (tripped) Some(probePairsHash()) else None
+      val preCompact = if (tripped && hasNext) Some(probePairs()) else None
+      if (tripped && !hasNext)
+        println(s"""{"note":"compaction on final cycle ${i + 1}: """ +
+          """probe invariant skipped (no next batch; self-match would be vacuous)"}""")
       val compactSec = if (tripped) {
         val t0 = System.nanoTime()
         DedupIndex.compact(idx, MaxBucket)
         (System.nanoTime() - t0) / 1e9
       } else 0.0
       preCompact.foreach { pre =>
-        val post = probePairsHash()
+        val post = probePairs()
         require(pre == post,
-          s"probe results changed across compaction: $pre -> $post")
+          s"probe pair set changed across compaction: ${pre.size} pre vs ${post.size} post; " +
+            s"first diff: ${(pre.diff(post) ++ post.diff(pre)).headOption}")
       }
       println(s"""{"cycle":${i + 1},"batch_docs":$nB,"dup_docs":$nDup,"replayed":$replayed,""" +
         s""""probe_median_sec":${graft.Fmt.dec(times(times.size / 2), 3)},""" +

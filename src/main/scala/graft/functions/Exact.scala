@@ -18,18 +18,26 @@ import org.apache.spark.sql.functions._
   *
   * [[roundLong]] computes the same HALF_UP long with two arithmetic
   * ops: `cast(d + 0.5σ)` where σ = sign(d) and the cast truncates
-  * toward zero. This is EXACTLY BigDecimal-HALF_UP for |d| < 2^52:
-  * x.5 decision boundaries are dyadic (exactly representable), so any
-  * double d ≠ x.5 sits strictly on one side, its shortest decimal
-  * representation (what BigDecimal.valueOf sees) sits on the same
-  * side, and the float add d+0.5 is either exact (same binade,
-  * 0.5 a multiple of the spacing) or rounds by ≤ the spacing within
-  * the same unit interval — never across the floor boundary. Above
-  * 2^52 doubles are already integers and `round` itself is vacuous;
-  * the helper's +0.5 tie could flip to the even neighbor there, so
-  * callers summing values beyond ~4.5e15 (=$45T per ROW at e2) must
-  * not use it — none of the engine's money columns are within 8
-  * orders of magnitude of that.
+  * toward zero.
+  *
+  * INPUT-DOMAIN RESTRICTION (r16, corrected after an advisory found
+  * the original "never across the floor boundary" claim false): the
+  * float add d+0.5 rounds to nearest, so for the handful of doubles
+  * that sit within half an ulp BELOW an exact x.5 boundary the sum
+  * rounds UP across it — e.g. 0.49999999999999994 + 0.5 == 1.0
+  * exactly, so roundLong gives 1 where BigDecimal-HALF_UP (and
+  * therefore Spark's `round` and DuckDB's `round`) give 0. roundLong
+  * is exact BigDecimal-HALF_UP only for inputs that are never within
+  * 1 ulp of an x.5 boundary. That holds by construction for the
+  * engine's only call sites — [[e2]]-style scaled money, where the
+  * double is (2-decimal value)×100 and so sits within a few ulps of
+  * an INTEGER, maximally far from x.5 — but it is NOT a general
+  * drop-in for `round`: where exact cross-engine agreement is
+  * load-bearing on arbitrary doubles, keep the engine-native round.
+  * Separately, above 2^52 doubles are already integers and the +0.5
+  * tie could flip to the even neighbor, so callers must stay below
+  * ~4.5e15 (=$45T per row at e2); the engine's money columns are 8
+  * orders of magnitude below that.
   */
 object Exact {
 

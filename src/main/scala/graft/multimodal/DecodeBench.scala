@@ -60,15 +60,20 @@ object DecodeBench {
 
   def corpus(spark: org.apache.spark.sql.SparkSession, n: Int, side: Int,
              corruptPct: Int): Dataset[MediaRecord] = {
+    require(corruptPct >= 0 && corruptPct <= 100,
+      s"corruptPct must be in [0,100], got $corruptPct")
     import spark.implicits._
     spark.range(n).repartition(spark.sparkContext.defaultParallelism)
       .mapPartitions { it =>
         it.map { id =>
           val png = syntheticPng(id, side)
-          // every k-th record truncated mid-IDAT: decodable header, dead
+          // corrupted records truncated mid-IDAT: decodable header, dead
           // pixel stream — exercises the codec's error path, not a
-          // cheap length==0 shortcut
-          val corrupt = corruptPct > 0 && id % (100 / corruptPct) == 0
+          // cheap length==0 shortcut. id*pct % 100 < pct hits EXACTLY
+          // pct% of ids for any pct in [0,100] (r16: the old
+          // id % (100/pct) divided by zero for pct>100 and skewed the
+          // rate for non-divisors of 100).
+          val corrupt = id * corruptPct % 100 < corruptPct
           val payload = if (corrupt) png.take(png.length / 2) else png
           MediaRecord(id, "png", payload, side, side, payload.length)
         }

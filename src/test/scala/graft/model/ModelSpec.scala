@@ -375,6 +375,18 @@ class ModelSpec extends SparkTestBase {
       assert(e.getMessage.contains("delta"))
     } finally spark.conf.unset("graft.format.disable")
     assert(TableFormat.Delta.available(spark), "probe marker must be on the test classpath")
+    // r16 (advisory): the probe FQCN is Delta's real plugin name — assert
+    // the class the probe actually loads is OUR test marker (it exposes
+    // the GraftTestMarker tag), so an accidental real delta-spark test
+    // dependency fails loudly instead of silently shadowing the marker
+    // and making probe results depend on classpath order.
+    val loaded = Class.forName("org.apache.spark.sql.delta.catalog.DeltaCatalog$")
+    val tag = scala.util.Try(
+      loaded.getMethod("GraftTestMarker")
+        .invoke(loaded.getField("MODULE$").get(null)))
+    assert(tag == scala.util.Success(true),
+      s"the loaded DeltaCatalog is not graft's test marker (got $tag) — " +
+        "a real delta-spark jar is shadowing it on the test classpath")
     // generic formats pass through the seam unprobed
     assert(TableFormat.forName("orc") == TableFormat.Passthrough("orc"))
     assert(TableGen.ddl(model, "tpch::mapping::Customer", "orc").contains("USING orc"))

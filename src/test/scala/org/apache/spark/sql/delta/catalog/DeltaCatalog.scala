@@ -15,3 +15,13 @@ package org.apache.spark.sql.delta.catalog
   * `graft.format.disable` kill-switch (ModelSpec).
   */
 class DeltaCatalog private ()
+
+/** Static tag distinguishing this marker from Delta's real plugin class
+  * (r16, advisory): if real delta-spark jars ever land on the test
+  * classpath, the duplicate FQCN would make probe results depend on
+  * classpath order and could silently shadow the marker. ModelSpec
+  * asserts the loaded class exposes this tag, so an accidental real
+  * Delta dependency fails LOUDLY instead of masking availability. */
+object DeltaCatalog {
+  val GraftTestMarker: Boolean = true
+}
