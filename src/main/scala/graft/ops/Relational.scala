@@ -465,19 +465,21 @@ object Relational {
   /** R31: sliding-window distinct users (trailing-7-day DAU per day) —
     * the op a naive engine recomputes as a per-day COUNT(DISTINCT) over
     * a 7-day self-join (7× re-scan) or a windowed distinct (holds user
-    * sets in window state). r15: day-bitmask aggregate (see
-    * [[slidingDau]]) — ONE fact-sized Exchange, then a single-row
-    * popcount reduce; the interval explode, the ±1-delta shuffle, and
-    * the ordered cumulative window are all gone. */
+    * sets in window state). r15: day-bitmask aggregate — ONE fact-sized
+    * Exchange, then a popcount reduce; the interval explode, the
+    * ±1-delta shuffle, and the ordered cumulative window are all gone.
+    * r16: the BLOCKED multi-word form ([[slidingDau]]) lifted the
+    * single-word form's 57-day global-span guard — exact at any
+    * calendar span, measured at parity. */
   def q31SlidingDau(s: SparkSession, dir: String): DataFrame =
     slidingDau(t(s, dir, "events"))
 
-  /** Core of R31, on any (user_id, ts) relation — factored out so the
-    * OpsSpec can drive planted activity patterns through the identical
-    * pipeline. Output days are the ACTIVE days only (a day with no
-    * events has no row, even when inside some user's trailing window) —
-    * the same domain the oracle's `dom` CTE uses. */
-  def slidingDau(events: DataFrame): DataFrame = {
+  /** r15 single-word day-bitmask form — retained solely as the
+    * [[BitmaskAb]] baseline after r16 promoted the arbitrary-span
+    * blocked form to [[slidingDau]]. Exact only while the GLOBAL day
+    * span ≤ 57 (span + 6 window positions must fit one 64-bit cycle);
+    * loud-fails via assert_true beyond that. */
+  def slidingDauSingleWord(events: DataFrame): DataFrame = {
     // r15: 64-bit day-bitmask aggregate, the q32 trick one step further.
     // Per user, active days live as bits at (unix_date mod 64) — exact
     // while the GLOBAL day span ≤ 57 (span + 6 window positions must fit
@@ -527,6 +529,75 @@ object Relational {
         col("dau7"))
   }
 
+  /** Core of R31, on any (user_id, ts) relation — factored out so the
+    * OpsSpec can drive planted activity patterns through the identical
+    * pipeline. Output days are the ACTIVE days only (a day with no
+    * events has no row, even when inside some user's trailing window) —
+    * the same domain the oracle's `dom` CTE uses.
+    *
+    * r16: arbitrary-span BLOCKED day-bitmask sliding DAU — lifts the
+    * single-word form's global-span ≤ 57 guard by keying the per-user
+    * aggregate on (user, word) where word = unix_date div 64. Bits are
+    * ABSOLUTE day positions (bit b of word w = epoch day w·64+b), so no
+    * cyclic rotation and no span guard: any calendar works.
+    *
+    * The fact path stays as lean as the single-word form: ONE
+    * fact-sized Exchange into groupBy(user, word) with a single bit_or
+    * Long of codegen state. Everything word-boundary-shaped happens on
+    * the DEDUPED (user, word) rows (≈ users × span/64 — orders of
+    * magnitude below fact):
+    *
+    *  1. each mask row flat-maps to its coverage contributions —
+    *     covered-in-word OR(mask<<0..6) at word w, plus (only when the
+    *     top 6 bits are set) the carry OR(mask>>>58..63) into word w+1;
+    *  2. a per-(user, word) bit_or re-aggregate dedups the case where a
+    *     user's covered bit arrives from two source days in ADJACENT
+    *     words (one deduped-sized Exchange — without it the popcount
+    *     would double-count that user);
+    *  3. groupBy(word) with the same 64 popcount sums + 64 domain maxes
+    *     as the single-word reduce (span/64 output rows);
+    *     day = w·64 + p directly.
+    *
+    * Cost vs the single-word form (BitmaskAb, sf100 flat, r16): the two
+    * extra deduped-sized hops price at ~1.1× — the premium that buys
+    * exactness at ANY calendar span where the old form could only
+    * loud-fail past 57 days. Requires unix_date ≥ 0 (modern dates;
+    * `div`/`%` are truncation, not floor — same assumption the week
+    * index arithmetic documents). */
+  def slidingDau(events: DataFrame): DataFrame = {
+    val masks = events
+      .select(col("user_id"),
+        expr("unix_date(cast(ts as date)) div 64").as("w"),
+        expr("cast(unix_date(cast(ts as date)) % 64 as int)").as("b"))
+      .groupBy(col("user_id"), col("w"))
+      .agg(expr("bit_or(shiftleft(1L, b))").as("mask"))
+    val cover = (0 to 6).map(i => s"shiftleft(mask, $i)").mkString(" | ")
+    val carry = (1 to 6).map(i => s"shiftrightunsigned(mask, ${64 - i})").mkString(" | ")
+    val contrib = masks.select(col("user_id"), expr(
+      s"""explode(if(shiftrightunsigned(mask, 58) != 0,
+         |  array(struct(w AS w, mask AS act, $cover AS cov),
+         |        struct(w + 1L AS w, 0L AS act, $carry AS cov)),
+         |  array(struct(w AS w, mask AS act, $cover AS cov))))
+         |""".stripMargin).as("x"))
+      .select(col("user_id"), col("x.w").as("w"), col("x.act").as("act"),
+        col("x.cov").as("cov"))
+    val perUserWord = contrib
+      .groupBy(col("user_id"), col("w"))
+      .agg(expr("bit_or(act)").as("act"), expr("bit_or(cov)").as("cov"))
+    val aggs =
+      (0 until 64).map(i => sum(expr(s"shiftright(cov, $i) & 1")).as(s"c$i")) ++
+        (0 until 64).map(i => max(expr(s"shiftright(act, $i) & 1")).as(s"a$i"))
+    val byWord = perUserWord.groupBy(col("w")).agg(aggs.head, aggs.tail: _*)
+    val stacked = s"stack(64, ${(0 until 64).map(i => s"$i, c$i, a$i").mkString(", ")})" +
+      " as (p, dau7, dom)"
+    byWord.select(col("w"), expr(stacked))
+      .filter(col("dom") > 0)
+      .select(
+        date_format(date_add(to_date(lit("1970-01-01")),
+          (col("w") * 64 + col("p")).cast("int")), "yyyy-MM-dd").as("day"),
+        col("dau7"))
+  }
+
   /** Pre-r15 q31 form (distinct → collect_set day array → disjoint
     * contribution intervals → ±1 deltas → ordered cumsum) — retained
     * solely as the layout/A-B baseline; see [[slidingDau]] for why the
@@ -561,18 +632,20 @@ object Relational {
 
   /** R32: cohort retention triangle — users cohorted by their FIRST
     * active week; cell (cohort_week, week_offset) counts the cohort's
-    * distinct users active that many weeks later. Shape (r15, bitmask —
-    * see [[retention]]): ONE fact-sized Exchange into a per-user
-    * min/max/bit_or Long aggregate, then a triangle-sized popcount
-    * aggregate; no distinct wave, no object aggregate, no explode.
+    * distinct users active that many weeks later. Shape (r15 bitmask,
+    * r16 blocked — see [[retention]]): ONE fact-sized Exchange into a
+    * per-(user, word) bit_or Long aggregate, then deduped-sized steps to
+    * a triangle-sized popcount aggregate; no distinct wave, no object
+    * aggregate, no data-sized explode, and — since r16 — no span guard.
     * Offsets are exact: both engines Monday-truncate weeks, so the day
     * difference is always divisible by 7. */
   def q32Retention(s: SparkSession, dir: String): DataFrame =
     retention(t(s, dir, "events"))
 
-  /** Core of R32, on any (user_id, ts) relation — factored out (r14)
-    * so the events-layout probe can drive flat vs user-bucketed scans
-    * through the identical pipeline.
+  /** r15 single-word week-bitmask form — retained solely as the
+    * [[BitmaskAb]]/[[RetentionAb]] baseline after r16 promoted the
+    * arbitrary-span blocked form to [[retention]]. Exact only while
+    * every user's week span < 64; loud-fails via assert_true beyond.
     *
     * r15: the 64-bit week-bitmask aggregate replaced the
     * distinct+collect_set pipeline (old form kept as
@@ -598,7 +671,7 @@ object Relational {
     * YEAR is 53) because (widx − cohort) mod 64 ≡ widx − cohort; a
     * wider-span user fails the assert_true LOUDLY rather than aliasing,
     * same contract as the quantile histogram caps. */
-  def retention(events: DataFrame): DataFrame = {
+  def retentionSingleWord(events: DataFrame): DataFrame = {
     val perUser = events
       // dates are modern (unix_date ≥ 4) so integer div == floor here
       .select(col("user_id"), expr("(unix_date(cast(ts as date)) - 4) div 7").as("w"))
@@ -625,6 +698,77 @@ object Relational {
         date_format(date_add(to_date(lit("1970-01-05")), (col("cw") * 7).cast("int")),
           "yyyy-MM-dd").as("cohort_week"),
         col("week_offset"), col("n_users"))
+  }
+
+  /** Core of R32, on any (user_id, ts) relation — factored out (r14)
+    * so the events-layout probe can drive flat vs user-bucketed scans
+    * through the identical pipeline.
+    *
+    * r16: arbitrary-span BLOCKED week-bitmask retention — lifts the
+    * single-word form's per-user span < 64 guard. The weeks-active set
+    * lives as ABSOLUTE-position blocked masks keyed (user, word =
+    * week div 64): the same ONE fact-sized Exchange with pure Long
+    * bit_or state. Three more steps, each on DEDUPED-sized rows
+    * (distinct (user, word) ≈ users × span/64, orders of magnitude
+    * below fact):
+    *
+    *  1. cohort week per user — the (user, word) aggregate carries
+    *     min(week) alongside the mask (a second Long of codegen state;
+    *     the bit-trick alternative `mask & -mask` negate-overflows
+    *     under ANSI when only bit 63 is set); cw = min over the user's
+    *     rows via a user-partitioned window (one deduped-sized
+    *     Exchange; no object aggregate, no fact re-scan).
+    *  2. shift the user's blocked bitstring right by cw to make bit
+    *     positions RELATIVE offsets: with q = cw div 64, r = cw mod 64,
+    *     word w contributes mask >>> r to relative word (w − q) and —
+    *     when r > 0 — mask << (64 − r) to relative word (w − q − 1)
+    *     (for the cohort word itself no bit below r can be set, cw
+    *     being the min, so its low part is always empty and the filter
+    *     drops it). The two parts land on DISJOINT bit positions
+    *     (0..63−r vs 64−r..63), and each absolute week maps to exactly
+    *     one (relative word, bit), so the popcount sum counts each
+    *     user once per offset — no per-user re-OR needed.
+    *  3. triangle: groupBy(cohort, relative word) with the same 64
+    *     popcount sums as the single-word form;
+    *     week_offset = rw·64 + p.
+    *
+    * Exactness needs no guard at any span. Requires unix_date ≥ 4
+    * (same modern-dates assumption the week index documents). Cost vs
+    * the single-word form (BitmaskAb, sf100 flat, r16): ~1.1× — the
+    * user-partitioned window's deduped-sized Exchange+sort is the whole
+    * premium, and it prices at zero on the user-bucketed layout (bucket
+    * partitioning satisfies the window's distribution, leaving only a
+    * local sort of ~words-per-user rows). The premium buys exactness at
+    * ANY span where the old form could only loud-fail past 64 weeks. */
+  def retention(events: DataFrame): DataFrame = {
+    val perUserWord = events
+      .select(col("user_id"),
+        expr("(unix_date(cast(ts as date)) - 4) div 7").as("wk"))
+      .groupBy(col("user_id"), expr("wk div 64").as("w"))
+      .agg(expr("bit_or(shiftleft(1L, cast(wk % 64 as int)))").as("mask"),
+        min(col("wk")).as("wmin"))
+    val userWin = Window.partitionBy(col("user_id"))
+    val withCw = perUserWord
+      .withColumn("cw", min(col("wmin")).over(userWin))
+      .withColumn("q", expr("cw div 64"))
+      .withColumn("r", expr("cast(cw % 64 as int)"))
+    val rel = withCw.select(col("cw"), expr(
+      """explode(filter(array(
+        |  struct(w - q AS rw, shiftrightunsigned(mask, r) AS rm),
+        |  struct(w - q - 1 AS rw, if(r = 0, 0L, shiftleft(mask, 64 - r)) AS rm)),
+        |  s -> s.rm != 0))""".stripMargin).as("x"))
+      .select(col("cw"), col("x.rw").as("rw"), col("x.rm").as("rm"))
+    val bitSums = (0 until 64).map(i => sum(expr(s"shiftright(rm, $i) & 1")).as(s"o$i"))
+    val stacked = s"stack(64, ${(0 until 64).map(i => s"${i}L, o$i").mkString(", ")})" +
+      " as (po, n_users)"
+    rel.groupBy(col("cw"), col("rw")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("cw"), col("rw"), expr(stacked))
+      .filter(col("n_users") > 0)
+      .select(
+        date_format(date_add(to_date(lit("1970-01-05")), (col("cw") * 7).cast("int")),
+          "yyyy-MM-dd").as("cohort_week"),
+        (col("rw") * 64 + col("po")).as("week_offset"),
+        col("n_users"))
   }
 
   /** Pre-r15 q32 form (distinct → collect_set → explode) — retained

@@ -43,7 +43,8 @@ object RetentionAb {
     val forms: Seq[(String, DataFrame => DataFrame)] = Seq(
       "collect_set" -> (Relational.retentionCollectSet _),
       "min_join" -> (retentionMinJoin _),
-      "bitmask" -> (Relational.retention _))
+      "bitmask_1word" -> (Relational.retentionSingleWord _),
+      "bitmask_blocked" -> (Relational.retention _))
 
     def hash(df: DataFrame): Long = df
       .selectExpr("sum(hash(cohort_week, week_offset, n_users))").first().getLong(0)

@@ -273,7 +273,7 @@ class OpsSpec extends SparkTestBase {
     assert(!got.contains("2024-03-11") && got.contains("2024-03-21"))
   }
 
-  test("R31/R32 r15: randomized activity vs brute force, including mod-64 WRAP windows") {
+  test("R31/R32: randomized activity vs brute force — mod-64 wraps (r15) and multi-word wide calendars (r16)") {
     import spark.implicits._
     // the bitmask forms store bits at (day|week index) mod 64 — the
     // adversarial case is a corpus whose index range straddles a
@@ -286,7 +286,13 @@ class OpsSpec extends SparkTestBase {
       (19772L, 30, 20, 7L),  // day-index wrap
       (20150L, 35, 15, 11L), // week-index wrap
       (19723L, 28, 10, 3L),  // no wrap (2024-01-01)
-      (19999L, 12, 4, 5L))   // small dense
+      (19999L, 12, 4, 5L),   // small dense
+      // r16 wide calendars — beyond the retired single-word guards
+      // (global day span > 57; per-user week spans ≥ 64): the blocked
+      // forms must stay exact where the old forms could only throw
+      (19723L, 400, 12, 13L),  // ~57 weeks
+      (19000L, 1100, 10, 17L), // ~3 years, week span > 2 words
+      (18000L, 4000, 6, 19L))  // ~11 years, day span > 62 words
     for ((baseDay, spanDays, nUsers, seed) <- cases) {
       val rng = new scala.util.Random(seed)
       val rows = for {
@@ -321,6 +327,56 @@ class OpsSpec extends SparkTestBase {
         .as[(String, Long, Long)].collect()
         .map { case (cw, o, n) => (cw, o) -> n }.toMap
       assert(gotRet == expRet, s"q32 mismatch for base=$baseDay seed=$seed")
+    }
+  }
+
+  test("R31/R32 r16: exact across the retired 57-day / 64-week single-word boundaries") {
+    import spark.implicits._
+    // planted — not randomized — corpora that straddle the EXACT spans
+    // where the r15 single-word forms stop being representable. The
+    // brute force is span-agnostic; the retained single-word baselines
+    // must still loud-fail (never alias) beyond their guards.
+    def ts(d: Long) = new java.sql.Timestamp(d * 86400000L + 43200000L)
+    val base = 19723L // 2024-01-01, a Monday
+    // q31: global day spans 57 (last guarded), 58 (first beyond), 64, 65
+    for (span <- Seq(57L, 58L, 64L, 65L)) {
+      val rows = Seq((1L, base), (1L, base + span), (2L, base + span / 2),
+        (2L, base + span), (3L, base + 3))
+      val df = rows.map { case (u, d) => (u, ts(d)) }.toDF("user_id", "ts")
+      val active = rows.groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).toSet }
+      val expDau = active.values.flatten.toSet.map { (d: Long) =>
+        java.time.LocalDate.ofEpochDay(d).toString ->
+          active.count { case (_, ds) => ds.exists(a => a <= d && a > d - 7) }.toLong
+      }.toMap
+      val got = Relational.slidingDau(df).as[(String, Long)].collect().toMap
+      assert(got == expDau, s"q31 blocked mismatch at day span $span")
+      if (span > 57)
+        intercept[Exception] {
+          Relational.slidingDauSingleWord(df).collect()
+        }
+    }
+    // q32: per-user week spans 63 (last guarded), 64, 70, 128 (bit
+    // lands in the third word)
+    for (wspan <- Seq(63L, 64L, 70L, 128L)) {
+      val rows = Seq((1L, base), (1L, base + wspan * 7), (1L, base + 14),
+        (2L, base + 7), (2L, base + 7 + (wspan - 1) * 7))
+      val df = rows.map { case (u, d) => (u, ts(d)) }.toDF("user_id", "ts")
+      def week(d: Long) = Math.floorDiv(d - 4, 7)
+      val expRet = rows.groupBy(_._1).toSeq
+        .flatMap { case (_, rs) =>
+          val ws = rs.map(r => week(r._2)).toSet; val c = ws.min
+          ws.map(w => (c, w - c))
+        }
+        .groupBy(identity).map { case ((c, o), xs) =>
+          (java.time.LocalDate.ofEpochDay(c * 7 + 4).toString, o) -> xs.size.toLong
+        }
+      val got = Relational.retention(df).as[(String, Long, Long)].collect()
+        .map { case (cw, o, n) => (cw, o) -> n }.toMap
+      assert(got == expRet, s"q32 blocked mismatch at week span $wspan")
+      if (wspan >= 64)
+        intercept[Exception] {
+          Relational.retentionSingleWord(df).collect()
+        }
     }
   }
 
