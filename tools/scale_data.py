@@ -3,6 +3,21 @@
 key-space shifting — the sf1.0 receipts generator (round-11 judge ask).
 
 Usage: python3 tools/scale_data.py <src_sf_dir> <dst_dir> [REP=10]
+       [--span-years=N] [--only=table,...]
+
+--span-years=N (round 16, the time-axis decade): every generated decade
+used to multiply ROWS at a frozen ~30-day calendar, so span guards,
+window ops, sessionization, and watermark/expiry paths were never
+exercised on a realistic multi-year axis. With N set, each events
+replica r is shifted forward by r * floor(365*N / REP) DAYS (replica 0
+keeps the original dates), growing the events table's global span to
+~N years while preserving every within-replica pattern (per-user
+fan-out, session shapes, funnel step gaps) exactly. User key-space
+shifting is unchanged, so each user's activity still spans <= 30 days
+EXCEPT that distinct replicas now live in distinct eras — the corpus
+shape of a long-lived product with user-generation waves. Only events
+takes the shift (orders/lineitem dates feed price/flag queries, not
+calendar-axis operators).
 
 Method (documented in BASELINE.md "sf1 scale sweep"):
 - dims region/nation copy verbatim (TPC-H dims don't scale);
@@ -177,10 +192,13 @@ def main():
     # (round 13: refresh the doc corpora under the permutation fix
     # without re-replicating the TPC-H tables)
     only = None
+    span_years = 0
     pos = []
     for a in sys.argv[1:]:
         if a.startswith("--only="):
             only = set(a.split("=", 1)[1].split(","))
+        elif a.startswith("--span-years="):
+            span_years = int(a.split("=", 1)[1])
         else:
             pos.append(a)
     src, dst = pos[0], pos[1]
@@ -229,9 +247,19 @@ def main():
                   "l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, "
                   "l_shipdate", rep)
     if want("events"):
+        shift_days = (365 * span_years) // rep if span_years else 0
+        ts_expr = (f"ts + r * {shift_days} * INTERVAL 1 DAY AS ts"
+                   if shift_days else "ts")
         replicate(con, src, dst, "events",
-                  f"event_id + r*{se} AS event_id, ts, user_id + r*{su} AS user_id, "
+                  f"event_id + r*{se} AS event_id, {ts_expr}, "
+                  f"user_id + r*{su} AS user_id, "
                   "event_type, value, props", rep)
+        if shift_days:
+            span = con.sql(
+                f"SELECT date_diff('day', min(ts), max(ts)) FROM "
+                f"read_parquet('{dst}/events.parquet')").fetchone()[0]
+            print(f"events calendar span: {span} days "
+                  f"(replica shift {shift_days} days)")
     if want("documents"):
         write_documents(con, src, dst, rep, sd)
     if want("embeddings"):
