@@ -76,6 +76,23 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("PLANS.md carries a formatted-plan section for every headline query") {
+    // r16 (verdict hygiene item): the committed plan audit went stale
+    // between r12 and r15 because nothing tied it to the shipped
+    // operators. PlanAudit.HeadlinePlans is the contract; a missing
+    // section means PLANS.md was not regenerated after the list (or an
+    // operator rewrite) changed — rerun `runMain graft.PlanAudit`.
+    val plansMd = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("PLANS.md")))
+    for (name <- PlanAudit.HeadlinePlans)
+      assert(plansMd.contains(s"### $name"),
+        s"PLANS.md lacks the formatted plan for $name — regenerate with graft.PlanAudit")
+    // every gate query must at least appear in the audit table
+    for (name <- SparkEntry.queries.keys)
+      assert(plansMd.contains(s"| $name |"),
+        s"PLANS.md audit table lacks $name — regenerate with graft.PlanAudit")
+  }
+
   test("aggregates use map-side partial aggregation") {
     val plan = sparkPlanOf("q1_agg")
     // two HashAggregate nodes (partial + final) around the exchange
