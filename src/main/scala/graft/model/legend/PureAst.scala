@@ -226,7 +226,20 @@ object PureExpr {
 
   def inlineUserFunctions(e: PureExpr, funcs: Map[String, PFunction],
                           stack: List[String] = Nil): PureExpr = {
-    if (funcs.isEmpty) return e
+    // r16: eval beta-reduction budget, SHARED across the whole inlining
+    // walk (the worker threads it through every recursive step).
+    // Inline-time reduction of lambda-literal evals is what lets a
+    // function VALUE flow through any number of lambda parameters and
+    // still resolve — but untyped beta reduction can diverge
+    // (Ω = {f|$f->eval($f)} applied to itself), so reductions draw from
+    // one fuel budget and fail loudly instead of overflowing the stack.
+    // 256 is orders of magnitude above any real model's nesting.
+    inlineFueled(e, funcs, stack, new java.util.concurrent.atomic.AtomicInteger(256))
+  }
+
+  private def inlineFueled(e: PureExpr, funcs: Map[String, PFunction],
+                           stack: List[String],
+                           evalFuel: java.util.concurrent.atomic.AtomicInteger): PureExpr = {
     def resolve(name: String): Option[PFunction] =
       funcs.get(name).orElse {
         if (PureToSql.reservedNames(name)) None else {
@@ -263,14 +276,31 @@ object PureExpr {
       }
     e match {
       case PFunc("eval", fnExpr +: args) =>
-        inlineUserFunctions(fnExpr, funcs, stack) match {
+        inlineFueled(fnExpr, funcs, stack, evalFuel) match {
           case PPtr(path) =>
             val fn = resolvePointer(path).getOrElse(throw new IllegalArgumentException(
               s"eval: function pointer [$path] does not name a registered " +
                 s"user function (have: ${funcs.keys.toSeq.sorted.mkString(", ")})"))
-            inlineUserFunctions(PFunc(fn.path, args), funcs, stack)
-          case inlined => // lambda literal (or opaque $f → translation-time reject)
-            PFunc("eval", inlined +: args.map(inlineUserFunctions(_, funcs, stack)))
+            inlineFueled(PFunc(fn.path, args), funcs, stack, evalFuel)
+          case PLambda(params, body) =>
+            // r16 multi-level inlining: beta-reduce lambda-literal evals
+            // HERE, not at translation — the substituted arguments (a
+            // function pointer, a user-function call, another lambda)
+            // get a fresh inlining pass, so a function value resolves
+            // after flowing through ANY number of lambda parameters,
+            // not just one user-function level.
+            require(params.size == args.size,
+              s"eval: lambda expects ${params.size} argument(s), got ${args.size}")
+            require(evalFuel.decrementAndGet() > 0,
+              "eval: beta-reduction budget exhausted — the lambda nest does not " +
+                "terminate (self-application?) or is pathologically deep")
+            val inlinedArgs = args.map(inlineFueled(_, funcs, stack, evalFuel))
+            val applied = params.zip(inlinedArgs).foldLeft(body) {
+              case (b, (p, a)) => substVar(b, p, a)
+            }
+            inlineFueled(applied, funcs, stack, evalFuel)
+          case inlined => // opaque $f (no substituting call site) → translation-time reject
+            PFunc("eval", inlined +: args.map(inlineFueled(_, funcs, stack, evalFuel)))
         }
       case PFunc(name, args) if resolve(name).isDefined =>
         val fn = resolve(name).get
@@ -279,15 +309,15 @@ object PureExpr {
             "recursion is outside graft's PURE subset")
         require(args.size == fn.params.size,
           s"function [${fn.path}] expects ${fn.params.size} argument(s), got ${args.size}")
-        val inlinedArgs = args.map(inlineUserFunctions(_, funcs, stack))
+        val inlinedArgs = args.map(inlineFueled(_, funcs, stack, evalFuel))
         val applied = fn.params.zip(inlinedArgs).foldLeft(fn.body) {
           case (b, (p, a)) => substVar(b, p, a)
         }
-        inlineUserFunctions(applied, funcs, fn.path :: stack)
-      case PFunc(f, ps)    => PFunc(f, ps.map(inlineUserFunctions(_, funcs, stack)))
-      case PProperty(r, n) => PProperty(inlineUserFunctions(r, funcs, stack), n)
-      case PCollection(vs) => PCollection(vs.map(inlineUserFunctions(_, funcs, stack)))
-      case PLambda(ps, b)  => PLambda(ps, inlineUserFunctions(b, funcs, stack))
+        inlineFueled(applied, funcs, fn.path :: stack, evalFuel)
+      case PFunc(f, ps)    => PFunc(f, ps.map(inlineFueled(_, funcs, stack, evalFuel)))
+      case PProperty(r, n) => PProperty(inlineFueled(r, funcs, stack, evalFuel), n)
+      case PCollection(vs) => PCollection(vs.map(inlineFueled(_, funcs, stack, evalFuel)))
+      case PLambda(ps, b)  => PLambda(ps, inlineFueled(b, funcs, stack, evalFuel))
       case other           => other
     }
   }

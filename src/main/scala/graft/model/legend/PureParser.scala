@@ -314,7 +314,14 @@ object PureParser {
         val save = pos
         eat("{")
         lambdaTail(closeBrace = true) match {
-          case Some(l) => l
+          // a braced lambda followed by `->` is not a lambda VALUE but
+          // the receiver of an arrow chain (`{f | ...}->eval(...)` —
+          // r16: this used to parse only in expression positions, so a
+          // top-level immediately-applied lambda was a spurious
+          // trailing-input error): backtrack and let the expression
+          // grammar re-consume it via primary() with full precedence
+          case Some(l) if !peekIs("->") => l
+          case Some(_) => pos = save; bodyExpr()
           case None    => pos = save; bodyExpr() // not a lambda: no `{` form in exprs → will fail loudly
         }
       } else if (peekIs("|")) { // zero-arg thunk (if-branches)
@@ -338,7 +345,8 @@ object PureParser {
         val save = pos
         eat("{")
         lambdaTail(closeBrace = true) match {
-          case Some(l) => l
+          case Some(l) if !peekIs("->") => l // `->`: applied, not a value (r16)
+          case Some(_) => pos = save; expr()
           case None    => pos = save; expr()
         }
       } else if (peekIs("|")) {

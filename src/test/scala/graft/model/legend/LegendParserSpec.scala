@@ -883,6 +883,49 @@ class LegendParserSpec extends SparkTestBase {
       opaque.toString)
   }
 
+  test("r16 widening: function values resolve through ANY number of lambda parameters") {
+    val (fns, _) = PureParser.parseScript(
+      """function demo::hof::twice(f: Function<{Integer[1]->Integer[1]}>[1], x: Integer[1]): Integer[1]
+        |{ $f->eval($x) + $f->eval($x) }
+        |function demo::hof::quad(f: Function<{Integer[1]->Integer[1]}>[1], x: Integer[1]): Integer[1]
+        |{ demo::hof::twice($f, $x) + demo::hof::twice($f, $x) }
+        |function demo::hof::applyTo(f: Function<{Integer[1]->Integer[1]}>[1], x: Integer[1]): Integer[1]
+        |{ $f->eval($x) }
+        |function demo::fns::double(x: Integer[1]): Integer[1] { $x * 2 }
+        |""".stripMargin)
+    def sql(s: String): String =
+      PureToSql.lambda(PureExpr.inlineUserFunctions(PureParser.parse(s), fns))
+    // HOF → HOF: $f flows through TWO user-function parameters
+    assert(sql("demo::hof::quad({y | $y * 3}, 5)")
+      == "(((5 * 3) + (5 * 3)) + ((5 * 3) + (5 * 3)))")
+    assert(sql("demo::hof::quad(demo::fns::double, 5)")
+      == "(((5 * 2) + (5 * 2)) + ((5 * 2) + (5 * 2)))")
+    // r16 parser: a top-level braced lambda applied in place is an
+    // arrow-chain RECEIVER, not a lambda value (used to be a spurious
+    // trailing-input parse error)
+    assert(sql("{f | $f->eval(1)}->eval({y | $y * 3})") == "(1 * 3)")
+    // $f flows through two LAMBDA parameters (f → g) and still reduces
+    assert(sql("{f | {g | $g->eval(2)}->eval($f)}->eval({y | $y * 5})")
+      == "(2 * 5)")
+    // a POINTER flowing through a lambda parameter into a user function
+    // resolves — this is the case translation-time reduction could never
+    // do (no registry there); it needs the r16 inline-time beta-reduce
+    assert(sql("{f | demo::hof::applyTo($f, 7)}->eval(demo::fns::double)")
+      == "(7 * 2)")
+    // divergence guard: Ω = self-application must fail LOUDLY on the
+    // beta-reduction budget, not overflow the stack
+    val omega = scala.util.Try(
+      sql("{f | $f->eval($f)}->eval({f | $f->eval($f)})"))
+    assert(omega.isFailure &&
+      omega.failed.get.getMessage.contains("beta-reduction budget"),
+      omega.toString)
+    // still-opaque: a bare lambda parameter with no substituting call
+    // site rejects at translation exactly as before
+    val opaque = scala.util.Try(sql("{f | $f->eval(1)}"))
+    assert(opaque.isFailure && opaque.failed.get.getMessage.contains("eval"),
+      opaque.toString)
+  }
+
   test("rejection frontier: the documented still-unsupported constructs fail loudly") {
     // The round-11 frontier survey (every corpus lambda + every
     // reference test string parses clean — proven above and in
@@ -906,12 +949,18 @@ class LegendParserSpec extends SparkTestBase {
     // a lambda-bound $f inside a user-function body resolves when the
     // call site passes a lambda literal or a registered pointer (one
     // inlining level; the r15 HOF test above), and Function<{..}>
-    // generics parse. What remains outside: eval of an OPAQUE function
-    // value (a pointer with no registry entry, or a lambda-parameter-
-    // bound $f with NO substituting call site — nothing to inline),
-    // subType on a chain the lattice can't type, and STRICT downcasts —
-    // those have row-filtering semantics that genuinely need a type
-    // discriminator column flat single-class mappings don't have
+    // generics parse. round 16: the one-level limit LEFT the frontier —
+    // inline-time beta reduction (fuel-guarded) resolves function
+    // values through any number of lambda/user-function parameter hops,
+    // and an immediately-applied braced lambda parses as an arrow
+    // receiver (the r16 test above). What remains outside: eval of an
+    // OPAQUE function value (a pointer with no registry entry, or a
+    // lambda-parameter-bound $f with NO substituting call site —
+    // nothing to inline, at any depth), non-terminating self-application
+    // (loud fuel exhaustion), subType on a chain the lattice can't
+    // type, and STRICT downcasts — those have row-filtering semantics
+    // that genuinely need a type discriminator column flat single-class
+    // mappings don't have
     val stillRejected = Seq(
       "meta::pure::functions::lang::eval(f, 1)",      // pointer, EMPTY registry
       "$this.sme->subType(@SomeClass)")               // untypeable chain / no context
