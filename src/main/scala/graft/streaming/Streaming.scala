@@ -643,8 +643,136 @@ object Streaming {
         ws.map(w => (cohort, (w - cohort) / 7) -> 1L).toMap
     }
 
+  /** Blocked-bitmask per-user state (r16, the batch q31/q32 bitmask
+    * algebra's stream mirror): a sorted int set stored as word-indexed
+    * 64-bit masks — `base` is the first word index, `words(i)` holds
+    * bits for values in [ (base+i)·64, (base+i)·64+63 ]. For a
+    * year-active user this is 6 longs instead of ~365 ints; the delta
+    * algebra is unchanged (states decode to the same sorted list the
+    * list-state forms hold). Encode trims leading/trailing empty words
+    * so a pruned state stays small. */
+  final case class MaskState(base: Long, words: Array[Long])
+
+  private[graft] def maskEncode(vals: Seq[Int]): MaskState = {
+    if (vals.isEmpty) return MaskState(0L, Array.empty)
+    val lo = Math.floorDiv(vals.min, 64)
+    val hi = Math.floorDiv(vals.max, 64)
+    val words = new Array[Long]((hi - lo + 1).toInt)
+    vals.foreach { v =>
+      val w = Math.floorDiv(v, 64) - lo
+      words(w.toInt) |= 1L << Math.floorMod(v, 64)
+    }
+    MaskState(lo.toLong, words)
+  }
+
+  private[graft] def maskDecode(s: MaskState): List[Int] = {
+    val out = scala.collection.mutable.ListBuffer.empty[Int]
+    var w = 0
+    while (w < s.words.length) {
+      var m = s.words(w)
+      while (m != 0L) {
+        val b = java.lang.Long.numberOfTrailingZeros(m)
+        out += ((s.base + w) * 64 + b).toInt
+        m &= m - 1
+      }
+      w += 1
+    }
+    out.toList
+  }
+
   /** ST15: streaming cohort retention — the stream twin of
-    * q32_retention. State is the user's distinct active week-start set;
+    * q32_retention, with blocked-bitmask per-user state (r16: promoted
+    * after the A/B in stream_bench_r16.json — parity on the 5-week
+    * bench corpus, strictly smaller state on wide calendars; the
+    * list-state form is retained as [[retentionStreamListState]]).
+    * Emitted-delta semantics are IDENTICAL to the list form (the
+    * equality is spec-pinned): per-user distinct active week-starts,
+    * stored as masks over the week index ((day − 4)/7, exact for
+    * Monday-aligned week starts); each update emits ±1 cell
+    * corrections, a late earlier first-week retracts the old cohort's
+    * cells. See [[retentionStreamListState]]'s scaladoc for the
+    * no-expiry rationale (lifetime cohorts make expiry lossy). */
+  def retentionStream(events: Dataset[(Long, java.sql.Timestamp)])
+      : Dataset[RetentionDelta] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[MaskState, RetentionDelta](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (_, batch, state) =>
+          val oldWeeks = state.getOption.map(maskDecode).getOrElse(Nil)
+            .map(w => w * 7 + 4)
+          val newWeeks = batch.map { e =>
+            val epochDay = tsEpochDay(e._2).toLong
+            (epochDay - Math.floorMod(epochDay + 3, 7L)).toInt
+          }.toSet -- oldWeeks
+          if (newWeeks.isEmpty) Iterator.empty
+          else {
+            val merged = (oldWeeks ++ newWeeks).sorted
+            state.update(maskEncode(merged.map(w => (w - 4) / 7)))
+            diffCounts(retentionCells(oldWeeks), retentionCells(merged))
+              .iterator.map { case ((c, o), d) => RetentionDelta(c, o, d) }
+          }
+      }
+  }
+
+  /** ST14: streaming sliding-window distinct users — the stream twin
+    * of q31_sliding_dau, with blocked-bitmask per-user state (r16:
+    * promoted after the A/B in stream_bench_r16.json — on the sf1
+    * replay the mask form writes 2.1× less state (2548 vs 5450 KB
+    * cumulative, 141 vs 403 KB steady-state delta) at +30% rows/s in
+    * no-expiry mode, parity in expiry mode; the list-state form is
+    * retained as [[slidingDauStreamListState]]). Emitted ±1
+    * boundary-delta semantics are IDENTICAL to the list form
+    * (spec-pinned equality); same expiry/prune semantics (decode →
+    * prune → re-encode; the trim keeps pruned states word-tight). See
+    * [[slidingDauStreamListState]]'s scaladoc for the full delta
+    * algebra and the expiry no-double-count proof. */
+  def slidingDauStream(events: Dataset[(Long, java.sql.Timestamp)],
+                           expiry: Boolean = false,
+                           watermark: String = "10 minutes"): Dataset[DauDelta] = {
+    import events.sparkSession.implicits._
+    val timeoutConf =
+      if (expiry) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    val src = if (expiry) events.withWatermark("_2", watermark) else events
+    src
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[MaskState, DauDelta](
+        OutputMode.Update(), timeoutConf) {
+        (_, batch, state) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val oldDays = state.getOption.map(maskDecode).getOrElse(Nil)
+            val newDays = batch.map(e => tsEpochDay(e._2)).toSet -- oldDays
+            if (newDays.isEmpty) Iterator.empty
+            else {
+              val merged = (oldDays ++ newDays).sorted
+              val kept =
+                if (!expiry) merged
+                else {
+                  val cutoff = Math.floorDiv(state.getCurrentWatermarkMs(), 86400000L).toInt
+                  val idx = merged.lastIndexWhere(_ <= cutoff)
+                  if (idx <= 0) merged else merged.drop(idx)
+                }
+              state.update(maskEncode(kept))
+              if (expiry)
+                state.setTimeoutTimestamp(math.max(
+                  (merged.last.toLong + 1 + DauWindowDays) * 86400000L,
+                  state.getCurrentWatermarkMs() + 1))
+              diffCounts(dauDeltas(oldDays), dauDeltas(merged))
+                .iterator.map { case (d, v) => DauDelta(d, v) }
+            }
+          }
+      }
+  }
+
+  /** r16 list-state baseline of [[retentionStream]] (sorted week-start
+    * list per user) — retained for the StreamBench A/B.
+    *
+    * State is the user's distinct active week-start set;
     * each update emits the DIFFERENCE between new and old retention
     * cells as ±1 corrections. A LATE earlier first-week changes the
     * user's cohort: the old cohort's cells retract (−1) and the new
@@ -664,7 +792,7 @@ object Streaming {
     * users — the price of an exact lifetime-cohort metric. Cap it
     * operationally by restarting from a batch q32 backfill per
     * quarter if the user population is unbounded. */
-  def retentionStream(events: Dataset[(Long, java.sql.Timestamp)])
+  def retentionStreamListState(events: Dataset[(Long, java.sql.Timestamp)])
       : Dataset[RetentionDelta] = {
     import events.sparkSession.implicits._
     events
@@ -689,8 +817,10 @@ object Streaming {
       }
   }
 
-  /** ST14: streaming sliding-window distinct users — the stream twin of
-    * q31_sliding_dau. Each user's state is their sorted active-day set;
+  /** r16 list-state baseline of [[slidingDauStream]] (sorted day list
+    * per user) — retained for the StreamBench A/B.
+    *
+    * Each user's state is their sorted active-day set;
     * when a micro-batch adds days, the operator emits the DIFFERENCE
     * between the new and old interval decompositions as ±1 boundary
     * deltas. Corrections are additive integers, so ANY arrival order —
@@ -710,7 +840,7 @@ object Streaming {
     * overlap the ones already emitted — no double count. A day later
     * than the watermark allows is the standard horizon caveat (ST4's
     * batch-pass-catches-stragglers note applies). */
-  def slidingDauStream(events: Dataset[(Long, java.sql.Timestamp)],
+  def slidingDauStreamListState(events: Dataset[(Long, java.sql.Timestamp)],
                        expiry: Boolean = false,
                        watermark: String = "10 minutes"): Dataset[DauDelta] = {
     import events.sparkSession.implicits._

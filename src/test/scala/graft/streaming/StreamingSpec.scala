@@ -301,6 +301,46 @@ class StreamingSpec extends SparkTestBase {
     assert(batchDau.nonEmpty)
   }
 
+  test("r16 mask-state twins: identical emitted deltas to the list-state forms on a scattered replay") {
+    // the A/B variants must be behaviorally indistinguishable — only the
+    // per-user state representation differs (blocked 64-bit masks vs
+    // sorted int lists); StreamBench carries the state-bytes receipt
+    val events = graft.Tables(spark, sfDir, "events")
+      .select(col("user_id"), col("ts"))
+      .as[(Long, Timestamp)].collect().toSeq
+    val batches = Seq(
+      events.zipWithIndex.filter(_._2 % 3 == 0).map(_._1),
+      events.zipWithIndex.filter(_._2 % 3 == 1).map(_._1),
+      events.zipWithIndex.filter(_._2 % 3 == 2).map(_._1))
+    def dauDeltas(mk: org.apache.spark.sql.Dataset[(Long, Timestamp)] =>
+        org.apache.spark.sql.Dataset[Streaming.DauDelta]) = {
+      val in = MemoryStream[(Long, Timestamp)](spark)
+      val (q, tagged) = collectStream(mk(in.toDS()))
+      runBatches(q, in, batches)
+      tagged.map(_._2).groupBy(d => d.day).view
+        .mapValues(_.map(_.delta).sum).filter(_._2 != 0L).toMap
+    }
+    assert(dauDeltas(Streaming.slidingDauStream(_)) ==
+      dauDeltas(Streaming.slidingDauStreamListState(_)))
+    def retDeltas(mk: org.apache.spark.sql.Dataset[(Long, Timestamp)] =>
+        org.apache.spark.sql.Dataset[Streaming.RetentionDelta]) = {
+      val in = MemoryStream[(Long, Timestamp)](spark)
+      val (q, tagged) = collectStream(mk(in.toDS()))
+      runBatches(q, in, batches)
+      tagged.map(_._2).groupBy(d => (d.cohort_day, d.week_offset)).view
+        .mapValues(_.map(_.delta).sum).filter(_._2 != 0L).toMap
+    }
+    assert(retDeltas(Streaming.retentionStream(_)) ==
+      retDeltas(Streaming.retentionStreamListState(_)))
+    // encode/decode roundtrip incl. negative-word and wide-span values
+    val rng = new scala.util.Random(7)
+    for (_ <- 1 to 50) {
+      val vals = Seq.fill(1 + rng.nextInt(40))(rng.nextInt(40000)).distinct.sorted
+      assert(Streaming.maskDecode(Streaming.maskEncode(vals)) == vals.toList)
+    }
+    assert(Streaming.maskDecode(Streaming.maskEncode(Nil)) == Nil)
+  }
+
   test("ST13/ST14: idle state expires from ADVANCING EVENT TIME; a returning DAU user cannot double-count") {
     val day = 24L * 3600 * 1000L // ms
     def tsd(d: Long): Timestamp = new Timestamp(d * day)
