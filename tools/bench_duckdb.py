@@ -53,11 +53,18 @@ def main():
         # sides so the matched-pair sums stay comparable
         oracles.pop("q18_salted_join", None)
         oracles.pop("q20_hotkey_salted_join", None)
+    # BENCH_SKIP_WARM=1 (r16, sf1000 decade): at the fifth row-decade a
+    # single DuckDB pass over d2/d9 runs ~45-60 min; the warm pass would
+    # double a multi-hour sweep for no information (the 26 GB corpus
+    # fits page cache, and graft's matched run is timed from the same
+    # disclosed cold state). The receipt records runs + skip_warm.
+    skip_warm = os.environ.get("BENCH_SKIP_WARM") == "1"
     results = {}
     for name in sorted(oracles):
         sql = oracles[name]
         try:
-            con.sql(sql).fetchall()  # warm
+            if not skip_warm:
+                con.sql(sql).fetchall()  # warm
             times = []
             for _ in range(runs):
                 t0 = time.perf_counter()
@@ -70,6 +77,7 @@ def main():
     total = sum(v for v in results.values() if v >= 0)
     out = {"metric": "total", "value": total, "unit": "sec",
            "queries": results, "sf": sf_dir, "threads": 32, "runs": runs,
+           "skip_warm": skip_warm,
            "load_before": load_before, "load_after": loadavg()}
     line = json.dumps(out)
     print(line)

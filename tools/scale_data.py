@@ -125,36 +125,72 @@ def vocab_permutation(vocab, r, seen):
 
 
 def write_documents(con, src, dst, rep, sd):
+    """Chunked, template-based writer (round 16 — the sf1000 decade).
+
+    The round-15 form built ALL rep*|docs| rows in one pandas frame
+    (fine through REP=1000 / 5M docs; at REP=10000 the 50M Python
+    string tuples would hold ~15 GB of text plus object overhead and
+    the per-doc regex split ran once per REPLICA). Two changes, values
+    byte-identical per row:
+    - each base doc is tokenized ONCE into a `str.format` template
+      ("{5} {17} ..." by vocabulary index), so applying a replica's
+      permutation is one C-level format call with the 31 permuted
+      tokens as arguments (identity tuple at r=0 reproduces the
+      original text exactly — format is a pure reassembly);
+    - rows stream through a pyarrow ParquetWriter in ~1M-doc row
+      groups (bounded memory at any REP; row groups stay splittable
+      for Spark and DuckDB alike).
+    """
     rows = con.sql(
         f"SELECT doc_id, text, lang, source FROM "
         f"read_parquet('{src}/documents.parquet') ORDER BY doc_id").fetchall()
     vocab = sorted({t for _, text, _, _ in rows
                     for t in TOKEN_SPLIT.split(text)[::2] if t})
     n = len(vocab)
-    import pandas as pd
     if n < 2 and rep > 1:
         sys.exit("documents vocabulary too small to permute — cannot scale "
                  "without creating cross-replica duplicates")
-    recs = []
+    tok_ix = {t: i for i, t in enumerate(vocab)}
+    templates = []
+    for doc_id, text, lang, source in rows:
+        parts = TOKEN_SPLIT.split(text)
+        for i in range(0, len(parts), 2):
+            if parts[i]:
+                parts[i] = "{%d}" % tok_ix[parts[i]]
+        templates.append(("".join(parts), doc_id, lang, source))
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string()),
+                        ("lang", pa.string()), ("source", pa.string()),
+                        ("n_chars", pa.int64())])
+    writer = pq.ParquetWriter(f"{dst}/documents.parquet", schema)
     seen_perms = set()
+    chunk_reps = max(1, 1_000_000 // max(1, len(rows)))
+    ids, texts, langs, sources, lens = [], [], [], [], []
+
+    def flush():
+        if not ids:
+            return
+        writer.write_table(pa.table(
+            {"doc_id": ids, "text": texts, "lang": langs,
+             "source": sources, "n_chars": lens}, schema=schema))
+        ids.clear(); texts.clear(); langs.clear(); sources.clear(); lens.clear()
+
     for r in range(rep):
         perm = vocab_permutation(vocab, r, seen_perms)
-        for doc_id, text, lang, source in rows:
-            if r == 0:
-                new = text
-            else:
-                parts = TOKEN_SPLIT.split(text)
-                for i in range(0, len(parts), 2):
-                    if parts[i]:
-                        parts[i] = perm[parts[i]]
-                new = "".join(parts)
-            recs.append((doc_id + r * sd, new, lang, source, len(new)))
-    df = pd.DataFrame.from_records(
-        recs, columns=["doc_id", "text", "lang", "source", "n_chars"])
-    con.register("docs_py", df)
-    con.sql(f"COPY (SELECT doc_id, text, lang, source, n_chars FROM docs_py) "
-            f"TO '{dst}/documents.parquet' (FORMAT PARQUET)")
-    con.unregister("docs_py")
+        plist = [perm[t] for t in vocab]
+        base = r * sd
+        for tmpl, doc_id, lang, source in templates:
+            new = tmpl.format(*plist)
+            ids.append(doc_id + base)
+            texts.append(new)
+            langs.append(lang)
+            sources.append(source)
+            lens.append(len(new))
+        if (r + 1) % chunk_reps == 0:
+            flush()
+    flush()
+    writer.close()
 
 
 def sign(r, i):
@@ -210,6 +246,14 @@ def main():
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     con.sql("SET threads TO 16")
+    # r16 (the sf1000 decade): COPY under the default
+    # preserve_insertion_order=true MATERIALIZES the whole replicated
+    # relation before writing — at REP=10000 the 1B-row events cross
+    # join held ~80 GB of vectors and never reached the writer. Row
+    # order inside the generated files is irrelevant (every consumer
+    # compares as a set: aggregates, hash sums, checksums), so stream:
+    con.sql("SET preserve_insertion_order=false")
+    con.sql("SET temp_directory='/tmp/duckdb_spill'")
 
     sc = stride(con, src, "customer", "c_custkey")
     ss = stride(con, src, "supplier", "s_suppkey")
