@@ -26,19 +26,25 @@ object ShuffleProbe {
     spark.sparkContext.setLogLevel("ERROR")
 
     val lock = new Object
-    var stages = Map[Int, (Long, Long, Long)]() // write recs, write bytes, tasks
-    var names = Map[Int, Int]()                 // stageId -> numTasks
+    // write recs, write bytes, tasks, executor run ms (summed over tasks)
+    var stages = Map[Int, (Long, Long, Long, Long)]()
+    var walls = Map[Int, Long]() // stageId -> wall ms (submission→completion)
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = lock.synchronized {
         val m = t.taskMetrics
         if (m != null) {
-          val (wr, wb, n) = stages.getOrElse(t.stageId, (0L, 0L, 0L))
+          val (wr, wb, n, rt) = stages.getOrElse(t.stageId, (0L, 0L, 0L, 0L))
           stages += t.stageId -> (wr + m.shuffleWriteMetrics.recordsWritten,
-            wb + m.shuffleWriteMetrics.bytesWritten, n + 1)
+            wb + m.shuffleWriteMetrics.bytesWritten, n + 1,
+            rt + m.executorRunTime)
         }
       }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
-        lock.synchronized { names += s.stageInfo.stageId -> s.stageInfo.numTasks }
+        lock.synchronized {
+          val i = s.stageInfo
+          walls += i.stageId -> (for {a <- i.submissionTime; b <- i.completionTime}
+            yield b - a).getOrElse(-1L)
+        }
     })
 
     val events = Tables(spark, sfDir, "events")
@@ -48,12 +54,15 @@ object ShuffleProbe {
 
     for ((name, df) <- Seq("q31" -> Relational.slidingDau(events),
       "q32" -> Relational.retention(events))) {
-      lock.synchronized { stages = Map.empty }
+      lock.synchronized { stages = Map.empty; walls = Map.empty }
       df.write.mode("overwrite").format("noop").save()
       Thread.sleep(2000) // listener bus drains asynchronously
       val snap = lock.synchronized(stages).toSeq.sortBy(_._1)
-      val lines = snap.collect { case (id, (wr, wb, n)) if wr > 0 =>
-        s"""{"stage":$id,"write_records":$wr,"write_mb":${wb / 1048576},"tasks":$n}"""
+      val wallSnap = lock.synchronized(walls)
+      val lines = snap.collect { case (id, (wr, wb, n, rt)) if wr > 0 || rt > 1000 =>
+        s"""{"stage":$id,"write_records":$wr,"write_mb":${wb / 1048576},""" +
+          s""""tasks":$n,"wall_s":${wallSnap.getOrElse(id, -1L) / 1000.0},""" +
+          s""""exec_cpu_s":${snap.toMap.get(id).map(_._4).getOrElse(0L) / 1000.0}}"""
       }
       val totalRecs = snap.map(_._2._1).sum
       println(s"""{"probe":"$name","sf_dir":"$sfDir","fact_rows":$factRows,""" +
