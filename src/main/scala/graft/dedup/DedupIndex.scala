@@ -3,6 +3,7 @@ package graft.dedup
 import graft.sources.Bucketed
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Persistent incremental dedup index (SURVEY §2.3 D9, round 11) — the
   * operator a production ingest pipeline actually runs at 100 TB.
@@ -94,14 +95,45 @@ object DedupIndex {
     val rows = Dedup.shingleRows(docs, idCol, textCol, index.k)
     val bandRows = Dedup.bandSigRows(rows, idCol, index.numHashes, index.numBands)
       .select(col(idCol).as("index_id"), col("band_key"), col("sig"))
-    // per-write degenerate-bucket cap: window count, no join
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band_key"))
-    val capped = bandRows
-      .withColumn("graft_bn", count(lit(1)).over(w))
-      .filter(col("graft_bn") <= maxBucket)
-      .drop("graft_bn")
-    Bucketed.writeBucketed(capped, index.table, "band_key", index.numBuckets,
-      mode = mode)
+      // materialized ONCE: the signature pass (shingle + minhash over the
+      // corpus) feeds both the cap aggregate and the write — without the
+      // persist the two branches would each re-shingle.
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try Bucketed.writeBucketed(
+      capAndCluster(bandRows, maxBucket, index.numBuckets),
+      index.table, "band_key", index.numBuckets, mode = mode)
+    finally bandRows.unpersist()
+  }
+
+  /** Per-write degenerate-bucket cap + write-ready clustering.
+    *
+    * The r16 form was `count().over(Window.partitionBy(band_key))` — a
+    * full shuffle AND per-partition sort of the complete sig-carrying
+    * band relation (160M rows / ~16 GB at sf1000, ×19.3 superlinear:
+    * the sort spills) before the bucketed write added its own second
+    * sort. The cap only needs the COUNT per band_key, and over-cap keys
+    * are by construction few (boilerplate bands): so
+    *   1. aggregate band_key counts — map-side combined, the shuffle
+    *      carries (band_key, partial_count) rows only, sig arrays never
+    *      in flight (the columnar cache prunes them at scan);
+    *   2. broadcast anti-join the tiny over-cap key set against the
+    *      band rows — no exchange on the big side;
+    *   3. repartition on band_key before the write. Spark's bucket id
+    *      is murmur3(band_key) % numBuckets — the same hash family
+    *      repartition uses — so each write task sees few buckets and
+    *      the ONLY remaining sort is the bucketed write's own sortBy.
+    * Net: one big-relation exchange and one sort, vs the window plan's
+    * exchange + spilling sort + write sort. */
+  private[dedup] def capAndCluster(bandRows: DataFrame, maxBucket: Int,
+                                   numBuckets: Int): DataFrame = {
+    val overCap = bandRows
+      .groupBy(col("band_key"))
+      .agg(count(lit(1)).as("graft_bn"))
+      .filter(col("graft_bn") > maxBucket)
+      .select(col("band_key"))
+    bandRows
+      .join(broadcast(overCap), Seq("band_key"), "left_anti")
+      .repartition(col("band_key"))
   }
 
   /** Per-band-bucket cardinalities — the index health metric (the dedup
@@ -137,20 +169,34 @@ object DedupIndex {
     * rename, so a concurrent reader never sees a half-written index. */
   def compact(index: Handle, maxBucket: Int): Unit = {
     val spark = SparkSession.active
+    // One exchange total (same rationale as capAndCluster — the r16
+    // window-count form here full-sorted the index a second time):
+    // cluster on band_key FIRST; hash-partitioning on band_key is a
+    // subset of the (index_id, band_key) dedup keys, so dropDuplicates
+    // reuses it with no second shuffle, the cap aggregate runs
+    // exchange-free on the same clustering, and the bucketed write's
+    // murmur3 % numBuckets co-divides the shuffle's murmur3 % N
+    // partitions, so its sortBy is the only sort.
+    //
     // replay residue: the same doc's band row appended twice carries an
     // identical signature (ids are stable per the pipeline's contract)
     val rows = spark.table(index.table)
+      .repartition(col("band_key"))
       .dropDuplicates("index_id", "band_key")
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band_key"))
-    val capped = rows
-      .withColumn("graft_bn", count(lit(1)).over(w))
-      .filter(col("graft_bn") <= maxBucket)
-      .drop("graft_bn")
-    val staging = index.table + "_compact_staging"
-    spark.sql(s"DROP TABLE IF EXISTS $staging")
-    Bucketed.writeBucketed(capped, staging, "band_key", index.numBuckets)
-    spark.sql(s"DROP TABLE ${index.table}")
-    spark.sql(s"ALTER TABLE $staging RENAME TO ${index.table}")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val overCap = rows
+        .groupBy(col("band_key"))
+        .agg(count(lit(1)).as("graft_bn"))
+        .filter(col("graft_bn") > maxBucket)
+        .select(col("band_key"))
+      val capped = rows.join(broadcast(overCap), Seq("band_key"), "left_anti")
+      val staging = index.table + "_compact_staging"
+      spark.sql(s"DROP TABLE IF EXISTS $staging")
+      Bucketed.writeBucketed(capped, staging, "band_key", index.numBuckets)
+      spark.sql(s"DROP TABLE ${index.table}")
+      spark.sql(s"ALTER TABLE $staging RENAME TO ${index.table}")
+    } finally rows.unpersist()
   }
 
   /** Dedup an incoming batch against the index: (batch_id, index_id,

@@ -323,6 +323,53 @@ class DedupSpec extends SparkTestBase {
     spark.sql("DROP TABLE IF EXISTS d9_spec_index")
   }
 
+  test("D9: build cap plan — no window over the sig relation; broadcast anti-join; one clustering exchange; no extra sort") {
+    // r16's ×19.3 sf1000 superlinearity: the per-write degenerate-bucket
+    // cap ran as count().over(Window.partitionBy(band_key)) — a full
+    // shuffle AND sort of the sig-carrying band relation, before the
+    // bucketed write sorted it again. The replacement (capAndCluster)
+    // must keep the big relation to ONE exchange and ZERO sorts (the
+    // bucketed write adds its own sortBy downstream of this plan).
+    val ds = Seq(
+      (1L, base), (2L, base), (3L, base), (4L, base), (5L, base), // 5 identical → every band bucket = 5
+      (6L, farDoc))
+      .toDF("doc_id", "text")
+    val rows = Dedup.shingleRows(ds, "doc_id", "text", 3)
+    val bandRows = Dedup.bandSigRows(rows, "doc_id", numHashes = 16, numBands = 4)
+      .select(col("doc_id").as("index_id"), col("band_key"), col("sig"))
+
+    val old = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val capped = DedupIndex.capAndCluster(bandRows, maxBucket = 4, numBuckets = 8)
+      val plan = capped.queryExecution.executedPlan
+      assert(plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w }.isEmpty,
+        s"cap must not window-sort the sig relation:\n$plan")
+      val anti = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j }
+      assert(anti.nonEmpty, s"cap must be a broadcast anti-join:\n$plan")
+      // one exchange carries the sig arrays: the pre-write clustering on
+      // band_key. (The count aggregate's exchange carries only
+      // (band_key, count) — column-pruned, never the sigs.)
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      val sigExchanges = plan.collect {
+        case e: ShuffleExchangeExec if e.output.exists(_.name == "sig") => e }
+      assert(sigExchanges.size == 1,
+        s"expected exactly one sig-carrying exchange, got ${sigExchanges.size}:\n$plan")
+      assert(plan.collect {
+        case s: org.apache.spark.sql.execution.SortExec => s }.isEmpty,
+        s"the only sort must be the bucketed write's own:\n$plan")
+
+      // semantics unchanged from the window form: over-cap buckets are
+      // dropped WHOLE, under-cap buckets kept whole
+      val out = capped.select("index_id").as[Long].collect()
+      assert(out.nonEmpty && out.forall(_ == 6L),
+        s"expected only doc 6's band rows to survive maxBucket=4, got ${out.toSeq}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", old)
+  }
+
   test("D9: compaction clears cross-append over-cap buckets and replay duplicates; probe unchanged otherwise") {
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)
