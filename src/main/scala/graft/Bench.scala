@@ -85,27 +85,39 @@ object Bench {
                       spark: org.apache.spark.sql.SparkSession, sfDir: String): Unit =
     fn(spark, sfDir).write.mode("overwrite").format("noop").save()
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val loadBefore = awaitQuietWindow()
-    val contended = loadBefore >= 2.0
-    val spark = GraftSession.local("graft-bench")
-    spark.sparkContext.setLogLevel("ERROR")
-
+  /** The subset/exclusion logic shared by both modes: explicit
+    * SPARK_GRAFT_QUERIES wins; otherwise everything but the teaching
+    * demos. A typo'd/stale subset name must fail loudly — an empty run
+    * would write {"value":0,"failed":0}, a phantom perfect result. */
+  private def selectedKeys(): Seq[String] = {
     val subset: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    // a typo'd/stale subset name must fail loudly — an empty run would
-    // write {"value":0,"failed":0}, a phantom perfect result
     subset.foreach { s =>
       val unknown = s -- SparkEntry.queries.keySet
       require(unknown.isEmpty,
         s"SPARK_GRAFT_QUERIES names unknown queries: ${unknown.mkString(",")}")
     }
-    val queries = SparkEntry.queries.toSeq
-      .filter { case (name, _) =>
-        subset.map(_.contains(name))
-          .getOrElse(!TeachingQueries.contains(name)) }
-      .sortBy(_._1)
+    SparkEntry.queries.keys.toSeq
+      .filter { name =>
+        subset.map(_.contains(name)).getOrElse(!TeachingQueries.contains(name)) }
+      .sorted
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (sys.env.get("GRAFT_BENCH_ISOLATE").contains("1")) return isolateMain()
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // a child of isolate mode skips the quiet-window wait: the parent
+    // already waited once, and the PREVIOUS child's own (legitimate)
+    // work leaves a decaying 1-minute loadavg that would otherwise
+    // stall every subsequent child for minutes
+    val loadBefore =
+      if (sys.env.get("GRAFT_BENCH_NOWAIT").contains("1")) loadavg1m()
+      else awaitQuietWindow()
+    val contended = loadBefore >= 2.0
+    val spark = GraftSession.local("graft-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val queries = selectedKeys().map(k => k -> SparkEntry.queries(k))
 
     // Warmup: run everything once untimed.
     queries.foreach { case (_, fn) =>
@@ -127,22 +139,34 @@ object Bench {
       name -> median
     }
 
+    emit(results, sfDir, loadBefore, contended)
+    spark.stop()
+  }
+
+  /** Write the full-precision JSON snapshot and print the compact line.
+    *
+    * Full-key snapshot → GRAFT_BENCH_OUT (default bench_out.json,
+    * committed per round). The stdout line must be COMPACT: the round
+    * harness keeps only the last 2000 bytes of output, and the full
+    * 81-query line is ~4 KB — r11's BENCH artifact lost its head
+    * ("parsed": null) that way. Short keys (the id before the first
+    * '_' — q1/d5/t6/…, unique by construction, asserted here) +
+    * 3-decimal seconds fit the whole sweep in <1.3 KB, so the artifact
+    * is always self-contained. */
+  private def emit(results: Seq[(String, Double)], sfDir: String,
+                   loadBefore: Double, contended: Boolean,
+                   isolate: Boolean = false): Unit = {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failed = results.count(_._2 < 0)
     val loadAfter = loadavg1m()
+    val iso = if (isolate) """"isolate":true,""" else ""
     val meta =
-      s""""failed":$failed,"sf":"$sfDir","load_before":$loadBefore,"load_after":$loadAfter,"contended":$contended"""
+      s"""$iso"failed":$failed,"sf":"$sfDir","load_before":$loadBefore,"load_after":$loadAfter,"contended":$contended"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$meta}"""
-    // Full-precision, full-key snapshot → bench_out.json (committed per
-    // round). The stdout line must be COMPACT: the round harness keeps
-    // only the last 2000 bytes of output, and the full 81-query line is
-    // ~4 KB — r11's BENCH artifact lost its head ("parsed": null) that
-    // way. Short keys (the id before the first '_' — q1/d5/t6/…, unique
-    // by construction, asserted here) + 3-decimal seconds fit the whole
-    // sweep in <1.3 KB, so the artifact is always self-contained.
-    Files.writeString(Paths.get("bench_out.json"), json + "\n")
+    val outPath = sys.env.getOrElse("GRAFT_BENCH_OUT", "bench_out.json")
+    Files.writeString(Paths.get(outPath), json + "\n")
     val shortKey = results.map { case (k, _) => k -> k.takeWhile(_ != '_') }.toMap
     val qsShort =
       if (shortKey.values.toSet.size == results.size)
@@ -151,6 +175,63 @@ object Bench {
       else qs // id clash (never expected) → fall back to full keys
     println(
       s"""{"metric":"total","value":${Fmt.dec(total)},"unit":"sec","queries":$qsShort,$meta}""")
-    spark.stop()
+  }
+
+  /** GRAFT_BENCH_ISOLATE=1 (round 17, verdict item 5): one FRESH JVM
+    * per query. Twice a pack figure (r16 q31 136 s, r15's q31/q32
+    * "regressions") was cross-query JVM state — heap residue + page
+    * cache from whichever heavy query ran before — and needed manual
+    * solo re-runs to adjudicate. This mode makes the solo protocol a
+    * first-class Bench mode: the parent forks `java graft.Bench` per
+    * selected key (same classpath/JVM flags, SPARK_GRAFT_QUERIES
+    * pinned to the one key, GRAFT_BENCH_OUT to a temp file), then
+    * merges the children's full-precision snapshots into the standard
+    * one-line artifact with `"isolate":true`. Each child still runs
+    * its own untimed warmup, so the protocol per query is exactly the
+    * r16 solo confirmation runs. Costs one ~10 s session startup per
+    * query — a full 83-key sweep pays ~15 min of pure startup, so the
+    * mode is for decade headline receipts and regression adjudication,
+    * not the per-round sf0.1 sweep. */
+  private def isolateMain(): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val loadBefore = awaitQuietWindow()
+    val contended = loadBefore >= 2.0
+    val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java").toString
+    val opens = Seq("java.lang", "java.lang.invoke", "java.lang.reflect",
+      "java.io", "java.net", "java.nio", "java.util", "java.util.concurrent",
+      "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
+      "sun.security.action", "sun.util.calendar")
+      .flatMap(p => Seq("--add-opens", s"java.base/$p=ALL-UNNAMED"))
+    val xmx = "-Xmx" + sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
+    val cmd = Seq(javaBin) ++ opens ++ Seq(
+      "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC", xmx,
+      "-cp", System.getProperty("java.class.path"), "graft.Bench")
+
+    val results = selectedKeys().map { key =>
+      val tmp = Files.createTempFile("graft_bench_iso_", ".json")
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.environment().remove("GRAFT_BENCH_ISOLATE")
+      pb.environment().put("GRAFT_BENCH_NOWAIT", "1")
+      pb.environment().put("SPARK_GRAFT_QUERIES", key)
+      pb.environment().put("GRAFT_BENCH_OUT", tmp.toString)
+      pb.redirectErrorStream(false)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      pb.redirectOutput(ProcessBuilder.Redirect.DISCARD) // JSON read from tmp
+      val code = pb.start().waitFor()
+      val v =
+        if (code != 0) { System.err.println(s"[bench] $key child exit $code"); -1.0 }
+        else {
+          val line = Files.readString(tmp)
+          val m = java.util.regex.Pattern
+            .compile("\"" + java.util.regex.Pattern.quote(key) + "\":(-?[0-9.Ee+-]+)")
+            .matcher(line)
+          if (m.find()) m.group(1).toDouble
+          else { System.err.println(s"[bench] $key missing from child output"); -1.0 }
+        }
+      Files.deleteIfExists(tmp)
+      System.err.println(f"[bench] isolate $key%-24s ${v}%.3f s")
+      key -> v
+    }
+    emit(results, sfDir, loadBefore, contended, isolate = true)
   }
 }
