@@ -199,21 +199,59 @@ object Dedup {
     * corpus against the BOUNDED drop set (members of near-dup clusters
     * minus their keepers — duplicates, by definition a small fraction of
     * a curated corpus; broadcast when it fits, shuffled otherwise). */
-  def applyDedup(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
-    val drops = duplicateLabels(pairs)
+  def applyDedup(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    applyLabels(docs, idCol, duplicateLabels(pairs))
+
+  /** The APPLY pass from precomputed cluster labels. */
+  def applyLabels(docs: DataFrame, idCol: String, labels: DataFrame): DataFrame = {
+    val drops = labels
       .filter(col("id") =!= col("label"))
       .select(col("id").as("__drop_id"))
     docs.join(drops, docs(idCol) === col("__drop_id"), "left_anti")
   }
 
-  def duplicateGroups(pairs: DataFrame, maxIterations: Int = 64): DataFrame = {
-    labelPropagation(pairs, maxIterations)
+  def duplicateGroups(pairs: DataFrame, maxIterations: Int = 64): DataFrame =
+    groupsFromLabels(labelPropagation(pairs, maxIterations))
+
+  /** The group summary from precomputed cluster labels. */
+  def groupsFromLabels(labels: DataFrame): DataFrame =
+    labels
       .groupBy(col("label").as("group_id"))
       .agg(count(lit(1)).as("n_members"),
         // id-sorted, comma-joined: groups are bounded (near-dup clusters),
         // and the string form is hashable by any downstream engine
         concat_ws(",", transform(sort_array(collect_list(col("id"))),
           _.cast("string"))).as("members"))
+
+  /** All three corpus-dedup outputs from ONE signature pass and ONE
+    * label fixpoint (round 17).
+    *
+    * Run as separate queries, d2 (candidate pairs), d6 (cluster
+    * groups), and d8 (deduped corpus) each re-derive the full
+    * shingle→minhash→band relation from text, and d6/d8 each run their
+    * own label-propagation fixpoint — at 50M docs the corpus signature
+    * pass is paid three times and the fixpoint twice. A production
+    * ingest pipeline wants all three outputs of the SAME pass: this
+    * chain materializes the candidate pairs once (localCheckpoint —
+    * the only corpus-sized work), runs the fixpoint once on those
+    * pairs (its result is checkpointed and component-graph-sized, i.e.
+    * tiny next to the corpus), and derives pairs/groups/deduped from
+    * the shared state. The deduped corpus still re-scans `docs` for
+    * its anti-join — unavoidable and cheap next to the shingle pass.
+    * Results are IDENTICAL to the standalone d2/d6/d8 forms
+    * (DedupSpec pins equality; the d10 gate key shares d8's oracle). */
+  final case class ChainOut(pairs: DataFrame, labels: DataFrame,
+                            groups: DataFrame, deduped: DataFrame)
+
+  def dedupChain(docs: DataFrame, idCol: String, textCol: String, k: Int,
+                 numHashes: Int, numBands: Int, maxBucket: Int,
+                 maxIterations: Int = 64): ChainOut = {
+    val rows = shingleRows(docs, idCol, textCol, k)
+    val pairs = candidatePairs(bands(rows, idCol, numHashes, numBands),
+      idCol, maxBucket).localCheckpoint()
+    val labels = duplicateLabels(pairs, maxIterations) // checkpointed inside
+    ChainOut(pairs, labels, groupsFromLabels(labels),
+      applyLabels(docs, idCol, labels))
   }
 
   /** When true (and `SparkContext.setCheckpointDir` points at reliable

@@ -3,7 +3,6 @@ package graft.dedup
 import graft.sources.Bucketed
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Persistent incremental dedup index (SURVEY §2.3 D9, round 11) — the
   * operator a production ingest pipeline actually runs at 100 TB.
@@ -95,45 +94,46 @@ object DedupIndex {
     val rows = Dedup.shingleRows(docs, idCol, textCol, index.k)
     val bandRows = Dedup.bandSigRows(rows, idCol, index.numHashes, index.numBands)
       .select(col(idCol).as("index_id"), col("band_key"), col("sig"))
-      // materialized ONCE: the signature pass (shingle + minhash over the
-      // corpus) feeds both the cap aggregate and the write — without the
-      // persist the two branches would each re-shingle.
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    try Bucketed.writeBucketed(
+    Bucketed.writeBucketed(
       capAndCluster(bandRows, maxBucket, index.numBuckets),
       index.table, "band_key", index.numBuckets, mode = mode)
-    finally bandRows.unpersist()
   }
 
   /** Per-write degenerate-bucket cap + write-ready clustering.
     *
     * The r16 form was `count().over(Window.partitionBy(band_key))` — a
     * full shuffle AND per-partition sort of the complete sig-carrying
-    * band relation (160M rows / ~16 GB at sf1000, ×19.3 superlinear:
-    * the sort spills) before the bucketed write added its own second
-    * sort. The cap only needs the COUNT per band_key, and over-cap keys
-    * are by construction few (boilerplate bands): so
-    *   1. aggregate band_key counts — map-side combined, the shuffle
-    *      carries (band_key, partial_count) rows only, sig arrays never
-    *      in flight (the columnar cache prunes them at scan);
-    *   2. broadcast anti-join the tiny over-cap key set against the
-    *      band rows — no exchange on the big side;
-    *   3. repartition on band_key before the write. Spark's bucket id
-    *      is murmur3(band_key) % numBuckets — the same hash family
-    *      repartition uses — so each write task sees few buckets and
-    *      the ONLY remaining sort is the bucketed write's own sortBy.
-    * Net: one big-relation exchange and one sort, vs the window plan's
-    * exchange + spilling sort + write sort. */
+    * band relation (160M rows / ~20 GB shuffled at sf1000, ×19.3
+    * superlinear: the sort spills) before the bucketed write added its
+    * own second sort. The cap only needs the COUNT per band_key, and
+    * over-cap keys are by construction few (boilerplate bands): so
+    *   1. cluster the band relation on band_key ONCE — this is the only
+    *      big-relation exchange, and BOTH branches below hang off the
+    *      same node, so Spark's exchange reuse serves the second branch
+    *      from the first's shuffle files (the signature pass runs once;
+    *      the shuffle store is the materialization — a cache of the
+    *      20 GB relation starves execution memory and OOMs, measured
+    *      at sf1000);
+    *   2. count per band_key on the clustered relation — no further
+    *      exchange (grouping key == partitioning key) — and broadcast
+    *      anti-join the tiny over-cap key set;
+    *   3. cluster into 8× the bucket count: Spark's bucket id is
+    *      murmur3(band_key) % numBuckets and 8N co-divides N, so every
+    *      write task holds exactly one bucket's rows and the bucketed
+    *      write's own sortBy — the only sort left in the plan — sorts
+    *      ~1/(8N) of the relation per task, in memory instead of
+    *      spilling.
+    * Net: one exchange, one in-memory-sized sort, vs the window plan's
+    * exchange + spilling window sort + write sort. */
   private[dedup] def capAndCluster(bandRows: DataFrame, maxBucket: Int,
                                    numBuckets: Int): DataFrame = {
-    val overCap = bandRows
+    val clustered = bandRows.repartition(8 * numBuckets, col("band_key"))
+    val overCap = clustered
       .groupBy(col("band_key"))
       .agg(count(lit(1)).as("graft_bn"))
       .filter(col("graft_bn") > maxBucket)
       .select(col("band_key"))
-    bandRows
-      .join(broadcast(overCap), Seq("band_key"), "left_anti")
-      .repartition(col("band_key"))
+    clustered.join(broadcast(overCap), Seq("band_key"), "left_anti")
   }
 
   /** Per-band-bucket cardinalities — the index health metric (the dedup
@@ -171,32 +171,34 @@ object DedupIndex {
     val spark = SparkSession.active
     // One exchange total (same rationale as capAndCluster — the r16
     // window-count form here full-sorted the index a second time):
-    // cluster on band_key FIRST; hash-partitioning on band_key is a
-    // subset of the (index_id, band_key) dedup keys, so dropDuplicates
-    // reuses it with no second shuffle, the cap aggregate runs
-    // exchange-free on the same clustering, and the bucketed write's
-    // murmur3 % numBuckets co-divides the shuffle's murmur3 % N
-    // partitions, so its sortBy is the only sort.
+    // cluster on band_key FIRST, both branches off the same node so
+    // exchange reuse serves the cap branch from the write branch's
+    // shuffle files (no cache — see capAndCluster). Hash-partitioning
+    // on band_key is a subset of the (index_id, band_key) dedup keys,
+    // so dropDuplicates reuses it with no second shuffle. The cap
+    // branch counts DISTINCT index_id per band_key — definitionally the
+    // post-dedup bucket size — straight off the clustered relation, so
+    // neither branch pays the other's aggregate. The bucketed write's
+    // murmur3 % numBuckets co-divides the shuffle's murmur3 % 8N
+    // partitions, so its sortBy is the only sort and stays in memory.
     //
     // replay residue: the same doc's band row appended twice carries an
     // identical signature (ids are stable per the pipeline's contract)
-    val rows = spark.table(index.table)
-      .repartition(col("band_key"))
+    val clustered = spark.table(index.table)
+      .repartition(8 * index.numBuckets, col("band_key"))
+    val overCap = clustered
+      .groupBy(col("band_key"))
+      .agg(countDistinct(col("index_id")).as("graft_bn"))
+      .filter(col("graft_bn") > maxBucket)
+      .select(col("band_key"))
+    val capped = clustered
       .dropDuplicates("index_id", "band_key")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      val overCap = rows
-        .groupBy(col("band_key"))
-        .agg(count(lit(1)).as("graft_bn"))
-        .filter(col("graft_bn") > maxBucket)
-        .select(col("band_key"))
-      val capped = rows.join(broadcast(overCap), Seq("band_key"), "left_anti")
-      val staging = index.table + "_compact_staging"
-      spark.sql(s"DROP TABLE IF EXISTS $staging")
-      Bucketed.writeBucketed(capped, staging, "band_key", index.numBuckets)
-      spark.sql(s"DROP TABLE ${index.table}")
-      spark.sql(s"ALTER TABLE $staging RENAME TO ${index.table}")
-    } finally rows.unpersist()
+      .join(broadcast(overCap), Seq("band_key"), "left_anti")
+    val staging = index.table + "_compact_staging"
+    spark.sql(s"DROP TABLE IF EXISTS $staging")
+    Bucketed.writeBucketed(capped, staging, "band_key", index.numBuckets)
+    spark.sql(s"DROP TABLE ${index.table}")
+    spark.sql(s"ALTER TABLE $staging RENAME TO ${index.table}")
   }
 
   /** Dedup an incoming batch against the index: (batch_id, index_id,

@@ -122,6 +122,17 @@ object DedupQueries {
         round(col("est_jaccard"), 6).as("est_jaccard"))
   }
 
+  /** D10: the production CHAIN form — d2+d6+d8's outputs from ONE
+    * signature pass and ONE label fixpoint ([[Dedup.dedupChain]], round
+    * 17). The gate materializes the chain's deduped corpus, which must
+    * equal d8's standalone result exactly (same oracle SQL); ChainBench
+    * carries the cost receipt (chain vs sum of standalone runs). */
+  def d10DedupChain(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupChain(docs(s, dir), "doc_id", "text",
+        ShingleK, NumHashes, NumBands, MaxBucket)
+      .deduped
+      .select(col("doc_id"), col("lang"), col("source"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d9_incremental_dedup" -> (d9IncrementalDedup _),
     "d8_dedup_apply" -> (d8DedupApply _),
@@ -131,7 +142,8 @@ object DedupQueries {
     "d4_jaccard_pairs" -> (d4JaccardPairs _),
     "d5_embed_dedup" -> (d5EmbedDedup _),
     "d6_dup_groups" -> (d6DupGroups _),
-    "d7_passage_dedup" -> (d7PassageDedup _))
+    "d7_passage_dedup" -> (d7PassageDedup _),
+    "d10_dedup_chain" -> (d10DedupChain _))
 
   /** Shared DuckDB CTE chain reproducing the MinHash pipeline exactly:
     * one md5 per shingle → 60-bit int mod p, then the same affine mixes
@@ -323,6 +335,8 @@ object DedupQueries {
   val oracles: Map[String, String] = Map(
     "d9_incremental_dedup" -> d9Sql,
     "d8_dedup_apply" -> d8Sql,
+    // the chain's deduped output is definitionally d8's result
+    "d10_dedup_chain" -> d8Sql,
     "d7_passage_dedup" -> d7Sql,
     "d6_dup_groups" -> d6Sql,
     "d3_simhash" -> d3Sql,

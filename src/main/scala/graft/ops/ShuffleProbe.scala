@@ -29,6 +29,13 @@ import graft.{GraftSession, SparkEntry, Tables}
   * Usage: ShuffleProbe [sf_dir] [queryKey ...]
   * Default queries: q31_sliding_dau q32_retention (the original probe;
   * this default mode also prints the fact/user context counts).
+  *
+  * GRAFT_PROBE_OUT=<dir>: materialize each probed query to
+  * <dir>/<key> parquet instead of the noop sink — lets one expensive
+  * decade run serve both the stage receipt and a correctness-mirror
+  * input (e.g. tools/check_cc.py wants d6's result on disk). The
+  * parquet write adds its encode cost to query_wall_s; stage rows
+  * attribute it.
   */
 object ShuffleProbe {
 
@@ -79,8 +86,11 @@ object ShuffleProbe {
     for (name <- keys) {
       lock.synchronized { stages = Map.empty; meta = Map.empty }
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, sfDir)
-        .write.mode("overwrite").format("noop").save()
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      sys.env.get("GRAFT_PROBE_OUT") match {
+        case Some(dir) => df.write.mode("overwrite").parquet(s"$dir/$name")
+        case None      => df.write.mode("overwrite").format("noop").save()
+      }
       val wallS = (System.nanoTime() - t0) / 1e9
       Thread.sleep(2000) // listener bus drains asynchronously
       val snap = lock.synchronized(stages).toSeq.sortBy(_._1)

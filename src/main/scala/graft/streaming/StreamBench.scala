@@ -14,7 +14,10 @@ import org.apache.spark.sql.streaming.{StreamingQueryListener, Trigger}
   * measures what the correctness specs can't: rows/s, per-batch
   * latency, and the state-store bound each ST operator claims.
   *
-  * Usage: StreamBench <scaled_sf_dir> <out.json> [chunks=20]
+  * Usage: StreamBench <scaled_sf_dir> <out.json> [chunks=20] [ops]
+  * `ops` (round 17): comma-separated op-name prefixes (st13,st14,…) —
+  * restricts the run so a big-corpus receipt (e.g. the sf10 ST14/ST15
+  * mask-vs-list state pair) doesn't pay for the full suite.
   *
   * Operators measured (the three with non-trivial state claims):
   * - ST13 funnelStream(expiry=true): state = 5 longs/user, watermark
@@ -108,6 +111,11 @@ object StreamBench {
     val dir = args(0)
     val outPath = if (args.length > 1) args(1) else "stream_bench.json"
     val chunks = if (args.length > 2) args(2).toInt else 20
+    val opFilter: Option[Seq[String]] =
+      if (args.length > 3) Some(args(3).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      else None
+    def want(op: String): Boolean =
+      opFilter.forall(_.exists(op.startsWith))
     val work = Files.createTempDirectory("graft-stream-bench").toString
     val spark = graft.GraftSession.local("graft-stream-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -149,6 +157,7 @@ object StreamBench {
 
     def bench(name: String, extra: String = "", checkpoint: String = "")
              (run: () => Unit): Unit = {
+      if (!want(name)) return
       collector.stats.clear()
       val t0 = System.nanoTime()
       run()
@@ -166,12 +175,14 @@ object StreamBench {
       println(line)
     }
 
-    // ---- events replay staging (shared by ST13/ST14) ----
-    val events = graft.Tables(spark, dir, "events")
-      .select(col("user_id"), col("event_type"), col("ts"))
+    // ---- events replay staging (shared by ST13/ST14/ST15) ----
     val evDir = s"$work/events_stream"
-    stageSlices(events, "ts", evDir, chunks)
-    val evSchema = spark.read.parquet(evDir).schema
+    if (Seq("st13", "st14", "st15").exists(want)) {
+      val events = graft.Tables(spark, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+      stageSlices(events, "ts", evDir, chunks)
+    }
+    lazy val evSchema = spark.read.parquet(evDir).schema
     def eventStream(): DataFrame = spark.readStream.schema(evSchema)
       .option("maxFilesPerTrigger", "1").parquet(evDir)
 
@@ -225,30 +236,33 @@ object StreamBench {
     // micro-batch lands TWICE (clean + quarantine), each an idempotent
     // dynamic-partition overwrite — so the measured cost includes the
     // full exactly-once durable-write tax, unlike the noop-sink ops.
-    Seq("sb_st8_clean", "sb_st8_quarantine").foreach { t =>
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), t)
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
-    }
-    val ingestRules = Seq(
-      "[user_id] is mandatory" -> "user_id IS NOT NULL",
-      "[ts] is mandatory" -> "ts IS NOT NULL",
-      "known event type" ->
-        "event_type IN ('click','view','signup','purchase','error')",
-      "value in range" -> "value IS NULL OR value >= 0.0")
-    val evFullDir = s"$work/events_full_stream"
-    stageSlices(graft.Tables(spark, dir, "events"), "ts", evFullDir, chunks)
-    val evFullSchema = spark.read.parquet(evFullDir).schema
-    bench("st8_governed_ingest") { () =>
-      val stream = spark.readStream.schema(evFullSchema)
-        .option("maxFilesPerTrigger", "1").parquet(evFullDir)
-      runToEnd(Streaming.governedIngest(stream, ingestRules,
-        "sb_st8_clean", "sb_st8_quarantine"), s"$work/cp_st8")
+    if (want("st8_governed_ingest")) {
+      Seq("sb_st8_clean", "sb_st8_quarantine").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"), t)
+        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+      }
+      val ingestRules = Seq(
+        "[user_id] is mandatory" -> "user_id IS NOT NULL",
+        "[ts] is mandatory" -> "ts IS NOT NULL",
+        "known event type" ->
+          "event_type IN ('click','view','signup','purchase','error')",
+        "value in range" -> "value IS NULL OR value >= 0.0")
+      val evFullDir = s"$work/events_full_stream"
+      stageSlices(graft.Tables(spark, dir, "events"), "ts", evFullDir, chunks)
+      val evFullSchema = spark.read.parquet(evFullDir).schema
+      bench("st8_governed_ingest") { () =>
+        val stream = spark.readStream.schema(evFullSchema)
+          .option("maxFilesPerTrigger", "1").parquet(evFullDir)
+        runToEnd(Streaming.governedIngest(stream, ingestRules,
+          "sb_st8_clean", "sb_st8_quarantine"), s"$work/cp_st8")
+      }
     }
 
     // ---- ST16: documents replay against the persisted index ----
+    if (want("st16_indexed_ingest")) {
     import graft.dedup.{DedupIndex, DedupQueries}
     // a previous bench run's sinks would otherwise absorb this run's
     // batches (ingest-log idempotence) and zero the measurement; a
@@ -283,6 +297,7 @@ object StreamBench {
       runToEnd(Streaming.indexedIngest(stream, idx, "doc_id", "text",
         DedupQueries.IndexThreshold, DedupQueries.MaxBucket, "sb_st16_clean"),
         s"$work/cp_st16")
+    }
     }
 
     val json = "[" + out.mkString(",\n ") + "]"

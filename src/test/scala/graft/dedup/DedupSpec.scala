@@ -262,6 +262,25 @@ class DedupSpec extends SparkTestBase {
     assert(ex.getMessage.contains("did not converge"))
   }
 
+  test("D10: dedupChain outputs equal the standalone d2/d6/d8 results exactly") {
+    val chain = Dedup.dedupChain(docs, "doc_id", "text",
+      k = 3, numHashes = 16, numBands = 4, maxBucket = 100)
+
+    val standalonePairs = Dedup.candidatePairs(
+      Dedup.bands(shingleRows, "doc_id", numHashes = 16, numBands = 4),
+      "doc_id", maxBucket = 100)
+    assert(chain.pairs.as[(Long, Long)].collect().toSet ==
+      standalonePairs.as[(Long, Long)].collect().toSet)
+
+    val standaloneGroups = Dedup.duplicateGroups(standalonePairs)
+    assert(chain.groups.as[(Long, Long, String)].collect().toSet ==
+      standaloneGroups.as[(Long, Long, String)].collect().toSet)
+
+    val standaloneDeduped = Dedup.applyDedup(docs, "doc_id", standalonePairs)
+    assert(chain.deduped.select("doc_id").as[Long].collect().toSet ==
+      standaloneDeduped.select("doc_id").as[Long].collect().toSet)
+  }
+
   test("D9: persisted dedup index — probe finds cross-split dups, append extends, no index-side Exchange") {
     spark.sql("DROP TABLE IF EXISTS d9_spec_index")
     def rm(f: java.io.File): Unit = {

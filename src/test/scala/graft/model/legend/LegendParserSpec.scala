@@ -926,6 +926,33 @@ class LegendParserSpec extends SparkTestBase {
       opaque.toString)
   }
 
+  test("r17 frontier probe: function VALUES from lets, returns, and defaults resolve") {
+    val (fns, _) = PureParser.parseScript(
+      """function demo::hof::applyTo(f: Function<{Integer[1]->Integer[1]}>[1], x: Integer[1]): Integer[1]
+        |{ $f->eval($x) }
+        |function demo::fns::double(x: Integer[1]): Integer[1] { $x * 2 }
+        |function demo::mk::triple(): Function<{Integer[1]->Integer[1]}>[1]
+        |{ {y | $y * 3} }
+        |""".stripMargin)
+    def sql(s: String): String =
+      PureToSql.lambda(PureExpr.inlineUserFunctions(PureParser.parse(s), fns))
+    // let-bound lambda literal, eval'd directly
+    assert(sql("let f = {y | $y * 3}; $f->eval(2)") == "(2 * 3)")
+    // let-bound lambda used INSIDE a nested lambda that is then applied —
+    // the "$f bound only at an outer site" shape
+    assert(sql("let f = {y | $y * 3}; {x | $f->eval($x)}->eval(2)") == "(2 * 3)")
+    // let-bound lambda passed through a user-function parameter
+    assert(sql("let f = {y | $y + 1}; demo::hof::applyTo($f, 9)") == "(9 + 1)")
+    // a user function RETURNING a function value, eval'd at the call site
+    assert(sql("demo::mk::triple()->eval(5)") == "(5 * 3)")
+    // ...and flowing through a lambda parameter before the eval
+    assert(sql("{f | $f->eval(4)}->eval(demo::mk::triple())") == "(4 * 3)")
+    // the genuinely-opaque core stays rejected: no binding site anywhere
+    val opaque = scala.util.Try(sql("{f | $f->eval(1)}"))
+    assert(opaque.isFailure && opaque.failed.get.getMessage.contains("eval"),
+      opaque.toString)
+  }
+
   test("rejection frontier: the documented still-unsupported constructs fail loudly") {
     // The round-11 frontier survey (every corpus lambda + every
     // reference test string parses clean — proven above and in
