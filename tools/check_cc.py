@@ -36,7 +36,25 @@ TABLES = ["documents"]
 
 
 def main():
-    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    # --pairs-from=<dir> (round 17, the sf1000 decade): build the edge
+    # table from graft's OWN d2_minhash_pairs parquet instead of
+    # re-deriving candidates in DuckDB. At 50M docs the DuckDB
+    # shingle/minhash CTE chain is the piece that DNFs (killed >2h in
+    # the r16 bench; the same wall the r14 sweep documented) — while
+    # the thing this tool uniquely verifies, the CONNECTED-COMPONENTS
+    # grouping, stays tractable on the pair graph. Scope is then
+    # explicitly weaker and disclosed: the closure is verified
+    # independently at this decade GIVEN graft's candidate graph, whose
+    # construction is oracle-checked in full through the lower decades
+    # (sf0.01..sf10 gates; sf100 r14 sweep).
+    pairs_from = None
+    argv = []
+    for a in sys.argv[1:]:
+        if a.startswith("--pairs-from="):
+            pairs_from = a.split("=", 1)[1]
+        else:
+            argv.append(a)
+    out_dir, sf_dir = argv[0], argv[1]
     con = duckdb.connect()
     con.sql("SET temp_directory='/tmp/duckdb_spill'")
     threads = os.environ.get("GRAFT_CHECK_THREADS")
@@ -49,16 +67,20 @@ def main():
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
-    sql = oracle["d6_dup_groups"]
-    # Reuse the committed oracle text up to the candidate-pair CTE, so
-    # the shingle/minhash/banding semantics being verified are the very
-    # SQL the driver gate runs — only the closure algorithm differs.
-    cut = sql.index("und AS ")
-    prefix = sql[:cut].rstrip().rstrip(",")
     t0 = time.time()
-    con.sql(f"CREATE TABLE und AS WITH RECURSIVE {prefix[len('WITH RECURSIVE '):]} "
-            "SELECT a, b FROM cand UNION SELECT b, a FROM cand")
+    if pairs_from:
+        con.sql(f"CREATE TABLE und AS SELECT a, b FROM '{pairs_from}/*.parquet' "
+                f"UNION SELECT b AS a, a AS b FROM '{pairs_from}/*.parquet'")
+    else:
+        oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+        sql = oracle["d6_dup_groups"]
+        # Reuse the committed oracle text up to the candidate-pair CTE, so
+        # the shingle/minhash/banding semantics being verified are the very
+        # SQL the driver gate runs — only the closure algorithm differs.
+        cut = sql.index("und AS ")
+        prefix = sql[:cut].rstrip().rstrip(",")
+        con.sql(f"CREATE TABLE und AS WITH RECURSIVE {prefix[len('WITH RECURSIVE '):]} "
+                "SELECT a, b FROM cand UNION SELECT b, a FROM cand")
     n_edges = con.sql("SELECT count(*) FROM und").fetchone()[0]
     print(f"[cc] candidate edges (directed): {n_edges} "
           f"({time.time() - t0:.1f}s)", flush=True)
