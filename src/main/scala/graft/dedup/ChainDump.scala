@@ -1,0 +1,46 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions.col
+
+import graft.GraftSession
+
+/** Materialize [[Dedup.dedupChain]]'s three outputs as parquet for the
+  * big-decade correctness mirror (round 17): `tools/check_cc.py
+  * --pairs-from=<out>/d2_minhash_pairs <out> <sf_dir>` then verifies the
+  * connected-components grouping and the apply pass in DuckDB against
+  * these files — the decades where DuckDB's own candidate CTE DNFs.
+  *
+  * One signature pass, one fixpoint, three writes; the per-output
+  * timing line doubles as the chain's cost receipt at the decade.
+  *
+  * Usage: ChainDump <sf_dir> <out_dir>   (env: SPARK_GRAFT_CPUS)
+  */
+object ChainDump {
+
+  private def timed(f: => Unit): Double = {
+    val t0 = System.nanoTime()
+    f
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val (sfDir, outDir) = (args(0), args(1))
+    val spark = GraftSession.local("graft-chain-dump")
+    spark.sparkContext.setLogLevel("ERROR")
+    import DedupQueries._
+
+    val c = Dedup.dedupChain(graft.Tables(spark, sfDir, "documents"),
+      "doc_id", "text", ShingleK, NumHashes, NumBands, MaxBucket)
+    def write(df: org.apache.spark.sql.DataFrame, name: String): Double =
+      timed(df.write.mode("overwrite").parquet(s"$outDir/$name"))
+    val pairsS = write(c.pairs, "d2_minhash_pairs")
+    val groupsS = write(c.groups, "d6_dup_groups")
+    val dedupS = write(c.deduped.select(col("doc_id"), col("lang"),
+      col("source")), "d8_dedup_apply")
+
+    println(f"""{"chain_dump":{"sf":"$sfDir","pairs_s":$pairsS%.3f,""" +
+      f""""groups_s":$groupsS%.3f,"deduped_s":$dedupS%.3f,""" +
+      f""""total_s":${pairsS + groupsS + dedupS}%.3f}}""")
+    spark.stop()
+  }
+}
