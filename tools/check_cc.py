@@ -68,9 +68,17 @@ def main():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     t0 = time.time()
+    # Edges are kept UNDIRECTED (one canonical a<b row each) — round 17:
+    # at sf1000 the doubled 394M-row directed table plus its rewire
+    # spilled past the host's 60 GB free disk. Halving the edge relation
+    # and reading both directions through a UNION ALL *view* (streamed,
+    # never materialized) keeps the same contraction semantics at half
+    # the working set; the rewire canonicalizes with least/greatest so
+    # the table stays undirected round over round.
     if pairs_from:
-        con.sql(f"CREATE TABLE und AS SELECT a, b FROM '{pairs_from}/*.parquet' "
-                f"UNION SELECT b AS a, a AS b FROM '{pairs_from}/*.parquet'")
+        con.sql(f"CREATE TABLE e AS SELECT DISTINCT least(a, b) AS a, "
+                f"greatest(a, b) AS b FROM '{pairs_from}/*.parquet' "
+                f"WHERE a <> b")
     else:
         oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
         sql = oracle["d6_dup_groups"]
@@ -79,25 +87,27 @@ def main():
         # SQL the driver gate runs — only the closure algorithm differs.
         cut = sql.index("und AS ")
         prefix = sql[:cut].rstrip().rstrip(",")
-        con.sql(f"CREATE TABLE und AS WITH RECURSIVE {prefix[len('WITH RECURSIVE '):]} "
-                "SELECT a, b FROM cand UNION SELECT b, a FROM cand")
-    n_edges = con.sql("SELECT count(*) FROM und").fetchone()[0]
-    print(f"[cc] candidate edges (directed): {n_edges} "
+        con.sql(f"CREATE TABLE e AS WITH RECURSIVE {prefix[len('WITH RECURSIVE '):]} "
+                "SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b "
+                "FROM cand WHERE a <> b")
+    n_edges = con.sql("SELECT count(*) FROM e").fetchone()[0]
+    print(f"[cc] candidate edges (undirected): {n_edges} "
           f"({time.time() - t0:.1f}s)", flush=True)
 
     # contraction loop (see module docstring): roots adopt min neighbor
     # root (nl <= r, so the label forest stays acyclic), compress, then
     # REWIRE edges onto surviving roots — the edge table shrinks every
     # round, done when it is empty.
-    con.sql("CREATE TABLE lbl AS SELECT DISTINCT a AS id, a AS l FROM und")
-    con.sql("CREATE TABLE e AS SELECT DISTINCT a, b FROM und WHERE a <> b")
+    con.sql("CREATE VIEW both_dirs AS SELECT a, b FROM e "
+            "UNION ALL SELECT b AS a, a AS b FROM e")
+    con.sql("CREATE TABLE lbl AS SELECT DISTINCT a AS id, a AS l FROM both_dirs")
     rounds = 0
     while True:
         rounds += 1
         t1 = time.time()
         con.sql("""
             CREATE OR REPLACE TABLE m AS
-            SELECT a AS r, least(a, min(b)) AS nl FROM e GROUP BY a""")
+            SELECT a AS r, least(a, min(b)) AS nl FROM both_dirs GROUP BY a""")
         con.sql("""
             CREATE OR REPLACE TABLE lbl2 AS
             SELECT x.id, coalesce(m.nl, x.l) AS l
@@ -120,7 +130,8 @@ def main():
                     "FAIL d6_dup_groups: path compression did not converge")
         con.sql("""
             CREATE OR REPLACE TABLE e2 AS
-            SELECT DISTINCT la.l AS a, lb.l AS b FROM e
+            SELECT DISTINCT least(la.l, lb.l) AS a, greatest(la.l, lb.l) AS b
+            FROM e
             JOIN lbl2 la ON la.id = e.a JOIN lbl2 lb ON lb.id = e.b
             WHERE la.l <> lb.l""")
         n_live = con.sql("SELECT count(*) FROM e2").fetchone()[0]
