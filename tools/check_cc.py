@@ -128,13 +128,24 @@ def main():
             if jumps > 80:  # 2^80 path length is impossible — a bug, not data
                 raise SystemExit(
                     "FAIL d6_dup_groups: path compression did not converge")
+        # No DISTINCT in the rewire: at sf1000 the external hash
+        # aggregate over ~197M join rows spilled past the host's free
+        # disk (twice). Duplicate contracted edges are harmless — the
+        # min-aggregate in m ignores multiplicity, the rewire is 1:1 so
+        # the table never GROWS, and self-loops still drop, so the live
+        # count still reaches 0. Once the live set is small, one cheap
+        # in-memory dedup restores the shrink-per-round property.
         con.sql("""
             CREATE OR REPLACE TABLE e2 AS
-            SELECT DISTINCT least(la.l, lb.l) AS a, greatest(la.l, lb.l) AS b
+            SELECT least(la.l, lb.l) AS a, greatest(la.l, lb.l) AS b
             FROM e
             JOIN lbl2 la ON la.id = e.a JOIN lbl2 lb ON lb.id = e.b
             WHERE la.l <> lb.l""")
         n_live = con.sql("SELECT count(*) FROM e2").fetchone()[0]
+        if 0 < n_live < 20_000_000:
+            con.sql("CREATE OR REPLACE TABLE e3 AS SELECT DISTINCT a, b FROM e2")
+            con.sql("DROP TABLE e2"); con.sql("ALTER TABLE e3 RENAME TO e2")
+            n_live = con.sql("SELECT count(*) FROM e2").fetchone()[0]
         con.sql("DROP TABLE lbl"); con.sql("ALTER TABLE lbl2 RENAME TO lbl")
         con.sql("DROP TABLE e"); con.sql("ALTER TABLE e2 RENAME TO e")
         print(f"[cc] round {rounds}: {n_live} live edges, {jumps} jumps "
