@@ -135,12 +135,22 @@ def main():
         # the table never GROWS, and self-loops still drop, so the live
         # count still reaches 0. Once the live set is small, one cheap
         # in-memory dedup restores the shrink-per-round property.
+        # ...and the rewire is TWO sequential single-join statements, not
+        # one two-join query: in one statement the optimizer builds the
+        # second hash join on the edge-sized intermediate (197M rows at
+        # sf1000), which goes external and writes both sides to temp —
+        # the third disk-full in a row. Materializing the half-rewired
+        # table forces each join to build on the label table (~node
+        # count), which always fits.
+        con.sql("""
+            CREATE OR REPLACE TABLE eh AS
+            SELECT la.l AS a, e.b FROM e JOIN lbl2 la ON la.id = e.a""")
         con.sql("""
             CREATE OR REPLACE TABLE e2 AS
-            SELECT least(la.l, lb.l) AS a, greatest(la.l, lb.l) AS b
-            FROM e
-            JOIN lbl2 la ON la.id = e.a JOIN lbl2 lb ON lb.id = e.b
-            WHERE la.l <> lb.l""")
+            SELECT least(eh.a, lb.l) AS a, greatest(eh.a, lb.l) AS b
+            FROM eh JOIN lbl2 lb ON lb.id = eh.b
+            WHERE eh.a <> lb.l""")
+        con.sql("DROP TABLE eh")
         n_live = con.sql("SELECT count(*) FROM e2").fetchone()[0]
         if 0 < n_live < 20_000_000:
             con.sql("CREATE OR REPLACE TABLE e3 AS SELECT DISTINCT a, b FROM e2")
