@@ -114,8 +114,13 @@ object StreamBench {
     val opFilter: Option[Seq[String]] =
       if (args.length > 3) Some(args(3).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       else None
+    // Prefix match in EITHER direction: `st14` selects every st14 form,
+    // and `st14_sliding_dau_mask` both selects the two mask forms AND
+    // satisfies the shared slice-prep gate (which asks want("st14") —
+    // with one-directional matching a long-form filter skipped the prep
+    // and every selected op failed on the missing slice dir).
     def want(op: String): Boolean =
-      opFilter.forall(_.exists(op.startsWith))
+      opFilter.forall(_.exists(f => op.startsWith(f) || f.startsWith(op)))
     val work = Files.createTempDirectory("graft-stream-bench").toString
     val spark = graft.GraftSession.local("graft-stream-bench")
     spark.sparkContext.setLogLevel("ERROR")
