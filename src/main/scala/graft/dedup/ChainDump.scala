@@ -13,7 +13,14 @@ import graft.GraftSession
   * One signature pass, one fixpoint, three writes; the per-output
   * timing line doubles as the chain's cost receipt at the decade.
   *
-  * Usage: ChainDump <sf_dir> <out_dir>   (env: SPARK_GRAFT_CPUS)
+  * Usage: ChainDump <sf_dir> <out_dir>
+  * Env:   SPARK_GRAFT_CPUS — local thread count
+  *        GRAFT_CHAIN_CHECKPOINT_DIR — when set, run the chain in
+  *        RELIABLE checkpoint mode ([[Dedup.ReliableCheckpointKey]] +
+  *        `setCheckpointDir` to this path): the cluster-safe mode where
+  *        neither the pairs relation nor the fixpoint rounds pin
+  *        executor blocks (round 18 — the sf1000 re-receipt runs this
+  *        mode under the 48 g heap that OOM'd in local-block mode).
   */
 object ChainDump {
 
@@ -23,13 +30,29 @@ object ChainDump {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Minimal JSON string escape — the receipt line must stay valid JSON
+    * for any path argument (r17 advisory). */
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
   def main(args: Array[String]): Unit = {
+    require(args.length == 2, "usage: ChainDump <sf_dir> <out_dir>")
     val (sfDir, outDir) = (args(0), args(1))
+    val ckptDir = sys.env.get("GRAFT_CHAIN_CHECKPOINT_DIR")
     val spark = GraftSession.local("graft-chain-dump")
     spark.sparkContext.setLogLevel("ERROR")
+    ckptDir.foreach { dir =>
+      spark.sparkContext.setCheckpointDir(dir)
+      spark.conf.set(Dedup.ReliableCheckpointKey, "true")
+    }
     import DedupQueries._
 
-    // The chain's signature pass (pairs localCheckpoint) and the label
+    // The chain's signature pass (pairs checkpoint) and the label
     // fixpoint run EAGERLY at construction — time them; the writes then
     // only pay the group aggregation / corpus anti-join / IO.
     var c: Dedup.ChainOut = null
@@ -44,8 +67,9 @@ object ChainDump {
     val dedupS = write(c.deduped.select(col("doc_id"), col("lang"),
       col("source")), "d8_dedup_apply")
 
-    println(f"""{"chain_dump":{"sf":"$sfDir","chain_s":$chainS%.3f,""" +
-      f""""pairs_s":$pairsS%.3f,""" +
+    println(f"""{"chain_dump":{"sf":${jstr(sfDir)},""" +
+      f""""mode":${jstr(if (ckptDir.isDefined) "reliable" else "local")},""" +
+      f""""chain_s":$chainS%.3f,"pairs_s":$pairsS%.3f,""" +
       f""""groups_s":$groupsS%.3f,"deduped_s":$dedupS%.3f,""" +
       f""""total_s":${chainS + pairsS + groupsS + dedupS}%.3f}}""")
     spark.stop()

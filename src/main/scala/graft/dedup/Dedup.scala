@@ -232,14 +232,23 @@ object Dedup {
     * own label-propagation fixpoint — at 50M docs the corpus signature
     * pass is paid three times and the fixpoint twice. A production
     * ingest pipeline wants all three outputs of the SAME pass: this
-    * chain materializes the candidate pairs once (localCheckpoint —
-    * the only corpus-sized work), runs the fixpoint once on those
-    * pairs (its result is checkpointed and component-graph-sized, i.e.
-    * tiny next to the corpus), and derives pairs/groups/deduped from
-    * the shared state. The deduped corpus still re-scans `docs` for
-    * its anti-join — unavoidable and cheap next to the shingle pass.
-    * Results are IDENTICAL to the standalone d2/d6/d8 forms
-    * (DedupSpec pins equality; the d10 gate key shares d8's oracle). */
+    * chain materializes the candidate pairs once (the only corpus-sized
+    * work), runs the fixpoint once on those pairs (its result is
+    * checkpointed and component-graph-sized, i.e. tiny next to the
+    * corpus), and derives pairs/groups/deduped from the shared state.
+    * The deduped corpus still re-scans `docs` for its anti-join —
+    * unavoidable and cheap next to the shingle pass. Results are
+    * IDENTICAL to the standalone d2/d6/d8 forms (DedupSpec pins
+    * equality; the d10 gate key shares d8's oracle).
+    *
+    * The pairs materialization honors [[ReliableCheckpointKey]] exactly
+    * like the fixpoint rounds (round 18 — it used to be an
+    * unconditional localCheckpoint): the pairs relation is the chain's
+    * largest pinned state (197M rows at sf1000), held for the chain's
+    * whole lifetime so d8's anti-join can read it, so it is the state
+    * a cluster LEAST wants in executor block managers — one lost
+    * executor would fail the entire chain job. Reliable mode writes it
+    * once to the checkpoint store instead. */
   final case class ChainOut(pairs: DataFrame, labels: DataFrame,
                             groups: DataFrame, deduped: DataFrame)
 
@@ -247,8 +256,9 @@ object Dedup {
                  numHashes: Int, numBands: Int, maxBucket: Int,
                  maxIterations: Int = 64): ChainOut = {
     val rows = shingleRows(docs, idCol, textCol, k)
-    val pairs = candidatePairs(bands(rows, idCol, numHashes, numBands),
-      idCol, maxBucket).localCheckpoint()
+    val pairs = checkpointedByMode(
+      candidatePairs(bands(rows, idCol, numHashes, numBands),
+        idCol, maxBucket))._1 // pairs lives for the chain's lifetime — blocks never freed here
     val labels = duplicateLabels(pairs, maxIterations) // checkpointed inside
     ChainOut(pairs, labels, groupsFromLabels(labels),
       applyLabels(docs, idCol, labels))
@@ -264,6 +274,37 @@ object Dedup {
     * (`spark.cleaner.referenceTracking.cleanCheckpoints`) or at latest
     * when the application's checkpoint dir is removed. */
   val ReliableCheckpointKey = "graft.dedup.reliableCheckpoint"
+
+  /** Materialize `df` under the session's checkpoint MODE — the one
+    * policy every corpus/graph-sized pin in this package goes through
+    * ([[dedupChain]]'s pairs and every fixpoint round): reliable mode →
+    * `df.checkpoint()` to the `SparkContext` checkpoint dir (refused
+    * loudly if none is set — silently falling back to local blocks
+    * would defeat the mode's point); default → `localCheckpoint()`.
+    *
+    * Returns the materialized frame plus the executor blocks backing a
+    * LOCAL checkpoint: `localCheckpoint` persists its backing RDD in
+    * the block manager but `Dataset.unpersist` can't reach it, so the
+    * handle is captured by diffing the persistent-RDD registry around
+    * the call — callers that supersede their state round-by-round (the
+    * fixpoint) unpersist the previous round's blocks; callers whose
+    * state lives for the whole job (the chain's pairs) ignore them.
+    * Reliable checkpoints hold no executor blocks — nothing to free. */
+  private[graft] def checkpointedByMode(
+      df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
+    val spark = df.sparkSession
+    val sc = spark.sparkContext
+    val reliable = spark.conf.get(ReliableCheckpointKey, "false").toBoolean
+    require(!reliable || sc.getCheckpointDir.isDefined,
+      s"$ReliableCheckpointKey=true requires SparkContext.setCheckpointDir " +
+        "(an HDFS/object-store path on a real cluster)")
+    if (reliable) (df.checkpoint(), Nil)
+    else {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint()
+      (out, (sc.getPersistentRDDs -- before).values.toSeq)
+    }
+  }
 
   private def labelPropagation(pairs: DataFrame, maxIterations: Int): DataFrame =
     labelPropagationCounted(pairs, maxIterations)._1
@@ -294,25 +335,11 @@ object Dedup {
     * EDGES move, not just the labels. */
   private[graft] def labelPropagationCounted(
       pairs: DataFrame, maxIterations: Int): (DataFrame, Int) = {
-    val spark = pairs.sparkSession
-    val sc = spark.sparkContext
-    val reliable = spark.conf.get(ReliableCheckpointKey, "false").toBoolean
-    require(!reliable || sc.getCheckpointDir.isDefined,
-      s"$ReliableCheckpointKey=true requires SparkContext.setCheckpointDir " +
-        "(an HDFS/object-store path on a real cluster)")
-    // localCheckpoint persists its backing RDD in the block manager but
-    // Dataset.unpersist can't reach it; capture the handle by diffing the
-    // persistent-RDD registry around the call so each round's blocks can
-    // be freed once superseded (without this, Bench/Verify accumulate
-    // every round's blocks for the whole session). Reliable
-    // checkpoints hold no executor blocks — nothing to free.
+    // every round's edge set is superseded by the next — free the old
+    // blocks as we go (without this, Bench/Verify accumulate every
+    // round's blocks for the whole session)
     def checkpointed(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) =
-      if (reliable) (df.checkpoint(), Nil)
-      else {
-        val before = sc.getPersistentRDDs.keySet
-        val out = df.localCheckpoint()
-        (out, (sc.getPersistentRDDs -- before).values.toSeq)
-      }
+      checkpointedByMode(df)
     // star forest ⟺ algorithm fixpoint: every hi carries exactly one
     // edge and no lo ever appears as a hi (each component fully
     // contracted onto its root). One aggregate job over the

@@ -281,6 +281,43 @@ class DedupSpec extends SparkTestBase {
       standaloneDeduped.select("doc_id").as[Long].collect().toSet)
   }
 
+  test("D10: the chain honors reliable-checkpoint mode (pairs included) — r17 verdict") {
+    // The r17 weak flag: dedupChain localCheckpointed its corpus-sized
+    // pairs relation UNCONDITIONALLY, so reliable mode protected the
+    // fixpoint rounds but left the chain's largest pinned state in
+    // executor block managers. The chain must now (a) refuse loudly
+    // when the mode is on without a checkpoint dir — the refusal firing
+    // AT CONSTRUCTION proves the pairs checkpoint itself goes through
+    // the mode, since no fixpoint round has run yet — and (b) produce
+    // identical outputs with every checkpoint written to the reliable
+    // store.
+    spark.conf.set(Dedup.ReliableCheckpointKey, "true")
+    try {
+      if (spark.sparkContext.getCheckpointDir.isEmpty) {
+        val ex = intercept[IllegalArgumentException] {
+          Dedup.dedupChain(docs, "doc_id", "text",
+            k = 3, numHashes = 16, numBands = 4, maxBucket = 100)
+        }
+        assert(ex.getMessage.contains("setCheckpointDir"))
+      }
+      val dir = java.nio.file.Files.createTempDirectory("graft_chain_ckpt").toString
+      spark.sparkContext.setCheckpointDir(dir)
+      val chain = Dedup.dedupChain(docs, "doc_id", "text",
+        k = 3, numHashes = 16, numBands = 4, maxBucket = 100)
+      val standalonePairs = Dedup.candidatePairs(
+        Dedup.bands(shingleRows, "doc_id", numHashes = 16, numBands = 4),
+        "doc_id", maxBucket = 100)
+      assert(chain.pairs.as[(Long, Long)].collect().toSet ==
+        standalonePairs.as[(Long, Long)].collect().toSet)
+      assert(chain.deduped.select("doc_id").as[Long].collect().toSet ==
+        Dedup.applyDedup(docs, "doc_id", standalonePairs)
+          .select("doc_id").as[Long].collect().toSet)
+      // the pairs blocks really live in the reliable store, not the
+      // block manager: no persistent RDD backs the chain's pairs
+      assert(new java.io.File(dir).listFiles.nonEmpty)
+    } finally spark.conf.unset(Dedup.ReliableCheckpointKey)
+  }
+
   test("D9: persisted dedup index — probe finds cross-split dups, append extends, no index-side Exchange") {
     spark.sql("DROP TABLE IF EXISTS d9_spec_index")
     def rm(f: java.io.File): Unit = {
@@ -468,6 +505,56 @@ class DedupSpec extends SparkTestBase {
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("d9_compact_index"))
       .bucketSpec.nonEmpty, "compacted index lost its bucket spec")
     spark.sql("DROP TABLE IF EXISTS d9_compact_index")
+  }
+
+  test("D9: small-append short-circuit — ≤maxBucket batches skip the cap branch; the boundary still caps") {
+    // r17 verdict #3: the anti-join cap's clustering aggregate is a
+    // fixed per-write cost the old window form didn't pay on tiny
+    // batches — but a batch of ≤ maxBucket docs CANNOT produce an
+    // over-cap bucket within its own write (one row per doc per band),
+    // so the cap branch is skipped outright for exactly those batches.
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    for (t <- Seq("d9_small_index")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      rm(new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t))
+    }
+    val same = "identical boilerplate text shared by every doc in the batch"
+    val maxBucket = 3
+    // boundary ABOVE: maxBucket+1 identical docs in ONE write must still
+    // cap (every band bucket = 4 > 3 → dropped whole) — proves the
+    // short-circuit's limit+count decision doesn't skip a cappable batch
+    val idx = DedupIndex.build(
+      (1L to 4L).map(i => (i, same)).toDF("doc_id", "text"),
+      "doc_id", "text", "d9_small_index",
+      numBuckets = 8, k = 3, numHashes = 16, numBands = 4, maxBucket = maxBucket)
+    assert(spark.table(idx.table).isEmpty,
+      "a maxBucket+1 batch must still drop its over-cap buckets")
+    // boundary AT: exactly maxBucket identical docs — cap can't trip,
+    // branch skipped, all rows written (identical to the capped result)
+    DedupIndex.append(idx, (11L to 13L).map(i => (i, same)).toDF("doc_id", "text"),
+      "doc_id", "text", maxBucket)
+    assert(spark.table(idx.table).count() == 3 * 4,
+      "a ≤maxBucket batch must write every band row")
+    // the skipped branch is REALLY skipped: canTripCap=false produces a
+    // plan with no join and no aggregate — just the write clustering
+    val bandRows = Dedup.bandSigRows(
+      Dedup.shingleRows((1L to 4L).map(i => (i, same)).toDF("doc_id", "text"),
+        "doc_id", "text", 3), "doc_id", numHashes = 16, numBands = 4)
+      .select(col("doc_id").as("index_id"), col("band_key"), col("sig"))
+    val skipped = DedupIndex.capAndCluster(bandRows, maxBucket, numBuckets = 8,
+      canTripCap = false)
+    val plan = skipped.queryExecution.executedPlan
+    assert(plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }.isEmpty &&
+      plan.collect {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a }.isEmpty,
+      s"short-circuited cap must be clustering only:\n$plan")
+    assert(skipped.count() == 4 * 4)
+    spark.sql("DROP TABLE IF EXISTS d9_small_index")
   }
 
   test("D8: apply keeps cluster keepers and untouched docs, drops other members") {
