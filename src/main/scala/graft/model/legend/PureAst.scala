@@ -209,7 +209,24 @@ object PureExpr {
     * outside the subset is eval of an OPAQUE function value (a
     * lambda-parameter-bound `$f`), which genuinely needs runtime
     * function values. Reserved-colliding bare pointer names still
-    * require the full path, same rule as calls. */
+    * require the full path, same rule as calls.
+    *
+    * Round-18 disposition (closes the r16/r17 carry-over): the opaque
+    * case is exactly the boundary of CLOSED terms, not a missing
+    * feature. Function values originate only from lambda literals,
+    * pointers, and registered-function calls (no model column has a
+    * Function type, so no property access or relational verb yields
+    * one), and they reach an eval only through lets, user-function
+    * parameters, or lambda application — all three substituted away by
+    * desugarLets + the inlining/beta machinery here. So in a closed
+    * query every eval head reduces; a head still opaque means `$f` is
+    * free in the WHOLE expression — a fragment nothing can execute
+    * until a binding site supplies the value, and once one does, this
+    * pass resolves it. HofClosureSpec is the executable receipt: a
+    * seeded generator over hundreds of random closed higher-order
+    * terms (all five binding paths) — each must translate AND evaluate
+    * (via Spark) to its interpreter value; the open term stays
+    * rejected. */
   /** Does `s` parse as Legend's signature-mangle SUFFIX (what follows
     * `path_` in a mangled function pointer)? Shape: one or more
     * `Type_Multiplicity` segments joined by `__`, trailing `_` — e.g.

@@ -119,8 +119,28 @@ object StreamBench {
     // satisfies the shared slice-prep gate (which asks want("st14") —
     // with one-directional matching a long-form filter skipped the prep
     // and every selected op failed on the missing slice dir).
-    def want(op: String): Boolean =
+    //
+    // SOUNDNESS INVARIANT (r17 advisory): bidirectional matching
+    // silently over-selects if any op name becomes a proper prefix of
+    // another (an op literally named `st14_sliding_dau` would be
+    // selected by every st14 long-form filter). The registry below is
+    // the single list of benchable names; it is checked pairwise at
+    // startup, and bench() refuses names missing from it, so the
+    // invariant can't drift as ops are added.
+    val opNames = Seq(
+      "st13_funnel",
+      "st14_sliding_dau_list_noexpiry", "st14_sliding_dau_list_expiry",
+      "st14_sliding_dau_mask_noexpiry", "st14_sliding_dau_mask_expiry",
+      "st15_retention_list", "st15_retention_mask",
+      "st8_governed_ingest", "st16_indexed_ingest")
+    for (a <- opNames; b <- opNames if a != b)
+      require(!b.startsWith(a),
+        s"op name [$a] is a proper prefix of [$b] — breaks want()'s matching")
+    def want(op: String): Boolean = {
+      require(opNames.contains(op) ||
+        opNames.exists(_.startsWith(op)), s"unknown op/gate key [$op]")
       opFilter.forall(_.exists(f => op.startsWith(f) || f.startsWith(op)))
+    }
     val work = Files.createTempDirectory("graft-stream-bench").toString
     val spark = graft.GraftSession.local("graft-stream-bench")
     spark.sparkContext.setLogLevel("ERROR")
