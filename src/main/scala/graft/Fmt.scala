@@ -10,4 +10,16 @@ package graft
 object Fmt {
   def dec(v: Double, decimals: Int = 3): String =
     String.format(java.util.Locale.ROOT, "%." + decimals + "f", Double.box(v))
+
+  /** Minimal JSON string escape for receipt lines that interpolate
+    * caller-supplied paths — a quote or backslash in an argument must
+    * not produce an unparseable receipt (r17 advisory; shared here in
+    * r18 so each new emitter doesn't re-implement the unescaped form). */
+  def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => String.format(java.util.Locale.ROOT, "\\u%04x", Int.box(c.toInt))
+      case c => c.toString
+    } + "\""
 }

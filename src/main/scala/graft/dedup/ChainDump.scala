@@ -30,16 +30,6 @@ object ChainDump {
     (System.nanoTime() - t0) / 1e9
   }
 
-  /** Minimal JSON string escape — the receipt line must stay valid JSON
-    * for any path argument (r17 advisory). */
-  private def jstr(s: String): String =
-    "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-
   def main(args: Array[String]): Unit = {
     require(args.length == 2, "usage: ChainDump <sf_dir> <out_dir>")
     val (sfDir, outDir) = (args(0), args(1))
@@ -67,11 +57,12 @@ object ChainDump {
     val dedupS = write(c.deduped.select(col("doc_id"), col("lang"),
       col("source")), "d8_dedup_apply")
 
-    println(f"""{"chain_dump":{"sf":${jstr(sfDir)},""" +
-      f""""mode":${jstr(if (ckptDir.isDefined) "reliable" else "local")},""" +
-      f""""chain_s":$chainS%.3f,"pairs_s":$pairsS%.3f,""" +
-      f""""groups_s":$groupsS%.3f,"deduped_s":$dedupS%.3f,""" +
-      f""""total_s":${chainS + pairsS + groupsS + dedupS}%.3f}}""")
+    import graft.Fmt.{dec, jstr}
+    println(s"""{"chain_dump":{"sf":${jstr(sfDir)},""" +
+      s""""mode":${jstr(if (ckptDir.isDefined) "reliable" else "local")},""" +
+      s""""chain_s":${dec(chainS)},"pairs_s":${dec(pairsS)},""" +
+      s""""groups_s":${dec(groupsS)},"deduped_s":${dec(dedupS)},""" +
+      s""""total_s":${dec(chainS + pairsS + groupsS + dedupS)}}}""")
     spark.stop()
   }
 }

@@ -335,11 +335,10 @@ object Dedup {
     * EDGES move, not just the labels. */
   private[graft] def labelPropagationCounted(
       pairs: DataFrame, maxIterations: Int): (DataFrame, Int) = {
-    // every round's edge set is superseded by the next — free the old
-    // blocks as we go (without this, Bench/Verify accumulate every
-    // round's blocks for the whole session)
-    def checkpointed(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) =
-      checkpointedByMode(df)
+    // every round's edge set is superseded by the next — the blocks
+    // checkpointedByMode hands back are freed as soon as the next
+    // round's state is materialized (without this, Bench/Verify
+    // accumulate every round's blocks for the whole session)
     // star forest ⟺ algorithm fixpoint: every hi carries exactly one
     // edge and no lo ever appears as a hi (each component fully
     // contracted onto its root). One aggregate job over the
@@ -354,11 +353,11 @@ object Dedup {
         .isEmpty
     // the node universe is fixed by the INPUT graph — contraction
     // rewrites edges, so the final join must recover every original id
-    val (nodes, nodeBlocks) = checkpointed(
+    val (nodes, nodeBlocks) = checkpointedByMode(
       pairs.select(explode(array(col("a"), col("b"))).as("id")).distinct())
     // canonical oriented edge set (hi > lo), deduped; materialized once
     // so no round replans the candidate-generation pipeline
-    var (edges, edgeBlocks) = checkpointed(
+    var (edges, edgeBlocks) = checkpointedByMode(
       pairs.select(greatest(col("a"), col("b")).as("hi"),
           least(col("a"), col("b")).as("lo"))
         .filter(col("hi") =!= col("lo")).distinct())
@@ -380,7 +379,7 @@ object Dedup {
       // (and itself) at the minimum of that set. Orientation hi > lo is
       // preserved by construction, so no re-canonicalization needed.
       val smins = ls.groupBy(col("hi")).agg(min(col("lo")).as("m"))
-      val (e2, b2) = checkpointed(
+      val (e2, b2) = checkpointedByMode(
         ls.join(smins, "hi")
           .select(col("lo").as("n"), col("m"))
           .union(smins.select(col("hi").as("n"), col("m")))
@@ -406,7 +405,7 @@ object Dedup {
     // the final star forest IS the label table: hi → lo maps every
     // non-root to its component min; roots (and nodes whose edges
     // contracted away) label themselves
-    val (labels, _) = checkpointed(
+    val (labels, _) = checkpointedByMode(
       nodes.join(edges.select(col("hi").as("id"), col("lo").as("label")),
           Seq("id"), "left")
         .select(col("id"), coalesce(col("label"), col("id")).as("label")))

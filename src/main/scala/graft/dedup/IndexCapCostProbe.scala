@@ -72,7 +72,7 @@ object IndexCapCostProbe {
     val probeS = timedMedian {
       DedupIndex.probe(idx, batch, "doc_id", "text", IndexThreshold).count()
     }
-    println(s"""{"sf":"$dir","build_cap_s":${graft.Fmt.dec(capS)},""" +
+    println(s"""{"sf":${graft.Fmt.jstr(dir)},"build_cap_s":${graft.Fmt.dec(capS)},""" +
       s""""build_nocap_s":${graft.Fmt.dec(nocapS)},""" +
       s""""cap_branch_s":${graft.Fmt.dec(capS - nocapS)},""" +
       s""""probe_s":${graft.Fmt.dec(probeS)},""" +

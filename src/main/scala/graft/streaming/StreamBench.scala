@@ -136,6 +136,13 @@ object StreamBench {
     for (a <- opNames; b <- opNames if a != b)
       require(!b.startsWith(a),
         s"op name [$a] is a proper prefix of [$b] — breaks want()'s matching")
+    // ...and a typo'd USER filter must fail loudly at startup, not
+    // silently select nothing and write an empty receipt (the same
+    // silent-failure class, from the other direction).
+    opFilter.foreach(_.foreach(f =>
+      require(opNames.exists(n => n.startsWith(f) || f.startsWith(n)),
+        s"ops filter [$f] matches no benchable op " +
+          s"(have: ${opNames.mkString(", ")})")))
     def want(op: String): Boolean = {
       require(opNames.contains(op) ||
         opNames.exists(_.startsWith(op)), s"unknown op/gate key [$op]")

@@ -293,15 +293,19 @@ class DedupSpec extends SparkTestBase {
     // store.
     spark.conf.set(Dedup.ReliableCheckpointKey, "true")
     try {
-      if (spark.sparkContext.getCheckpointDir.isEmpty) {
-        val ex = intercept[IllegalArgumentException] {
-          Dedup.dedupChain(docs, "doc_id", "text",
-            k = 3, numHashes = 16, numBands = 4, maxBucket = 100)
-        }
-        assert(ex.getMessage.contains("setCheckpointDir"))
+      // reset any dir a sibling test left behind (setCheckpointDir(null)
+      // clears it) so the refusal branch ALWAYS executes — without the
+      // reset, suite ordering makes this branch dead and the test would
+      // pass with the pairs checkpoint reverted to plain localCheckpoint
+      spark.sparkContext.setCheckpointDir(null)
+      val ex = intercept[IllegalArgumentException] {
+        Dedup.dedupChain(docs, "doc_id", "text",
+          k = 3, numHashes = 16, numBands = 4, maxBucket = 100)
       }
+      assert(ex.getMessage.contains("setCheckpointDir"))
       val dir = java.nio.file.Files.createTempDirectory("graft_chain_ckpt").toString
       spark.sparkContext.setCheckpointDir(dir)
+      val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
       val chain = Dedup.dedupChain(docs, "doc_id", "text",
         k = 3, numHashes = 16, numBands = 4, maxBucket = 100)
       val standalonePairs = Dedup.candidatePairs(
@@ -312,9 +316,18 @@ class DedupSpec extends SparkTestBase {
       assert(chain.deduped.select("doc_id").as[Long].collect().toSet ==
         Dedup.applyDedup(docs, "doc_id", standalonePairs)
           .select("doc_id").as[Long].collect().toSet)
-      // the pairs blocks really live in the reliable store, not the
-      // block manager: no persistent RDD backs the chain's pairs
-      assert(new java.io.File(dir).listFiles.nonEmpty)
+      // reliable mode pins ZERO executor blocks: the whole chain (pairs
+      // included) registered no new persistent RDDs in the block manager…
+      assert((spark.sparkContext.getPersistentRDDs.keySet -- persistedBefore).isEmpty,
+        "reliable-mode chain must not pin block-manager state")
+      // …and real checkpoint FILES landed in the reliable store (the dir
+      // itself is eagerly created by setCheckpointDir — only files prove
+      // a write happened)
+      def files(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles.map(files).sum
+        else if (f.isFile && f.length > 0) 1L else 0L
+      assert(files(new java.io.File(dir)) > 0,
+        "reliable-mode chain must write checkpoint files")
     } finally spark.conf.unset(Dedup.ReliableCheckpointKey)
   }
 
@@ -539,21 +552,37 @@ class DedupSpec extends SparkTestBase {
       "doc_id", "text", maxBucket)
     assert(spark.table(idx.table).count() == 3 * 4,
       "a ≤maxBucket batch must write every band row")
-    // the skipped branch is REALLY skipped: canTripCap=false produces a
-    // plan with no join and no aggregate — just the write clustering
+    // the skipped branch is REALLY skipped — compared against the CAPPED
+    // plan on the same input, with AQE off (under AQE the executed plan
+    // root is an adaptive leaf and any collect over it is vacuously
+    // empty, so a bare "no joins" assert would pass for BOTH branches)
     val bandRows = Dedup.bandSigRows(
       Dedup.shingleRows((1L to 4L).map(i => (i, same)).toDF("doc_id", "text"),
         "doc_id", "text", 3), "doc_id", numHashes = 16, numBands = 4)
       .select(col("doc_id").as("index_id"), col("band_key"), col("sig"))
-    val skipped = DedupIndex.capAndCluster(bandRows, maxBucket, numBuckets = 8,
-      canTripCap = false)
-    val plan = skipped.queryExecution.executedPlan
-    assert(plan.collect {
-      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }.isEmpty &&
-      plan.collect {
-        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a }.isEmpty,
-      s"short-circuited cap must be clustering only:\n$plan")
-    assert(skipped.count() == 4 * 4)
+    val oldAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      def joins(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.executedPlan.collect {
+          case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }
+      def aggs(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.executedPlan.collect {
+          case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a }
+      val skipped = DedupIndex.capAndCluster(bandRows, maxBucket, numBuckets = 8,
+        canTripCap = false)
+      val capped = DedupIndex.capAndCluster(bandRows, maxBucket, numBuckets = 8)
+      // the minhash signature aggregate upstream of BOTH plans contributes
+      // its own aggregate nodes — the cap branch's marginal shape is the
+      // anti-join and the per-band count, so compare, don't assert zero
+      assert(joins(skipped).isEmpty,
+        s"short-circuited cap must have no join:\n${skipped.queryExecution.executedPlan}")
+      assert(joins(capped).nonEmpty, "control: the capped plan carries the anti-join")
+      assert(aggs(skipped).size < aggs(capped).size,
+        s"short-circuit must drop the cap's count aggregate " +
+          s"(${aggs(skipped).size} vs ${aggs(capped).size})")
+      assert(skipped.count() == 4 * 4)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", oldAqe)
     spark.sql("DROP TABLE IF EXISTS d9_small_index")
   }
 
