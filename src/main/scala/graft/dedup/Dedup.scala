@@ -265,14 +265,21 @@ object Dedup {
   }
 
   /** When true (and `SparkContext.setCheckpointDir` points at reliable
-    * storage), each fixpoint round checkpoints to the reliable store
-    * instead of executor block managers. `localCheckpoint` is the fast
+    * storage), every corpus/graph-sized materialization in the library
+    * checkpoints to the reliable store instead of executor block
+    * managers — the fixpoint rounds here, [[dedupChain]]'s pairs
+    * relation (r18), and the SCD-1 merge's pre-overwrite
+    * materialization (`graft.model.TableGen`, r18 — where the local
+    * blocks are additionally load-bearing: the overwrite deletes the
+    * files they were computed from). `localCheckpoint` is the fast
     * local default, but its blocks die with their executor — on a real
-    * cluster one lost executor fails the whole label-propagation job.
-    * The reliable mode trades one write per round for restartability;
-    * old round files are dropped by Spark's reference-tracking cleaner
+    * cluster one lost executor fails the whole job. The reliable mode
+    * trades one write per materialization for restartability; old
+    * round files are dropped by Spark's reference-tracking cleaner
     * (`spark.cleaner.referenceTracking.cleanCheckpoints`) or at latest
-    * when the application's checkpoint dir is removed. */
+    * when the application's checkpoint dir is removed. (The key keeps
+    * its original `graft.dedup.` spelling — it predates the library-
+    * wide scope and is referenced by committed receipts.) */
   val ReliableCheckpointKey = "graft.dedup.reliableCheckpoint"
 
   /** Materialize `df` under the session's checkpoint MODE — the one

@@ -228,6 +228,56 @@ class ModelSpec extends SparkTestBase {
       } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
     }
 
+  test("M14: merge honors reliable-checkpoint mode; refusal leaves the table untouched") {
+    // r18 audit: the merge's pre-overwrite materialization is
+    // merged-table-sized and load-bearing for durability (the overwrite
+    // deletes the files it was computed from), so it now routes through
+    // the same checkpoint-mode policy as the dedup chain. Receipts:
+    // (a) mode on + no dir → loud refusal BEFORE any write, table
+    // byte-identical; (b) mode on + dir → correct merge with ZERO new
+    // block-manager RDDs and real checkpoint files.
+    val tmpModel = model.copy(mappings = model.mappings +
+      ("tmp" -> model.mapping("tpch::mapping::Customer").copy(table = "graft_m14_rel")))
+    spark.conf.set(graft.dedup.Dedup.ReliableCheckpointKey, "true")
+    try {
+      TableGen.create(spark, tmpModel, "tmp")
+      TableGen.write(graft.Tables(spark, sfDir, "customer")
+        .orderBy("c_custkey").limit(5), tmpModel, "tmp")
+      val before = spark.table("graft_m14_rel").collect()
+        .map(r => r.getAs[Long]("c_custkey") -> r).toMap
+      val src = spark.table("graft_m14_rel").limit(1)
+        .withColumn("c_acctbal", org.apache.spark.sql.functions.lit(4321.5))
+        .localCheckpoint()
+      spark.sparkContext.setCheckpointDir(null)
+      val ex = intercept[IllegalArgumentException] {
+        TableGen.merge(spark, tmpModel, "tmp", src, Seq("c_custkey"))
+      }
+      assert(ex.getMessage.contains("setCheckpointDir"))
+      val unchanged = spark.table("graft_m14_rel").collect()
+        .map(r => r.getAs[Long]("c_custkey") -> r).toMap
+      assert(unchanged == before, "refused merge must not touch the table")
+
+      val dir = java.nio.file.Files.createTempDirectory("graft_merge_ckpt").toString
+      spark.sparkContext.setCheckpointDir(dir)
+      val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
+      TableGen.merge(spark, tmpModel, "tmp", src, Seq("c_custkey"))
+      assert((spark.sparkContext.getPersistentRDDs.keySet -- persistedBefore).isEmpty,
+        "reliable-mode merge must not pin block-manager state")
+      def files(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles.map(files).sum
+        else if (f.isFile && f.length > 0) 1L else 0L
+      assert(files(new java.io.File(dir)) > 0,
+        "reliable-mode merge must write checkpoint files")
+      val after = spark.table("graft_m14_rel").collect()
+        .map(r => r.getAs[Long]("c_custkey") -> r).toMap
+      assert(after.size == before.size)
+      assert(after.values.count(_.getAs[Double]("c_acctbal") == 4321.5) == 1)
+    } finally {
+      spark.conf.unset(graft.dedup.Dedup.ReliableCheckpointKey)
+      spark.sql("DROP TABLE IF EXISTS graft_m14_rel")
+    }
+  }
+
   test("M14: partitioned merge rewrites ONLY touched partitions") {
     val tmpModel = model.copy(mappings = model.mappings +
       ("tmp" -> model.mapping("tpch::mapping::Customer").copy(table = "graft_m14_part")))
