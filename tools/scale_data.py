@@ -27,30 +27,40 @@ Method (documented in BASELINE.md "sf1 scale sweep"):
   per-key fan-outs are exactly preserved at 10x cardinality;
 - name-like unique text columns get a '#r<r>' suffix for r>0 so
   name-grouped results stay 10x, not merged;
-- documents: replica r>0 passes every token through a replica-specific
-  VOCABULARY PERMUTATION (a bijection on the corpus vocabulary). This
-  preserves, per replica, the exact token-frequency shape, document
-  lengths (up to token-length drift), boilerplate/near-dup planted
-  structure, and chunk repetition — while keeping cross-replica shingle
-  overlap ~0, so the corpus dup-RATE stays constant as the corpus grows
-  10x (replicating text verbatim would instead turn every doc into a
-  10-way duplicate cluster and blow the pair count quadratically).
-  ROUND-13 FIX of the round-12 saturation caveat: the bijection used to
-  be a cyclic ROTATION, of which only |vocab| = 31 distinct ones exist,
-  so REP=100/1000 collapsed to 31.0%/3.1% distinct text (~3.2/~32
-  exact copies per doc) — a duplicate-saturated crawl, not the
-  constant-rate design. The bijection is now a deterministic RANDOM
-  PERMUTATION per replica (tokens sorted by md5(r, attempt, token);
-  the permutation tuple is collision-checked against all previous
-  replicas and the identity, bumping `attempt` on a hit), of which
-  31! >> REP exist. Residual cross-replica exact-text collisions are
-  possible only for docs with very few distinct tokens (a doc with k
-  distinct tokens collides between two replicas with probability
-  1/(31*30*...*(31-k+1))) — negligible at the corpus's doc lengths,
-  and pairwise-everywhere-distinct bijections beyond 31 replicas are
-  mathematically impossible (a Latin square has n rows), so
-  probabilistic distinctness is the correct construction. Cross-engine
-  comparisons stay exact either way (both engines read the same files);
+- documents: replica r>0 passes every token through a replica-PRIVATE
+  SYNTHESIZED VOCABULARY (a bijection from the base vocabulary onto
+  fresh tokens that exist only in that replica). This preserves, per
+  replica, the exact token-frequency shape, document lengths and
+  per-token character classes (each synthesized token has the same
+  length and lowercase/uppercase/digit pattern as the base token it
+  replaces), boilerplate/near-dup planted structure, and chunk
+  repetition — while keeping cross-replica shingle overlap ~0, so the
+  corpus dup-RATE stays constant as the corpus grows 10x (replicating
+  text verbatim would instead turn every doc into a 10-way duplicate
+  cluster and blow the pair count quadratically).
+  ROUND-18 FIX of the r17 band-granularity saturation (BASELINE's own
+  disclosure: candidate-pair rate 3.94/doc at REP=10000 vs 0.064/doc
+  at the base — x62): the previous construction PERMUTED the base
+  31-token vocabulary per replica, so all replicas drew shingles from
+  the same 31 tokens and at REP=10000 the permutation space collides
+  at 4-hash MinHash band granularity — band buckets fill with
+  cross-replica docs that share banded hash patterns without sharing
+  text. Synthesis removes the shared support entirely: two replicas
+  share a word-k-gram shingle only if k CONSECUTIVE independently
+  synthesized tokens collide character-for-character (probability
+  ~26^-(sum of the k token lengths) per replica pair — vanishing),
+  so cross-replica candidates are structurally ~0 at any REP, not
+  just below a permutation-space threshold. Within each replica the
+  31 images are collision-checked against each other and against the
+  base vocabulary (deterministic salt bump on a hit), so the replica-
+  local frequency shape is an exact bijection. The construction
+  remains probabilistic-distinct across replicas (a single shared
+  token image between two replicas is harmless — it cannot form a
+  shared shingle alone), which is the correct construction for
+  unbounded REP: globally-disjoint length-preserving images are
+  impossible (the base vocab has a 1-char token and only 26 1-char
+  lowercase strings exist). Cross-engine comparisons stay exact
+  either way (both engines read the same files);
 - embeddings: replica r>0 applies an ORTHOGONAL transform (component
   rotation by r + deterministic sign flips keyed on (r, i)). Within a
   replica all norms and pairwise cosines are exactly preserved (planted
@@ -101,26 +111,48 @@ def suffixed(col):
 TOKEN_SPLIT = re.compile(r"(\s+)")
 
 
-def vocab_permutation(vocab, r, seen):
-    """Deterministic random bijection on the vocabulary for replica r
-    (identity for r=0). `seen` holds the permutation tuples of earlier
-    replicas; a collision (or the identity, for r>0) deterministically
-    bumps the salt until the permutation is fresh — so every replica's
-    bijection is distinct even though fewer than REP pairwise-
-    everywhere-distinct bijections exist."""
+def synth_token(t, r, attempt):
+    """Deterministic fresh token for base token `t` in replica `r`:
+    same length, same per-character class (lower/upper/digit; other
+    characters pass through), bytes drawn from an iterated md5 stream
+    keyed on (r, attempt, t)."""
+    raw = b""
+    ctr = 0
+    while len(raw) < len(t):
+        raw += hashlib.md5(f"synth:{r}:{attempt}:{t}:{ctr}".encode()).digest()
+        ctr += 1
+    out = []
+    for c, b in zip(t, raw):
+        if c.islower():
+            out.append(chr(ord("a") + b % 26))
+        elif c.isupper():
+            out.append(chr(ord("A") + b % 26))
+        elif c.isdigit():
+            out.append(chr(ord("0") + b % 10))
+        else:
+            out.append(c)
+    return "".join(out)
+
+
+def vocab_synthesis(vocab, r):
+    """Replica-private vocabulary for replica r (identity for r=0):
+    a bijection from the base vocabulary onto freshly synthesized
+    tokens. The image set is collision-checked within the replica and
+    against the base vocabulary (bump the salt on a hit) — so each
+    replica's token-frequency shape is an exact bijection and no
+    replica reuses a base token. Distinctness ACROSS replicas is
+    probabilistic by design (see module docstring: a single shared
+    image cannot form a shared shingle, and globally-disjoint
+    length-preserving images are impossible for 1-char tokens)."""
     if r == 0:
-        p = {t: t for t in vocab}
-        seen.add(tuple(vocab))
-        return p
+        return {t: t for t in vocab}
+    base = set(vocab)
     attempt = 0
     while True:
-        shuffled = sorted(
-            vocab,
-            key=lambda t: hashlib.md5(f"perm:{r}:{attempt}:{t}".encode()).digest())
-        key = tuple(shuffled)
-        if key not in seen:
-            seen.add(key)
-            return dict(zip(vocab, shuffled))
+        m = {t: synth_token(t, r, attempt) for t in vocab}
+        imgs = set(m.values())
+        if len(imgs) == len(vocab) and not (imgs & base):
+            return m
         attempt += 1
 
 
@@ -134,9 +166,9 @@ def write_documents(con, src, dst, rep, sd):
     byte-identical per row:
     - each base doc is tokenized ONCE into a `str.format` template
       ("{5} {17} ..." by vocabulary index), so applying a replica's
-      permutation is one C-level format call with the 31 permuted
-      tokens as arguments (identity tuple at r=0 reproduces the
-      original text exactly — format is a pure reassembly);
+      vocabulary is one C-level format call with the 31 replica-
+      private tokens as arguments (identity tuple at r=0 reproduces
+      the original text exactly — format is a pure reassembly);
     - rows stream through a pyarrow ParquetWriter in ~1M-doc row
       groups (bounded memory at any REP; row groups stay splittable
       for Spark and DuckDB alike).
@@ -148,8 +180,8 @@ def write_documents(con, src, dst, rep, sd):
                     for t in TOKEN_SPLIT.split(text)[::2] if t})
     n = len(vocab)
     if n < 2 and rep > 1:
-        sys.exit("documents vocabulary too small to permute — cannot scale "
-                 "without creating cross-replica duplicates")
+        sys.exit("documents vocabulary too small to resynthesize — cannot "
+                 "scale without creating cross-replica duplicates")
     tok_ix = {t: i for i, t in enumerate(vocab)}
     templates = []
     for doc_id, text, lang, source in rows:
@@ -164,7 +196,6 @@ def write_documents(con, src, dst, rep, sd):
                         ("lang", pa.string()), ("source", pa.string()),
                         ("n_chars", pa.int64())])
     writer = pq.ParquetWriter(f"{dst}/documents.parquet", schema)
-    seen_perms = set()
     chunk_reps = max(1, 1_000_000 // max(1, len(rows)))
     ids, texts, langs, sources, lens = [], [], [], [], []
 
@@ -177,8 +208,8 @@ def write_documents(con, src, dst, rep, sd):
         ids.clear(); texts.clear(); langs.clear(); sources.clear(); lens.clear()
 
     for r in range(rep):
-        perm = vocab_permutation(vocab, r, seen_perms)
-        plist = [perm[t] for t in vocab]
+        vmap = vocab_synthesis(vocab, r)
+        plist = [vmap[t] for t in vocab]
         base = r * sd
         for tmpl, doc_id, lang, source in templates:
             new = tmpl.format(*plist)
@@ -202,25 +233,52 @@ def sign(r, i):
 
 
 def write_embeddings(con, src, dst, rep, sv):
+    """Chunked, matrix-based writer (round 18 — the sf1000 decade).
+
+    The earlier form built ALL rep*|vecs| rows as Python tuples in one
+    pandas frame — fine through REP=1000 (2M rows), but at REP=10000
+    the 20M rows of 64 boxed floats would hold ~50 GB of objects.
+    Values are unchanged per row: each replica is one vectorized
+    numpy roll+sign-flip of the base matrix, streamed through a
+    pyarrow ParquetWriter in ~1M-row row groups.
+    """
     rows = con.sql(
         f"SELECT vec_id, embedding, label FROM "
         f"read_parquet('{src}/embeddings.parquet') ORDER BY vec_id").fetchall()
-    import pandas as pd
     import numpy as np
-    recs = []
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    base_ids = np.array([v for v, _, _ in rows], dtype=np.int64)
+    labels = pa.array([l for _, _, l in rows])
+    mat = np.array([e for _, e, _ in rows], dtype=np.float32)
+    n, dim = mat.shape
+    schema = pa.schema([("vec_id", pa.int64()),
+                       ("embedding", pa.list_(pa.float32())),
+                       ("label", labels.type)])
+    writer = pq.ParquetWriter(f"{dst}/embeddings.parquet", schema)
+    chunk_reps = max(1, 1_000_000 // max(1, n))
+    pending = []
+
+    def flush():
+        if not pending:
+            return
+        writer.write_table(pa.Table.from_batches(pending, schema=schema))
+        pending.clear()
+
+    offsets = pa.array(np.arange(n + 1, dtype=np.int32) * dim)
     for r in range(rep):
-        dim = len(rows[0][1])
-        signs = np.array([sign(r, i) for i in range(dim)], dtype=np.float32)
-        for vec_id, emb, label in rows:
-            v = np.asarray(emb, dtype=np.float32)
-            if r > 0:
-                v = np.roll(v, r % dim) * signs
-            recs.append((vec_id + r * sv, v.tolist(), label))
-    df = pd.DataFrame.from_records(recs, columns=["vec_id", "embedding", "label"])
-    con.register("emb_py", df)
-    con.sql(f"COPY (SELECT vec_id, CAST(embedding AS FLOAT[]) AS embedding, "
-            f"label FROM emb_py) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)")
-    con.unregister("emb_py")
+        if r == 0:
+            m = mat
+        else:
+            signs = np.array([sign(r, i) for i in range(dim)], dtype=np.float32)
+            m = np.roll(mat, r % dim, axis=1) * signs[None, :]
+        emb = pa.ListArray.from_arrays(offsets, pa.array(m.reshape(-1)))
+        pending.append(pa.record_batch(
+            [pa.array(base_ids + r * sv), emb, labels], schema=schema))
+        if (r + 1) % chunk_reps == 0:
+            flush()
+    flush()
+    writer.close()
 
 
 def main():
