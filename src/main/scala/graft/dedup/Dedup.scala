@@ -162,14 +162,25 @@ object Dedup {
     * the standard LSH skew guard), then expand each bucket's pairs
     * expression-side. No self-join, so the upstream minhash pipeline is
     * evaluated exactly once. */
-  def candidatePairs(bandsDf: DataFrame, idCol: String, maxBucket: Int): DataFrame = {
+  def candidatePairs(bandsDf: DataFrame, idCol: String, maxBucket: Int): DataFrame =
+    candidatePairsRaw(bandsDf, idCol, maxBucket).distinct()
+
+  /** [[candidatePairs]] WITHOUT the final distinct — the same pair may
+    * appear once per shared band (≤ numBands copies). Consumers that
+    * canonicalize the pair set themselves (the label fixpoint distincts
+    * its oriented edge relation as its first step) take this form and
+    * skip one full pair-relation Exchange; anything that RETURNS pairs
+    * (d2, the chain's pairs output) must use [[candidatePairs]].
+    * (Optimization round 18 — d6/d8 previously paid distinct-by-(a,b)
+    * immediately followed by the fixpoint's distinct-by-(hi,lo) of the
+    * same rows.) */
+  def candidatePairsRaw(bandsDf: DataFrame, idCol: String, maxBucket: Int): DataFrame = {
     val buckets = bandsDf.groupBy(col("band_idx"), col("band_val"))
       .agg(collect_list(col(idCol)).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
     buckets
       .select(explode(trianglePairs(array_sort(col("ids")))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
-      .distinct()
   }
 
   /** Duplicate-group resolution (D6): connected components over the
@@ -316,6 +327,45 @@ object Dedup {
   private def labelPropagation(pairs: DataFrame, maxIterations: Int): DataFrame =
     labelPropagationCounted(pairs, maxIterations)._1
 
+  /** One large-star + small-star contraction round: the edge set that
+    * replaces `edges` next round (pre-checkpoint). Factored out of
+    * [[labelPropagationCounted]] so the plan receipt
+    * ([[FixpointRoundProbe]]) explains exactly the round the loop runs. */
+  private[graft] def starRound(edges: DataFrame): DataFrame = {
+    // Optimization round 18: the intermediate ls.distinct() is dropped —
+    // duplicate (hi, lo) rows cannot change a min aggregate, and the
+    // round's final distinct() restores the set form, so e2 is
+    // row-identical (labels AND round counts unchanged; DedupSpec pins
+    // both) while the round saves one full edge-relation Exchange +
+    // aggregate at every scale. (A stronger rewrite — explicit
+    // repartition per star phase shared by both consumers — measured
+    // 1.12× SLOWER at the gate SF: AQE already broadcasts the per-node
+    // min sides and reuses the duplicated subtrees at runtime, so the
+    // forced repartitions only added wire; see FixpointRoundProbe and
+    // OPTIMIZATION_r18.md.)
+    //
+    // ---- large-star: every node attaches its LARGER neighbours to
+    // its minimum neighbour (or itself). Per-node min is a map-side-
+    // combined aggregate; the emit join reuses the same hash key.
+    val sym = edges.select(col("hi").as("u"), col("lo").as("v"))
+      .union(edges.select(col("lo").as("u"), col("hi").as("v")))
+    val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    val ls = sym.filter(col("v") > col("u"))
+      .join(mins, "u")
+      .select(col("v").as("hi"), col("m").as("lo"))
+    // ---- small-star: every node re-points its SMALLER neighbours
+    // (and itself) at the minimum of that set. Orientation hi > lo is
+    // preserved by construction, so no re-canonicalization needed.
+    val smins = ls.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+    ls.join(smins, "hi")
+      .select(col("lo").as("n"), col("m"))
+      .union(smins.select(col("hi").as("n"), col("m")))
+      .filter(col("n") =!= col("m"))
+      .select(col("n").as("hi"), col("m").as("lo"))
+      .distinct()
+  }
+
   /** [[labelPropagation]] plus the round count it converged in — the
     * worst-case receipt surface (DedupSpec pins the count on planted
     * path graphs, including one with SHUFFLED node ids — the topology
@@ -371,28 +421,7 @@ object Dedup {
     var converged = isStarForest(edges)
     var iter = 0
     while (!converged && iter < maxIterations) {
-      // ---- large-star: every node attaches its LARGER neighbours to
-      // its minimum neighbour (or itself). Per-node min is a map-side-
-      // combined aggregate; the emit join reuses the same hash key.
-      val sym = edges.select(col("hi").as("u"), col("lo").as("v"))
-        .union(edges.select(col("lo").as("u"), col("hi").as("v")))
-      val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
-        .select(col("u"), least(col("u"), col("mn")).as("m"))
-      val ls = sym.filter(col("v") > col("u"))
-        .join(mins, "u")
-        .select(col("v").as("hi"), col("m").as("lo"))
-        .distinct()
-      // ---- small-star: every node re-points its SMALLER neighbours
-      // (and itself) at the minimum of that set. Orientation hi > lo is
-      // preserved by construction, so no re-canonicalization needed.
-      val smins = ls.groupBy(col("hi")).agg(min(col("lo")).as("m"))
-      val (e2, b2) = checkpointedByMode(
-        ls.join(smins, "hi")
-          .select(col("lo").as("n"), col("m"))
-          .union(smins.select(col("hi").as("n"), col("m")))
-          .filter(col("n") =!= col("m"))
-          .select(col("n").as("hi"), col("m").as("lo"))
-          .distinct())
+      val (e2, b2) = checkpointedByMode(starRound(edges))
       converged = isStarForest(e2)
       // e2 is materialized (eager checkpoint) — the previous round's
       // edge blocks have no remaining readers; free them

@@ -81,10 +81,20 @@ object DedupQueries {
       vecs, "vec_id", "embedding", numPlanes = planes, threshold = EmbedThreshold)
   }
 
+  /** d2's candidate stream BEFORE its distinct — for consumers whose
+    * first step canonicalizes the pair set anyway (the d6/d8 label
+    * fixpoint), so the pair relation crosses the wire once, not twice
+    * (optimization round 18). Same pair SET as [[d2MinhashPairs]]. */
+  private def d2RawPairs(s: SparkSession, dir: String): DataFrame = {
+    val rows = Dedup.shingleRows(docs(s, dir), "doc_id", "text", ShingleK)
+    Dedup.candidatePairsRaw(Dedup.bands(rows, "doc_id", NumHashes, NumBands),
+      "doc_id", MaxBucket)
+  }
+
   /** D6: duplicate clusters from the D2 candidate graph — connected
     * components elect each cluster's canonical keeper. */
   def d6DupGroups(s: SparkSession, dir: String): DataFrame =
-    Dedup.duplicateGroups(d2MinhashPairs(s, dir))
+    Dedup.duplicateGroups(d2RawPairs(s, dir))
 
   /** D7: passage-level boilerplate removal — chunks recurring ≥ ChunkMinFreq
     * times corpus-wide are stripped from every document. Catches the
@@ -100,7 +110,7 @@ object DedupQueries {
     * near-dup cluster member removed (D2 candidates → D6 labels →
     * anti-join). What a pipeline actually materializes after dedup. */
   def d8DedupApply(s: SparkSession, dir: String): DataFrame =
-    Dedup.applyDedup(docs(s, dir), "doc_id", d2MinhashPairs(s, dir))
+    Dedup.applyDedup(docs(s, dir), "doc_id", d2RawPairs(s, dir))
       .select(col("doc_id"), col("lang"), col("source"))
 
   /** D9: incremental dedup against a PERSISTED signature index — build
