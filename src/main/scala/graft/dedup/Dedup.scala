@@ -421,6 +421,13 @@ object Dedup {
     var converged = isStarForest(edges)
     var iter = 0
     while (!converged && iter < maxIterations) {
+      // (Optimization round 18 measured the tempting alternative — TWO
+      // rounds per checkpoint+convergence-test cycle, halving the
+      // materializations — at 1.35x SLOWER warm: without the per-round
+      // checkpoint the round's internally re-referenced subtrees nest,
+      // so the fused plan re-plans and partially re-executes round 1
+      // under round 2's three consumers. One round per materialization
+      // stays.)
       val (e2, b2) = checkpointedByMode(starRound(edges))
       converged = isStarForest(e2)
       // e2 is materialized (eager checkpoint) — the previous round's
