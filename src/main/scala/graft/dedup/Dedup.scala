@@ -178,8 +178,14 @@ object Dedup {
     val buckets = bandsDf.groupBy(col("band_idx"), col("band_val"))
       .agg(collect_list(col(idCol)).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
+      // sort ONCE in a projection (optimization round 18): inlining
+      // array_sort(ids) into trianglePairs re-evaluated the sort under
+      // every outer lambda element via the slice argument — O(k² log k)
+      // comparisons per k-bucket (HOF lambdas evaluate interpreted; no
+      // common-subexpression elimination reaches inside them)
+      .select(array_sort(col("ids")).as("ids"))
     buckets
-      .select(explode(trianglePairs(array_sort(col("ids")))).as("p"))
+      .select(explode(trianglePairs(col("ids"))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
   }
 
@@ -523,20 +529,26 @@ object Dedup {
     * doc after one explode+groupBy (partial aggregation applies). */
   def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 60): DataFrame = {
     val tokenHash = conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
-    val votes = (0 until bits).map { i =>
-      sum(shiftright(col("h"), i).bitwiseAND(lit(1L)) * 2L - 1L).as(s"v$i")
+    // Optimization round 18: per-bit SET-BIT COUNTS instead of ±1 vote
+    // sums — sum((h>>i)&1) skips the *2-1 per token per bit the vote
+    // form paid (60 multiply-subtracts per token row under ANSI checked
+    // arithmetic; measured 0.94 → 0.63 s on the sf0.1 signature pass).
+    // The sign test is the same integer comparison: v_i = 2c_i - n >= 0
+    // ⟺ 2c_i >= n, so signatures are bit-identical (DedupSpec pins).
+    val counts = (0 until bits).map { i =>
+      sum(shiftright(col("h"), i).bitwiseAND(lit(1L))).as(s"c$i")
     }
     val sigBits: Seq[Column] = (0 until bits).map { i =>
-      when(col(s"v$i") >= 0, lit(1L << i)).otherwise(lit(0L))
+      when(col(s"c$i") * 2L >= col("graft_n"), lit(1L << i)).otherwise(lit(0L))
     }
     // No pre-shuffle: the scan's natural splits parallelize the map work
     // (at scale, thousands of file splits), and partial aggregation means
-    // d3's one Exchange carries (id, 60 vote partials) — never the text.
+    // d3's one Exchange carries (id, 60 count partials) — never the text.
     // A repartition here would shuffle the widest column in the corpus.
     df.select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("tok"))
       .select(col(idCol), tokenHash.as("h"))
       .groupBy(col(idCol))
-      .agg(votes.head, votes.tail: _*)
+      .agg(count(lit(1L)).as("graft_n"), counts: _*)
       .select(col(idCol), sigBits.reduce(_ + _).as("simhash"))
   }
 
@@ -558,9 +570,13 @@ object Dedup {
       .groupBy(col("bv.band_idx"), col("bv.band_val"))
       .agg(collect_list(struct(col(idCol).as("id"), col("simhash").as("sig"))).as("items"))
       .filter(size(col("items")).between(2, maxBucket))
-    // sort by (id, sig): upper-triangle pairs come out a.id < b.id
-    val pairs = flatten(transform(array_sort(col("items")), (x, i) =>
-      transform(slice(array_sort(col("items")), i + lit(2), size(col("items"))),
+      // sort by (id, sig) ONCE in a projection: upper-triangle pairs come
+      // out a.id < b.id. (Optimization round 18 — the sort used to sit
+      // inside the pair lambda, re-sorting the bucket under every outer
+      // element AND in the slice: O(k² log k) comparisons per k-bucket.)
+      .select(array_sort(col("items")).as("items"))
+    val pairs = flatten(transform(col("items"), (x, i) =>
+      transform(slice(col("items"), i + lit(2), size(col("items"))),
         y => struct(x.getField("id").as("a"), y.getField("id").as("b"),
           bit_count(x.getField("sig").bitwiseXOR(y.getField("sig"))).as("hamming")))))
     buckets
