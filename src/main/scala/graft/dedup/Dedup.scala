@@ -215,9 +215,24 @@ object Dedup {
     * every duplicate cluster, keep everything else. One anti-join of the
     * corpus against the BOUNDED drop set (members of near-dup clusters
     * minus their keepers — duplicates, by definition a small fraction of
-    * a curated corpus; broadcast when it fits, shuffled otherwise). */
-  def applyDedup(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
-    applyLabels(docs, idCol, duplicateLabels(pairs))
+    * a curated corpus; broadcast when it fits, shuffled otherwise).
+    *
+    * Optimization round 18: the standalone apply pass never needs the
+    * full label table — the drop set IS the `hi` side of the converged
+    * star forest (labels.filter(id =!= label) is definitionally the
+    * left-join MATCHES of nodes against final edges, i.e. exactly the
+    * hi values; every edge has hi ≠ lo and at convergence each hi
+    * carries one edge). Reading drops straight off the fixpoint's edge
+    * relation skips the node-universe distinct (a full pair-relation
+    * Exchange + checkpoint) and the final labels join + checkpoint that
+    * [[duplicateLabels]] pays for callers that need roots too (d6's
+    * groups, the chain). Results identical (DedupSpec pins d8 equality;
+    * same oracle). */
+  def applyDedup(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val (edges, _, _, _, _) = fixpointCore(pairs, maxIterations = 64, needNodes = false)
+    val drops = edges.select(col("hi").as("__drop_id"))
+    docs.join(drops, docs(idCol) === col("__drop_id"), "left_anti")
+  }
 
   /** The APPLY pass from precomputed cluster labels. */
   def applyLabels(docs: DataFrame, idCol: String, labels: DataFrame): DataFrame = {
@@ -398,10 +413,42 @@ object Dedup {
     * EDGES move, not just the labels. */
   private[graft] def labelPropagationCounted(
       pairs: DataFrame, maxIterations: Int): (DataFrame, Int) = {
-    // every round's edge set is superseded by the next — the blocks
-    // checkpointedByMode hands back are freed as soon as the next
-    // round's state is materialized (without this, Bench/Verify
-    // accumulate every round's blocks for the whole session)
+    val (edges, nodesOpt, iter, edgeBlocks, nodeBlocks) =
+      fixpointCore(pairs, maxIterations, needNodes = true)
+    // the final star forest IS the label table: hi → lo maps every
+    // non-root to its component min; roots (and nodes whose edges
+    // contracted away) label themselves
+    val (labels, _) = checkpointedByMode(
+      nodesOpt.get.join(edges.select(col("hi").as("id"), col("lo").as("label")),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("label"), col("id")).as("label")))
+    // labels is self-contained after its checkpoint — free the inputs
+    nodeBlocks.foreach(_.unpersist(blocking = false))
+    edgeBlocks.foreach(_.unpersist(blocking = false))
+    (labels, iter)
+  }
+
+  /** The contraction fixpoint: converged star forest (+ optionally the
+    * input node universe) from ONE execution of the pairs plan.
+    *
+    * Optimization round 18: the r17 form materialized the node universe
+    * from `pairs` and then the canonical edge set from `pairs` AGAIN —
+    * for a standalone d6 that executed the entire corpus-sized
+    * candidate pipeline (shingle → minhash → band → bucket → explode)
+    * twice. Now the canonical oriented pair set is checkpointed once
+    * (self-loop rows retained, so the node universe is derivable) and
+    * the node relation, when requested, is a cheap re-read of those
+    * blocks — the same node SET as before (explode of the distinct
+    * canonical pairs covers exactly the ids of the raw pairs).
+    *
+    * Returns (edges, nodes, rounds, edgeBlocks, nodeBlocks): `edges` is
+    * the converged star forest (hi ≠ lo), backed by `edgeBlocks` —
+    * callers whose result plan reads edges lazily (the d8 anti-join)
+    * must NOT free them; callers that re-materialize (the labels
+    * checkpoint) free both lists when done. */
+  private def fixpointCore(pairs: DataFrame, maxIterations: Int, needNodes: Boolean)
+      : (DataFrame, Option[DataFrame], Int,
+         Seq[org.apache.spark.rdd.RDD[_]], Seq[org.apache.spark.rdd.RDD[_]]) = {
     // star forest ⟺ algorithm fixpoint: every hi carries exactly one
     // edge and no lo ever appears as a hi (each component fully
     // contracted onto its root). One aggregate job over the
@@ -414,16 +461,25 @@ object Dedup {
         .agg(sum(col("nh")).as("nh"), max(col("nl")).as("nl"))
         .filter(col("nh") > 1 || (col("nh") > 0 && col("nl") === 1))
         .isEmpty
-    // the node universe is fixed by the INPUT graph — contraction
-    // rewrites edges, so the final join must recover every original id
-    val (nodes, nodeBlocks) = checkpointedByMode(
-      pairs.select(explode(array(col("a"), col("b"))).as("id")).distinct())
-    // canonical oriented edge set (hi > lo), deduped; materialized once
-    // so no round replans the candidate-generation pipeline
-    var (edges, edgeBlocks) = checkpointedByMode(
+    // canonical oriented pair set (hi >= lo), deduped, self-loops kept;
+    // materialized once so no round — and no node derivation — replans
+    // the candidate-generation pipeline
+    val (canon, canonBlocks) = checkpointedByMode(
       pairs.select(greatest(col("a"), col("b")).as("hi"),
           least(col("a"), col("b")).as("lo"))
-        .filter(col("hi") =!= col("lo")).distinct())
+        .distinct())
+    // the node universe is fixed by the INPUT graph — contraction
+    // rewrites edges, so the final label join must recover every
+    // original id. Checkpointed BEFORE the loop frees the canon blocks.
+    val nodes =
+      if (!needNodes) (None, Nil)
+      else {
+        val (n, nb) = checkpointedByMode(
+          canon.select(explode(array(col("hi"), col("lo"))).as("id")).distinct())
+        (Some(n), nb)
+      }
+    var edges = canon.filter(col("hi") =!= col("lo"))
+    var edgeBlocks = canonBlocks
     var converged = isStarForest(edges)
     var iter = 0
     while (!converged && iter < maxIterations) {
@@ -437,7 +493,9 @@ object Dedup {
       val (e2, b2) = checkpointedByMode(starRound(edges))
       converged = isStarForest(e2)
       // e2 is materialized (eager checkpoint) — the previous round's
-      // edge blocks have no remaining readers; free them
+      // edge blocks have no remaining readers; free them (the node
+      // relation is checkpointed above, so round 1 freeing the canon
+      // blocks cannot orphan it)
       edgeBlocks.foreach(_.unpersist(blocking = false))
       edges = e2
       edgeBlocks = b2
@@ -451,17 +509,7 @@ object Dedup {
     require(converged, s"connected components did not converge within " +
       s"$maxIterations rounds — raise maxIterations (labels would be " +
       "partially merged, silently wrong)")
-    // the final star forest IS the label table: hi → lo maps every
-    // non-root to its component min; roots (and nodes whose edges
-    // contracted away) label themselves
-    val (labels, _) = checkpointedByMode(
-      nodes.join(edges.select(col("hi").as("id"), col("lo").as("label")),
-          Seq("id"), "left")
-        .select(col("id"), coalesce(col("label"), col("id")).as("label")))
-    // labels is self-contained after its checkpoint — free the inputs
-    nodeBlocks.foreach(_.unpersist(blocking = false))
-    edgeBlocks.foreach(_.unpersist(blocking = false))
-    (labels, iter)
+    (edges, nodes._1, iter, edgeBlocks, nodes._2)
   }
 
   /** (doc_id, pos, chunk): one row per fixed-width non-overlapping token
