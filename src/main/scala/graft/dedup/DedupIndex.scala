@@ -89,6 +89,22 @@ object DedupIndex {
              maxBucket: Int): Unit =
     write(index, docs, idCol, textCol, maxBucket, SaveMode.Append)
 
+  /** Band rows per write task the r17 sf1000 receipt sized the
+    * in-memory bucketed-write sort around (160M band rows / 128 tasks
+    * ≈ 1.25M rows ≈ 160 MB of sig-carrying rows per task sort). The
+    * adaptive cluster factor below reproduces that receipt's shape
+    * exactly at the fifth decade (factor 8) while a gate-SF build
+    * (160k band rows) collapses to factor 1 — 16 write tasks and 16
+    * output files instead of 128 near-empty ones (optimization round
+    * 18, guide §2/§6: scale the partitioning to the input, don't pin
+    * it to either end). */
+  private val TargetRowsPerWriteTask = 1250000L
+
+  private def clusterFactor(bandRowsEstimate: Long, numBuckets: Int): Int =
+    math.max(1L, math.min(8L,
+      math.ceil(bandRowsEstimate.toDouble /
+        (TargetRowsPerWriteTask.toDouble * numBuckets)).toLong)).toInt
+
   private def write(index: Handle, docs: DataFrame, idCol: String,
                     textCol: String, maxBucket: Int, mode: SaveMode): Unit = {
     // r18 small-append short-circuit (r17 verdict #3): a band bucket's
@@ -103,11 +119,20 @@ object DedupIndex {
     // aggregate's fixed cost would otherwise dominate the write.
     val canTripCap =
       docs.select(col(idCol)).limit(maxBucket + 1).count() > maxBucket
+    // cluster-factor sizing: a sub-cap append is ≤ maxBucket docs by
+    // the check above — factor 1 with no further work; a bulk write
+    // pays one column-pruned count of the batch (trivial next to the
+    // signature pass it precedes) and sizes the write tasks to
+    // TargetRowsPerWriteTask
+    val factor =
+      if (!canTripCap) 1
+      else clusterFactor(
+        docs.select(col(idCol)).count() * index.numBands, index.numBuckets)
     val rows = Dedup.shingleRows(docs, idCol, textCol, index.k)
     val bandRows = Dedup.bandSigRows(rows, idCol, index.numHashes, index.numBands)
       .select(col(idCol).as("index_id"), col("band_key"), col("sig"))
     Bucketed.writeBucketed(
-      capAndCluster(bandRows, maxBucket, index.numBuckets, canTripCap),
+      capAndCluster(bandRows, maxBucket, index.numBuckets, canTripCap, factor),
       index.table, "band_key", index.numBuckets, mode = mode)
   }
 
@@ -129,18 +154,20 @@ object DedupIndex {
     *   2. count per band_key on the clustered relation — no further
     *      exchange (grouping key == partitioning key) — and broadcast
     *      anti-join the tiny over-cap key set;
-    *   3. cluster into 8× the bucket count: Spark's bucket id is
-    *      murmur3(band_key) % numBuckets and 8N co-divides N, so every
-    *      write task holds exactly one bucket's rows and the bucketed
-    *      write's own sortBy — the only sort left in the plan — sorts
-    *      ~1/(8N) of the relation per task, in memory instead of
-    *      spilling.
+    *   3. cluster into `factor`× the bucket count (factor sized to the
+    *      batch, 1–8 — see [[clusterFactor]]): Spark's bucket id is
+    *      murmur3(band_key) % numBuckets and fN co-divides N, so every
+    *      write task holds exactly one bucket's rows (or all of one
+    *      bucket at factor 1) and the bucketed write's own sortBy — the
+    *      only sort left in the plan — sorts ~1/(fN) of the relation
+    *      per task, in memory instead of spilling.
     * Net: one exchange, one in-memory-sized sort, vs the window plan's
     * exchange + spilling window sort + write sort. */
   private[dedup] def capAndCluster(bandRows: DataFrame, maxBucket: Int,
                                    numBuckets: Int,
-                                   canTripCap: Boolean = true): DataFrame = {
-    val clustered = bandRows.repartition(8 * numBuckets, col("band_key"))
+                                   canTripCap: Boolean = true,
+                                   factor: Int = 8): DataFrame = {
+    val clustered = bandRows.repartition(factor * numBuckets, col("band_key"))
     if (!canTripCap) clustered
     else {
       val overCap = clustered
@@ -200,8 +227,12 @@ object DedupIndex {
     //
     // replay residue: the same doc's band row appended twice carries an
     // identical signature (ids are stable per the pipeline's contract)
+    // cluster factor sized to the index's actual row count (parquet
+    // metadata count — no data scan), same policy as the write path
+    val factor = clusterFactor(
+      spark.table(index.table).count(), index.numBuckets)
     val clustered = spark.table(index.table)
-      .repartition(8 * index.numBuckets, col("band_key"))
+      .repartition(factor * index.numBuckets, col("band_key"))
     val overCap = clustered
       .groupBy(col("band_key"))
       .agg(countDistinct(col("index_id")).as("graft_bn"))
