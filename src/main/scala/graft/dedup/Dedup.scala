@@ -291,7 +291,13 @@ object Dedup {
     val pairs = checkpointedByMode(
       candidatePairs(bands(rows, idCol, numHashes, numBands),
         idCol, maxBucket))._1 // pairs lives for the chain's lifetime — blocks never freed here
-    val labels = duplicateLabels(pairs, maxIterations) // checkpointed inside
+    // the chain's pairs are already materialized, distinct, and a < b
+    // (candidatePairs' contract), so the fixpoint skips its own
+    // canonicalization Exchange + materialization — at sf1000 that is a
+    // 197M-row shuffle and block write it used to pay on top of the
+    // pairs checkpoint (optimization round 18)
+    val labels = labelPropagationCounted(pairs, maxIterations,
+      preCanonicalized = true)._1 // checkpointed inside
     ChainOut(pairs, labels, groupsFromLabels(labels),
       applyLabels(docs, idCol, labels))
   }
@@ -412,9 +418,10 @@ object Dedup {
     * contraction has no such dependence on id placement because the
     * EDGES move, not just the labels. */
   private[graft] def labelPropagationCounted(
-      pairs: DataFrame, maxIterations: Int): (DataFrame, Int) = {
+      pairs: DataFrame, maxIterations: Int,
+      preCanonicalized: Boolean = false): (DataFrame, Int) = {
     val (edges, nodesOpt, iter, edgeBlocks, nodeBlocks) =
-      fixpointCore(pairs, maxIterations, needNodes = true)
+      fixpointCore(pairs, maxIterations, needNodes = true, preCanonicalized)
     // the final star forest IS the label table: hi → lo maps every
     // non-root to its component min; roots (and nodes whose edges
     // contracted away) label themselves
@@ -446,7 +453,8 @@ object Dedup {
     * callers whose result plan reads edges lazily (the d8 anti-join)
     * must NOT free them; callers that re-materialize (the labels
     * checkpoint) free both lists when done. */
-  private def fixpointCore(pairs: DataFrame, maxIterations: Int, needNodes: Boolean)
+  private def fixpointCore(pairs: DataFrame, maxIterations: Int, needNodes: Boolean,
+                           preCanonicalized: Boolean = false)
       : (DataFrame, Option[DataFrame], Int,
          Seq[org.apache.spark.rdd.RDD[_]], Seq[org.apache.spark.rdd.RDD[_]]) = {
     // star forest ⟺ algorithm fixpoint: every hi carries exactly one
@@ -463,11 +471,19 @@ object Dedup {
         .isEmpty
     // canonical oriented pair set (hi >= lo), deduped, self-loops kept;
     // materialized once so no round — and no node derivation — replans
-    // the candidate-generation pipeline
-    val (canon, canonBlocks) = checkpointedByMode(
-      pairs.select(greatest(col("a"), col("b")).as("hi"),
-          least(col("a"), col("b")).as("lo"))
-        .distinct())
+    // the candidate-generation pipeline. When the caller GUARANTEES the
+    // input is already materialized, distinct, and oriented a < b (the
+    // chain's checkpointed pairs), the projection is enough — no second
+    // pair-relation Exchange, no second materialization, and no blocks
+    // of our own to free (the caller owns the input's lifetime).
+    val (canon, canonBlocks) =
+      if (preCanonicalized)
+        (pairs.select(col("b").as("hi"), col("a").as("lo")),
+          Seq.empty[org.apache.spark.rdd.RDD[_]])
+      else checkpointedByMode(
+        pairs.select(greatest(col("a"), col("b")).as("hi"),
+            least(col("a"), col("b")).as("lo"))
+          .distinct())
     // the node universe is fixed by the INPUT graph — contraction
     // rewrites edges, so the final label join must recover every
     // original id. Checkpointed BEFORE the loop frees the canon blocks.
