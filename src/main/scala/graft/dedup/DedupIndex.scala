@@ -100,7 +100,7 @@ object DedupIndex {
     * it to either end). */
   private val TargetRowsPerWriteTask = 1250000L
 
-  private def clusterFactor(bandRowsEstimate: Long, numBuckets: Int): Int =
+  private[dedup] def clusterFactor(bandRowsEstimate: Long, numBuckets: Int): Int =
     math.max(1L, math.min(8L,
       math.ceil(bandRowsEstimate.toDouble /
         (TargetRowsPerWriteTask.toDouble * numBuckets)).toLong)).toInt

@@ -520,6 +520,22 @@ class DedupSpec extends SparkTestBase {
     spark.sql("DROP TABLE IF EXISTS d9_compact_index")
   }
 
+  test("D9: adaptive write-cluster factor — 1 at gate scale, the receipted 8 at the sf1000 shape, clamped, co-dividing") {
+    // optimization round 18: the write clustering used to pin factor 8
+    // (sized for sf1000's in-memory sort); it now derives from the
+    // batch. The boundaries that matter: gate-SF builds collapse to
+    // factor 1, the sf1000 receipt's 160M band rows reproduce factor 8
+    // EXACTLY (the committed receipt's plan shape), the clamp holds
+    // above, and mid-scale lands between.
+    assert(DedupIndex.clusterFactor(160L * 1000, 16) == 1, "gate SF → 1")
+    assert(DedupIndex.clusterFactor(160L * 1000 * 1000, 16) == 8,
+      "the sf1000 receipt's shape must reproduce exactly")
+    assert(DedupIndex.clusterFactor(10L * 1000 * 1000 * 1000, 16) == 8,
+      "clamped at 8 — the write never exceeds the receipted geometry")
+    assert(DedupIndex.clusterFactor(25L * 1000 * 1000, 16) == 2, "mid-scale")
+    assert(DedupIndex.clusterFactor(0L, 16) == 1, "empty batch → 1")
+  }
+
   test("D9: small-append short-circuit — ≤maxBucket batches skip the cap branch; the boundary still caps") {
     // r17 verdict #3: the anti-join cap's clustering aggregate is a
     // fixed per-write cost the old window form didn't pay on tiny
