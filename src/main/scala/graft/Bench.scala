@@ -124,7 +124,7 @@ object Bench {
       try runOnce(fn, spark, sfDir) catch { case _: Throwable => () }
     }
 
-    val results: Seq[(String, Double)] = queries.map { case (name, fn) =>
+    val timed: Seq[(String, Seq[Double])] = queries.map { case (name, fn) =>
       val times = (1 to Runs).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { runOnce(fn, spark, sfDir); true }
@@ -133,15 +133,35 @@ object Bench {
         }
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      val median =
-        if (times.contains(-1.0)) -1.0
-        else times.sorted.apply(Runs / 2)
-      name -> median
+      name -> times
     }
+    val results: Seq[(String, Double)] = timed.map { case (name, times) =>
+      name -> (if (times.contains(-1.0)) -1.0 else times.sorted.apply(Runs / 2))
+    }
+    // per-query min/median/max (round-19: a poisoned median must be
+    // machine-detectable, not judge forensics — see spreadFlagged)
+    val spread: Map[String, (Double, Double, Double)] =
+      timed.collect { case (name, ts) if !ts.contains(-1.0) =>
+        name -> ((ts.min, ts.sorted.apply(Runs / 2), ts.max))
+      }.toMap
 
-    emit(results, sfDir, loadBefore, contended)
+    emit(results, sfDir, loadBefore, contended, spread = spread)
     spark.stop()
   }
+
+  /** A query's reported median is suspect when its own runs disagree
+    * wildly: a mid-run co-tenant spike inflates SOME of the 5 runs, so
+    * max pulls far above median. Ratio > 3 alone would flag floor-class
+    * queries whose absolute jitter is milliseconds, hence the absolute
+    * guard. (BENCH_r18's 32-core artifact carried a 9.5x-inflated t10 on
+    * untouched code with `contended:false` — the 1-minute loadavg gate
+    * cannot see a spike that starts mid-run; the runs' own spread can.) */
+  private[graft] def spreadFlagged(min: Double, median: Double, max: Double): Boolean =
+    median > 0 && max / median > 3.0 && max - median > 0.2
+
+  /** One flagged query is a stray hiccup the median already absorbed;
+    * three or more mean a contention window overlapped the sweep. */
+  private[graft] def contendedBySpread(flaggedCount: Int): Boolean = flaggedCount >= 3
 
   /** Write the full-precision JSON snapshot and print the compact line.
     *
@@ -155,16 +175,33 @@ object Bench {
     * is always self-contained. */
   private def emit(results: Seq[(String, Double)], sfDir: String,
                    loadBefore: Double, contended: Boolean,
-                   isolate: Boolean = false): Unit = {
+                   isolate: Boolean = false,
+                   spread: Map[String, (Double, Double, Double)] = Map.empty): Unit = {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failed = results.count(_._2 < 0)
     val loadAfter = loadavg1m()
     val iso = if (isolate) """"isolate":true,""" else ""
+    // contended = loadavg gate OR the runs' own spread (round 19): the
+    // spread fields make a poisoned window visible in the artifact even
+    // when the 1-minute loadavg missed it (the isolate parent passes no
+    // spread — each child's own snapshot carries its query's)
+    val flagged = spread.count { case (_, (mn, md, mx)) => spreadFlagged(mn, md, mx) }
+    val worst = (0.0 +: spread.collect {
+      case (_, (_, md, mx)) if md > 0 => mx / md }.toSeq).max
+    val contendedOut = contended || contendedBySpread(flagged)
+    val spreadMeta =
+      if (spread.isEmpty) ""
+      else s""","spread_flagged":$flagged,"spread_worst":${Fmt.dec(worst, 2)}"""
     val meta =
-      s"""$iso"failed":$failed,"sf":"$sfDir","load_before":$loadBefore,"load_after":$loadAfter,"contended":$contended"""
+      s"""$iso"failed":$failed,"sf":"$sfDir","load_before":$loadBefore,"load_after":$loadAfter,"contended":$contendedOut$spreadMeta"""
+    val spreadJson =
+      if (spread.isEmpty) ""
+      else spread.toSeq.sortBy(_._1).map { case (k, (mn, md, mx)) =>
+        "\"" + k + "\":[" + mn + "," + md + "," + mx + "]"
+      }.mkString(""","spread":{""", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$meta}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$meta$spreadJson}"""
     val outPath = sys.env.getOrElse("GRAFT_BENCH_OUT", "bench_out.json")
     Files.writeString(Paths.get(outPath), json + "\n")
     val shortKey = results.map { case (k, _) => k -> k.takeWhile(_ != '_') }.toMap
