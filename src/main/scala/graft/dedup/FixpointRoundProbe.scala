@@ -71,11 +71,16 @@ object FixpointRoundProbe {
     println(f"starRound median:      $b%.3f s over $runs runs (${b / a}%.2fx)")
 
     // FINAL adaptive plans: execute the Dataset itself so its own
-    // QueryExecution finalizes (collect — round output is graph-sized)
-    val legacyDf = legacyRound(edges); legacyDf.collect()
+    // QueryExecution finalizes. foreach(_ => ()) materializes every row
+    // ON THE EXECUTORS and discards it — unlike the r18 collect(), the
+    // graph-sized round output never lands on the driver (r18 advisory:
+    // pointing the probe at a big SF dir could OOM the driver). A noop
+    // write would not do here: it plans its OWN QueryExecution, leaving
+    // this Dataset's adaptive plan unfinalized.
+    val legacyDf = legacyRound(edges); legacyDf.foreach(_ => ())
     println("==== LEGACY round, final adaptive plan ====")
     legacyDf.explain("formatted")
-    val newDf = Dedup.starRound(edges); newDf.collect()
+    val newDf = Dedup.starRound(edges); newDf.foreach(_ => ())
     println("==== starRound (current), final adaptive plan ====")
     newDf.explain("formatted")
     spark.stop()
