@@ -144,10 +144,19 @@ object Dedup {
   }
 
   /** Fraction of equal components between two equal-length minhash
-    * signatures — the standard unbiased estimate of Jaccard similarity. */
+    * signatures — the standard unbiased estimate of Jaccard similarity.
+    *
+    * Unrolled to `numHashes` static element comparisons (optimization
+    * round 19): the `aggregate(zip_with(...))` HOF form evaluated
+    * interpreted (HOF lambdas are CodegenFallback) on d9's probe hot
+    * path — once per (index row × batch row) band-join match, i.e. per
+    * candidate pair at every scale. numHashes is a compile-time
+    * constant of the index geometry, so GetArrayItem + CASE + Add
+    * unrolls into whole-stage codegen with no per-element lambda
+    * dispatch. Same null-free integer arithmetic, same result. */
   def estimatedJaccard(a: Column, b: Column, numHashes: Int): Column =
-    aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, v) => acc + v).cast("double") / numHashes
+    (0 until numHashes).map(i => when(a(i) === b(i), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / numHashes
 
   /** All (a < b) pairs from a sorted id array — upper-triangle expansion
     * as a pure expression, bounded by the bucket cap (≤ cap²/2 pairs). */
@@ -367,23 +376,17 @@ object Dedup {
     * [[labelPropagationCounted]] so the plan receipt
     * ([[FixpointRoundProbe]]) explains exactly the round the loop runs.
     *
-    * `inputProbe` (optimization round 19): when set, the round's own
-    * materialization job ALSO answers "was the INPUT edge set already a
-    * star forest?" — the question [[fixpointCore]] used to pay a second
-    * aggregate job per round for. The star-forest test needs, per node,
-    * how often it appears as a `hi` (nh) and whether it appears as a
-    * `lo` (nl); the round's large-star phase already groups the
-    * symmetrized edge stream by node, and the orientation invariant
-    * hi > lo (held by construction in every edge relation the fixpoint
-    * sees) means a sym row (u, v) came from the hi side iff v < u — so
-    * both tallies are two extra aggregate expressions on the EXISTING
-    * groupBy, zero extra bytes on the round's Exchange, and the
-    * violation count rides out through a CollectMetrics (`observe`)
-    * node evaluated over the per-node aggregate rows. One job per round
-    * instead of two. */
-  private[graft] def starRound(
-      edges: DataFrame,
-      inputProbe: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    * (Optimization round 19 NEGATIVE result, ABBA-receipted in
+    * bench_sweeps_r19/obsfold_abba_*.json: folding the convergence test
+    * into this round's materialization as an `observe()` metric on the
+    * large-star groupBy — one job per round instead of two — measured
+    * 1.3–2x SLOWER on d6/d8/d10 at sf0.1 with flat d2/d4 controls. The
+    * fold learns convergence at round k from round k+1's job, so it
+    * trades k tiny star-forest aggregate jobs over checkpointed
+    * forests for ONE extra full contraction round (~0.45 s at sf0.1,
+    * the r18 round-probe figure) plus CollectMetrics overhead on every
+    * round's hottest aggregate. The separate per-round test stays.) */
+  private[graft] def starRound(edges: DataFrame): DataFrame = {
     // Optimization round 18: the intermediate ls.distinct() is dropped —
     // duplicate (hi, lo) rows cannot change a min aggregate, and the
     // round's final distinct() restores the set form, so e2 is
@@ -401,20 +404,8 @@ object Dedup {
     // combined aggregate; the emit join reuses the same hash key.
     val sym = edges.select(col("hi").as("u"), col("lo").as("v"))
       .union(edges.select(col("lo").as("u"), col("hi").as("v")))
-    val minsAgg = inputProbe match {
-      case None => sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
-      case Some(ob) =>
-        // nh = edges where u is the hi end (v < u), nl = u appears as a
-        // lo end (v > u); violation per node: hi more than once, or both
-        // hi and lo — exactly [[fixpointCore]]'s old isStarForest test.
-        sym.groupBy(col("u")).agg(min(col("v")).as("mn"),
-            sum(when(col("v") < col("u"), 1L).otherwise(0L)).as("gnh"),
-            max(when(col("v") > col("u"), 1L).otherwise(0L)).as("gnl"))
-          .observe(ob, coalesce(sum(when(col("gnh") > 1 ||
-              (col("gnh") > 0 && col("gnl") === 1L), 1L)), lit(0L))
-            .as("graft_viol"))
-    }
-    val mins = minsAgg.select(col("u"), least(col("u"), col("mn")).as("m"))
+    val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
     val ls = sym.filter(col("v") > col("u"))
       .join(mins, "u")
       .select(col("v").as("hi"), col("m").as("lo"))
@@ -511,12 +502,21 @@ object Dedup {
          Seq[org.apache.spark.rdd.RDD[_]], Seq[org.apache.spark.rdd.RDD[_]]) = {
     // star forest ⟺ algorithm fixpoint: every hi carries exactly one
     // edge and no lo ever appears as a hi (each component fully
-    // contracted onto its root). The test is necessary AND sufficient,
-    // so the stop decision is exact, not a change-counter heuristic.
-    // Optimization round 19: it no longer costs a job of its own — each
-    // round's materialization carries it via [[starRound]]'s observe
-    // probe (the metric answers for the round's INPUT), and the initial
-    // edge set's emptiness rides the canon checkpoint the same way.
+    // contracted onto its root). One aggregate job over the
+    // checkpointed edge set — necessary AND sufficient, so the stop
+    // decision is exact, not a change-counter heuristic. (Optimization
+    // round 19 measured the observe()-fold alternative — convergence
+    // riding each round's own materialization, one job per round — at
+    // 1.3–2x SLOWER; see [[starRound]]'s scaladoc. This separate test
+    // runs over the CHECKPOINTED, contraction-shrunk forest, so it is
+    // far cheaper than the extra full probing round the fold costs.)
+    def isStarForest(e: DataFrame): Boolean =
+      e.select(col("hi").as("n"), lit(1).as("nh"), lit(0).as("nl"))
+        .union(e.select(col("lo").as("n"), lit(0).as("nh"), lit(1).as("nl")))
+        .groupBy(col("n"))
+        .agg(sum(col("nh")).as("nh"), max(col("nl")).as("nl"))
+        .filter(col("nh") > 1 || (col("nh") > 0 && col("nl") === 1))
+        .isEmpty
     // canonical oriented pair set (hi >= lo), deduped, self-loops kept;
     // materialized once so no round — and no node derivation — replans
     // the candidate-generation pipeline. When the caller GUARANTEES the
@@ -524,7 +524,6 @@ object Dedup {
     // chain's checkpointed pairs), the projection is enough — no second
     // pair-relation Exchange, no second materialization, and no blocks
     // of our own to free (the caller owns the input's lifetime).
-    val obCanon = new org.apache.spark.sql.Observation()
     val (canon, canonBlocks) =
       if (preCanonicalized)
         (pairs.select(col("b").as("hi"), col("a").as("lo")),
@@ -532,14 +531,7 @@ object Dedup {
       else checkpointedByMode(
         pairs.select(greatest(col("a"), col("b")).as("hi"),
             least(col("a"), col("b")).as("lo"))
-          .distinct()
-          // non-self-loop edge count, free with the checkpoint job: an
-          // empty edge set is trivially converged, and the loop below
-          // must not run its probing round over a possibly-empty
-          // relation (AQE empty-relation propagation could elide the
-          // probe's CollectMetrics node and strand the Observation)
-          .observe(obCanon, coalesce(sum(when(col("hi") =!= col("lo"), 1L)),
-            lit(0L)).as("graft_edges")))
+          .distinct())
     // the node universe is fixed by the INPUT graph — contraction
     // rewrites edges, so the final label join must recover every
     // original id. Checkpointed BEFORE the loop frees the canon blocks.
@@ -552,22 +544,9 @@ object Dedup {
       }
     var edges = canon.filter(col("hi") =!= col("lo"))
     var edgeBlocks = canonBlocks
-    // Optimization round 19: ONE job per round. Each materialization's
-    // observe probe reports on the round's INPUT, so convergence at
-    // round k is learned from job k+1 — whose output, by the fixpoint
-    // property starRound(starForest) == starForest (row-identical; see
-    // DedupSpec's star-input pin), IS the converged forest, so nothing
-    // is recomputed and `iter` still counts only the rounds that
-    // advanced the edge set. The probing round runs over the CONVERGED
-    // forest — the smallest relation of the whole run. (The r18 loop
-    // paid a separate isStarForest aggregate job per round: ~45% of
-    // d6/d8 gate wall was driver planning/scheduling across those ~2x
-    // tiny jobs, the round-18 verdict's top remaining item.)
-    var converged =
-      if (preCanonicalized) edges.isEmpty
-      else obCanon.get("graft_edges") == 0L
+    var converged = isStarForest(edges)
     var iter = 0
-    while (!converged && iter <= maxIterations) {
+    while (!converged && iter < maxIterations) {
       // (Optimization round 18 measured the tempting alternative — TWO
       // rounds per checkpoint+convergence-test cycle, halving the
       // materializations — at 1.35x SLOWER warm: without the per-round
@@ -575,12 +554,8 @@ object Dedup {
       // so the fused plan re-plans and partially re-executes round 1
       // under round 2's three consumers. One round per materialization
       // stays.)
-      val ob = new org.apache.spark.sql.Observation()
-      val (e2, b2) = checkpointedByMode(starRound(edges, Some(ob)))
-      // the checkpoint action executed the round's plan — the metric is
-      // already accumulated; get() does not trigger work
-      converged = ob.get("graft_viol") == 0L
-      if (!converged) iter += 1
+      val (e2, b2) = checkpointedByMode(starRound(edges))
+      converged = isStarForest(e2)
       // e2 is materialized (eager checkpoint) — the previous round's
       // edge blocks have no remaining readers; free them (the node
       // relation is checkpointed above, so round 1 freeing the canon
@@ -588,6 +563,7 @@ object Dedup {
       edgeBlocks.foreach(_.unpersist(blocking = false))
       edges = e2
       edgeBlocks = b2
+      iter += 1
     }
     // Round-11: a silent cap-out returned labels that LOOK converged but
     // aren't (partially merged components) — the worst failure mode.

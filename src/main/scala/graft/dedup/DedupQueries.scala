@@ -41,7 +41,24 @@ object DedupQueries {
       maxHamming = 10, maxBucket = MaxBucket)
   }
 
-  /** D4: exact n-gram Jaccard verification on the LSH candidates only. */
+  /** D4: exact n-gram Jaccard verification on the LSH candidates only.
+    *
+    * Optimization round 19 NEGATIVE result (r18 verdict item 3,
+    * ABBA-receipted in bench_sweeps_r19/d4_*_abba_*.json): bounding the
+    * verify join's set relation by the candidate ids — materialize the
+    * pair set, semi-join one shingle-set scan down to candidate
+    * members, read both join sides off that bounded checkpoint —
+    * measured 1.4x SLOWER at sf0.1 (0.92 → 1.29 s) and ~1.15x slower
+    * at sf1 (flat d2 control in both windows). The three corpus
+    * tokenization passes this form pays are independent map-only
+    * BRANCHES OF ONE JOB DAG — Spark overlaps them across cores, so
+    * their wall cost is ~max, not sum — while the bounded form's
+    * checkpoint barriers serialize the pipeline and add three driver
+    * actions. The lesson generalizes r18's fixpoint findings: at any
+    * scale where cores outnumber the scan's splits the barrier costs
+    * more than the pass it saves, and at cluster scale the three
+    * passes remain embarrassingly parallel map work while the barrier
+    * stays a barrier. */
   def d4JaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val rows = Dedup.shingleRows(docs(s, dir), "doc_id", "text", ShingleK)
     val cand = Dedup.candidatePairs(Dedup.bands(rows, "doc_id", NumHashes, NumBands),

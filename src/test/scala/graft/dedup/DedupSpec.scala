@@ -161,18 +161,15 @@ class DedupSpec extends SparkTestBase {
 
   test("D6: one Spark job per propagation round (convergence rides the checkpoint)") {
     // 1-2, 2-3: star contraction resolves this path in ONE round.
-    // Optimization round 19 halved the per-round action count: the
-    // star-forest test no longer runs as its own aggregate job — it
-    // rides each round's checkpoint as an observe() metric (answering
-    // for the round's INPUT), and the initial edge set's emptiness
-    // rides the canon checkpoint the same way. Actions = 2 setup (edge
-    // checkpoint with edge-count metric, node checkpoint) + rounds+1
-    // materializations (the +1 is the probe round over the CONVERGED
-    // forest — row-identical to it by the fixpoint property, so nothing
-    // is recomputed) + 1 final label checkpoint. The r18 shape was 3
-    // setup + 2 per round + 1 (≤6 here); the driver must not add
-    // per-round work beyond the new shape (AQE splits one action into
-    // many *jobs*, so the assert counts actions, not jobs).
+    // Actions = 3 setup (node checkpoint, edge checkpoint, initial
+    // star-forest test) + 2 per round (contraction checkpoint + exact
+    // star-forest test) + 1 final label checkpoint — the driver must
+    // not add per-round work beyond that fixed shape (AQE splits one
+    // action into many *jobs*, so the assert counts actions, not jobs).
+    // (Optimization round 19 tried halving this to one action per round
+    // via an observe() metric riding each checkpoint; it measured
+    // 1.3–2x SLOWER — the fold costs one extra full contraction round —
+    // and was reverted. ABBA receipts: bench_sweeps_r19/obsfold_abba_*.)
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
     val actions = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
@@ -193,8 +190,7 @@ class DedupSpec extends SparkTestBase {
         val cur = actions.get()
         if (cur == n) stable += 1 else { n = cur; stable = 0 }
       }
-      assert(n <= 2 + (1 + 1) + 1,
-        s"expected ≤5 actions (2 setup + (1 round + probe round) + labels), saw $n")
+      assert(n <= 3 + 2 * 1 + 1, s"expected ≤6 actions (3 setup + 2×1 round + labels), saw $n")
       assert(out.count() == 1L)
     } finally spark.listenerManager.unregister(listener)
   }
