@@ -73,16 +73,29 @@ object TextQueries {
   }
 
   /** T4: bottom-k fingerprint over distinct word 3-grams (md5-based, so
-    * the oracle reproduces it bit-for-bit). Runs on the codegen'd
-    * shingle-row shape shared with the dedup pack; docs shorter than k
-    * words have no shingles and therefore no fingerprint row. The sketch
-    * is serialized to a comma-joined string: the canonical cross-engine
-    * wire form (the gate's hasher has no array representation). */
+    * the oracle reproduces it bit-for-bit). Docs shorter than k words
+    * have no shingles and therefore no fingerprint row. The sketch is
+    * serialized to a comma-joined string: the canonical cross-engine
+    * wire form (the gate's hasher has no array representation).
+    *
+    * Optimization round 19: MAP-ONLY — zero Exchange. The previous form
+    * exploded the duplicate-retaining shingle stream, md5'd every
+    * OCCURRENCE, and shuffled the whole (doc_id, 32-char hash) stream
+    * into a collect_set ObjectHashAggregate just to rebuild per-doc
+    * locality the source row already had (the t6 lesson, one operator
+    * over). The fused-distinct Shingles kernel emits the per-doc
+    * distinct set in the scan, so the fingerprint is one row-local
+    * expression: md5 per DISTINCT shingle (strictly fewer hashes),
+    * sort, slice — exactly the oracle's shape. At 100 TB the removed
+    * Exchange carried the corpus's entire hashed shingle stream. */
   def t4Fingerprint(s: SparkSession, dir: String): DataFrame =
-    graft.dedup.Dedup.shingleRows(docs(s, dir), "doc_id", "text", 3)
-      .select(col("doc_id"), md5(col("shingle")).as("h"))
-      .groupBy(col("doc_id"))
-      .agg(concat_ws(",", slice(array_sort(collect_set(col("h"))), 1, 4)).as("fp"))
+    docs(s, dir)
+      .select(col("doc_id"),
+        distinctShingles(tokens(col("text")), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"),
+        concat_ws(",",
+          slice(array_sort(transform(col("sh"), x => md5(x))), 1, 4)).as("fp"))
 
   /** T6: TF-IDF top-3 terms per document. tf is the native [[TermCounts]]
     * map built INSIDE the scan — the `explode → groupBy(doc, term)`
